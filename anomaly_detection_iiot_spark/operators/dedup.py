@@ -1,0 +1,176 @@
+"""Deduplication operators for LLM-scale data pipelines (BASELINE.json
+north star; no reference equivalent — the reference has no text path).
+
+Four tiers, all DataFrame-native and shuffle-conscious:
+
+- exact:      md5(text) hash-groupBy — one shuffle on a 16-byte key.
+- fingerprint: md5 of sorted distinct tokens (content-normalized exact
+  dup) — catches token-permutation dups.
+- minhash LSH: md5-simulated permutations over word shingles; band
+  buckets → candidate pairs via a self-join on (band, key). The md5
+  trick keeps the signature deterministic across engines (and across
+  rounds), unlike seeded random coefficient schemes.
+- n-gram Jaccard: exact pairwise verification on candidate (or all)
+  pairs via a shingle equi-join — the verify step after LSH recall.
+
+Scale notes: all joins are equi-joins on hash keys (shuffle-hash /
+sort-merge safe, AQE-skew-splittable). The pairwise Jaccard join is
+bounded by LSH candidate generation at 100 TB — never run it unbucketed
+at scale; `ngram_jaccard_pairs` takes an optional candidates frame for
+exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """Lowercase whitespace tokenization with empty-token filtering
+    (identical semantics to DuckDB string_split_regex + list_filter)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.withColumn(out, F.filter(toks, lambda x: x != ""))
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, tokens_col: str = "tokens", out: str = "shingle"
+) -> DataFrame:
+    """Distinct word n-grams per row, exploded to long form."""
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col(tokens_col), i + 1, n)
+        ),
+    )
+    return df.withColumn(out, F.explode(F.array_distinct(grams))).drop(tokens_col)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: groups with >1 doc, keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token multiset-collapsed string."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    return df.withColumn(
+        out, F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """One row per doc with columns h0..h{k-1}: min over shingles of
+    md5(seed || shingle). md5 is a uniform hash, so min-over-set is a
+    valid minwise signature; deterministic across engines."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col(shingle_col)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band value.
+    Returns distinct (doc_a < doc_b) candidate pairs."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for doc pairs sharing >=1
+    shingle (optionally restricted to LSH ``candidates``)."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )

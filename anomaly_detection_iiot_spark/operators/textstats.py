@@ -1,0 +1,84 @@
+"""Text analysis operators (BASELINE.json north star: language-ID,
+quality scoring, token counting, fingerprinting — all JVM-side
+expressions, no Python UDFs, so whole-stage codegen covers the entire
+scan→project pipeline at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram-free heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(_tokens(text_col)).cast("bigint"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword ratios — the standard cheap
+    quality filters of LLM-data pipelines."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    text_len = F.length(text_col)
+    punct_removed = F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin(*STOPWORDS["en"]),
+        )
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn("n_chars_txt", text_len.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0, (text_len - (n_tokens - 1)) / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            (text_len - F.length(punct_removed)) / F.greatest(text_len, F.lit(1)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit counts per language + argmax prediction with a
+    deterministic tie-break (language name asc, 'und' if no hits)."""
+    toks = _tokens(text_col)
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(toks, lambda x: x.isin(*words))).cast("bigint"),
+        )
+    best = None
+    for lang in sorted(STOPWORDS):
+        c = F.col(f"hits_{lang}")
+        if best is None:
+            best = F.struct(c.alias("hits"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(
+                c > best["hits"], F.struct(c.alias("hits"), F.lit(lang).alias("lang"))
+            ).otherwise(best)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return out.withColumn("pred_lang", pred)

@@ -1,0 +1,50 @@
+"""Query registry plumbing for the driver contract (__spark_entry__.py).
+
+Each named query pairs a Spark DataFrame builder with an equivalent ANSI
+SQL string the driver runs on DuckDB over the same parquet tables.
+Parity rules (so the driver's order-insensitive value-hash matches):
+
+- alias every computed column identically on both sides;
+- cast ambiguous types explicitly (BIGINT for counts/indexes, DOUBLE for
+  math) — e.g. DuckDB ``floor()`` is DOUBLE while Spark's is BIGINT;
+- round float aggregates to 6 digits on BOTH sides so cross-engine
+  summation-order noise (~1e-12) cannot flip the hash;
+- never rely on implicit row order or nondeterministic ties: every
+  row_number/limit has a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read nanos as long and integer-divide to micros (same
+        # truncation DuckDB applies), keeping full precision (ns-since-epoch
+        # exceeds double's 53-bit mantissa, so no float division).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)

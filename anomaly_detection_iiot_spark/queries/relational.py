@@ -1,0 +1,509 @@
+"""Oracle-checked relational queries (SURVEY §2.5 O*, §2.6 J*, §2.7
+M12/M13) over the TPC-H-ish corpus + events.
+
+Scale notes: every dim-fact join broadcasts the dim side explicitly;
+top-k uses row_number with unique tie-breakers (deterministic across
+engines); the AUC sweep is the single-sort cumulative form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import metrics
+from .base import QuerySpec, t
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape) ----------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-shape: top shipping priority ---------------------------------------
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rank")
+    )
+
+
+Q3_SQL = """
+WITH rev AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM rev
+)
+WHERE rank <= 10
+"""
+
+
+# --- Q5-shape: revenue by nation via broadcast dims ------------------------
+
+def j5_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dims = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(dims), cust.c_nationkey == dims.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+J5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- J1 / J2: semi / anti joins --------------------------------------------
+
+def j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+J1_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+J2_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --- J3: union with provenance tag -----------------------------------------
+
+def j3_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+J3_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name, s_acctbal, 'supplier' FROM supplier
+"""
+
+
+# --- J4: range/interval join -----------------------------------------------
+
+def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    joined = ev.join(
+        F.broadcast(buckets),
+        (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+    )
+    return joined.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+J4_SQL = """
+WITH buckets(bucket_id, lo, hi) AS (
+  VALUES (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)
+)
+SELECT bucket_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket_id
+"""
+
+
+# --- J6: as-of join ---------------------------------------------------------
+
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        probe,
+        build,
+        on="user_id",
+        probe_ts="signup_ts",
+        build_ts="purchase_ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select("user_id", "signup_id", "purchase_value")
+
+
+J6_SQL = """
+SELECT s.user_id, s.event_id AS signup_id, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts >= p.ts
+"""
+
+
+# --- O1: global time sort (rank materialized) ------------------------------
+
+def o1_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", F.row_number().over(w).cast("bigint").alias("time_rank")
+    )
+
+
+O1_SQL = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS time_rank
+FROM events
+"""
+
+
+# --- O2: exact quantile grid (threshold sweep domain) ----------------------
+
+def o2_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    aggs = [
+        F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"q{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = ev.agg(*aggs)
+    pairs = ", ".join(f"'{q}', q{i}" for i, q in enumerate(qs))
+    return wide.select(
+        F.expr(f"stack({len(qs)}, {pairs}) as (quantile, threshold)")
+    )
+
+
+O2_SQL = """
+SELECT '0.1' AS quantile, round(quantile_cont(value, 0.1), 6) AS threshold FROM events
+UNION ALL SELECT '0.25', round(quantile_cont(value, 0.25), 6) FROM events
+UNION ALL SELECT '0.5', round(quantile_cont(value, 0.5), 6) FROM events
+UNION ALL SELECT '0.75', round(quantile_cont(value, 0.75), 6) FROM events
+UNION ALL SELECT '0.9', round(quantile_cont(value, 0.9), 6) FROM events
+UNION ALL SELECT '0.99', round(quantile_cont(value, 0.99), 6) FROM events
+"""
+
+
+# --- O4: top-1 per group (argmax) ------------------------------------------
+
+def o4_top1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+O4_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+           AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- O5: head slice per group ----------------------------------------------
+
+def o5_head_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "value")
+    )
+
+
+O5_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+# --- M12: confusion matrix --------------------------------------------------
+
+def m12_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("value") > 70.0).alias("pred"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    out = metrics.confusion_matrix(ev, "pred", "label")
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+M12_SQL = """
+WITH flags AS (
+  SELECT CASE WHEN value > 70.0 THEN 1 ELSE 0 END AS p,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS l
+  FROM events
+), c AS (
+  SELECT CAST(sum(p * l) AS BIGINT) AS tp,
+         CAST(sum(p * (1 - l)) AS BIGINT) AS fp,
+         CAST(sum((1 - p) * l) AS BIGINT) AS fn,
+         CAST(sum((1 - p) * (1 - l)) AS BIGINT) AS tn
+  FROM flags
+)
+SELECT tp, fp, fn, tn,
+       round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END, 6)
+         AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END, 6)
+         AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                    * (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END)
+                  / ((CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END))
+             ELSE 0 END, 6) AS f1
+FROM c
+"""
+
+
+# --- M13: single-sort AUC + best-F1 threshold ------------------------------
+
+def m13_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    out = metrics.auc(ev, "score", "label", keys=["cohort"])
+    return out.select("cohort", F.round("auc_roc", 6).alias("auc_roc"))
+
+
+M13_AUC_SQL = """
+WITH g AS (
+  SELECT user_id % 4 AS cohort, value AS s,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS pos,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT cohort, pos, cnt,
+         sum(cnt) OVER (PARTITION BY cohort ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) - (cnt - 1) / 2.0 AS avg_rank
+  FROM g
+), agg AS (
+  SELECT cohort, sum(pos * avg_rank) AS rs, sum(pos) AS p, sum(cnt) AS n
+  FROM ranked GROUP BY cohort
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       round(CASE WHEN p > 0 AND n - p > 0
+             THEN (rs - p * (p + 1) / 2.0) / (p * (n - p)) ELSE 0 END, 6)
+         AS auc_roc
+FROM agg
+"""
+
+
+def m13_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    out = metrics.best_f1_threshold(ev, "score", "label", keys=["cohort"])
+    return out.select("cohort", "threshold", F.round("f1", 6).alias("f1"))
+
+
+M13_BEST_F1_SQL = """
+WITH g AS (
+  SELECT user_id % 4 AS cohort, value AS threshold,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS pos,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), swept AS (
+  SELECT cohort, threshold,
+         sum(pos) OVER (PARTITION BY cohort) AS P,
+         sum(cnt) OVER (PARTITION BY cohort) AS N_all,
+         sum(pos) OVER (PARTITION BY cohort ORDER BY threshold
+                        ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         sum(cnt) OVER (PARTITION BY cohort ORDER BY threshold
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM g
+), pts AS (
+  SELECT cohort, threshold,
+         (P - cum_pos) AS tp,
+         (N_all - cum_cnt) - (P - cum_pos) AS fp,
+         P
+  FROM swept
+), scored AS (
+  SELECT cohort, threshold,
+         CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END AS prec,
+         CASE WHEN P > 0 THEN tp * 1.0 / P ELSE 0 END AS rec
+  FROM pts
+), f1s AS (
+  SELECT cohort, threshold,
+         CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+              ELSE 0 END AS f1
+  FROM scored
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, threshold, round(f1, 6) AS f1
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cohort
+                               ORDER BY f1 DESC, threshold) AS rn
+  FROM f1s
+) WHERE rn = 1
+"""
+
+
+RELATIONAL_QUERIES: list[QuerySpec] = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
+              "TPC-H Q1-shape scan+agg (engine headline query)"),
+    QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL,
+              "join + agg + deterministic top-k"),
+    QuerySpec("j5_broadcast_dims", j5_broadcast_dims, J5_SQL,
+              "J5 star join with broadcast dims (SURVEY §2.6)"),
+    QuerySpec("j1_semi_join", j1_semi_join, J1_SQL,
+              "J1 set intersection as left-semi (calculations.py:68)"),
+    QuerySpec("j2_anti_join", j2_anti_join, J2_SQL,
+              "J2 set difference as left-anti (calculations.py:69-71)"),
+    QuerySpec("j3_union_tagged", j3_union_tagged, J3_SQL,
+              "J3 union/concat with provenance (visualization.py:341-347)"),
+    QuerySpec("j4_range_join", j4_range_join, J4_SQL,
+              "J4 interval/range join (calculations.py:62-66)"),
+    QuerySpec("j6_asof_join", j6_asof_join, J6_SQL,
+              "as-of join (generalized W9, searchsorted at scale)"),
+    QuerySpec("o1_time_sort", o1_time_sort, O1_SQL,
+              "O1 global time sort with materialized rank (pipeline.py:32)"),
+    QuerySpec("o2_threshold_grid", o2_threshold_grid, O2_SQL,
+              "O2 exact quantile grid (sweep domain at scale)"),
+    QuerySpec("o4_top1_per_user", o4_top1_per_user, O4_SQL,
+              "O4 argmax top-1 per group (calculations.py:133-135)"),
+    QuerySpec("o5_head_slice", o5_head_slice, O5_SQL,
+              "O5 per-group head slice (visualization.py:80)"),
+    QuerySpec("m12_confusion", m12_confusion, M12_SQL,
+              "M12 confusion matrix + P/R/F1 (calculations.py:58-83)"),
+    QuerySpec("m13_auc", m13_auc, M13_AUC_SQL,
+              "M13 single-sort exact ROC AUC (calculations.py:111-157)"),
+    QuerySpec("m13_best_f1", m13_best_f1, M13_BEST_F1_SQL,
+              "M13 best-F1 threshold from sweep (calculations.py:120)"),
+]
