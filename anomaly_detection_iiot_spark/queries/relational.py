@@ -202,9 +202,11 @@ SELECT s_name, s_acctbal, 'supplier' FROM supplier
 
 def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(
-        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)],
-        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    # VALUES literal, not createDataFrame: a Python-RDD-backed frame would
+    # drag Python workers into an otherwise all-JVM plan.
+    buckets = spark.sql(
+        "SELECT * FROM VALUES (0, 0.0D, 25.0D), (1, 25.0D, 50.0D), "
+        "(2, 50.0D, 75.0D), (3, 75.0D, 1e9D) AS t(bucket_id, lo, hi)"
     )
     joined = ev.join(
         F.broadcast(buckets),
