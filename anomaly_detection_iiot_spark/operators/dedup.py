@@ -36,14 +36,16 @@ def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> Data
 def word_shingles(
     df: DataFrame, n: int = 3, tokens_col: str = "tokens", out: str = "shingle"
 ) -> DataFrame:
-    """Distinct word n-grams per row, exploded to long form."""
-    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.slice(F.col(tokens_col), i + 1, n)
+    """Distinct word n-grams per row, exploded to long form. Docs shorter
+    than ``n`` tokens yield no shingles (CASE WHEN keeps the descending
+    ``sequence(0, size-n)`` from ever evaluating)."""
+    grams = F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return df.withColumn(out, F.explode(F.array_distinct(grams))).drop(tokens_col)
 
 

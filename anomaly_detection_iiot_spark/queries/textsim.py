@@ -1,0 +1,545 @@
+"""Oracle-checked text-pipeline queries: deduplication, similarity
+search, and text analysis over the ``documents`` / ``embeddings``
+tables (BASELINE.json north star — the LLM-training-data operator set;
+the reference has no text path, so reference citations are n/a).
+
+Scale notes per family:
+
+- dedup: every join is an equi-join on a hash key (shuffle-hash /
+  sort-merge safe, AQE-skew-splittable). The exact-Jaccard verify join
+  is only ever run over LSH candidates at scale; here it also runs raw
+  because sf0.01 is tiny.
+- similarity: the query side of top-k is broadcast (k×|q| rows shuffle,
+  corpus scanned once, narrow); IVF assignment broadcasts centroids and
+  turns ANN probing into a partition-pruned equi-join on ``bucket``.
+- text analysis: pure JVM expressions (split/regexp/higher-order
+  functions) — whole-stage codegen end-to-end, no Python.
+
+Cross-engine determinism: md5 is the shared hash primitive (identical
+lowercase-hex output in Spark and DuckDB); all floats rounded to 6
+digits on both sides; every rank has a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textstats
+from .base import QuerySpec, t
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE fragments (tokens -> 3-gram shingles -> minhash sigs)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS tokens
+  FROM documents
+)"""
+
+_SHINGLES = _TOKS + r""", pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL
+)"""
+
+_SIG = _SHINGLES + r""", sig AS (
+  SELECT doc_id,
+         min(md5('seed0:' || shingle)) AS h0,
+         min(md5('seed1:' || shingle)) AS h1,
+         min(md5('seed2:' || shingle)) AS h2,
+         min(md5('seed3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents")
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.word_shingles(
+        dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text")), n=3
+    )
+
+
+# --- D1: exact dedup (hash-groupBy) ----------------------------------------
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+D1_SQL = """
+SELECT md5(text) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- D2: fingerprint dedup (order-insensitive token-set hash) ---------------
+
+def d2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.fingerprint(_docs(spark, sf_dir))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+D2_SQL = rf"""
+WITH {_TOKS}
+SELECT md5(array_to_string(list_sort(list_distinct(tokens)), ' '))
+         AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_id
+FROM toks GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --- D3: minhash signatures --------------------------------------------------
+
+def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signature(_shingled(spark, sf_dir), num_hashes=4)
+
+
+D3_SQL = f"WITH {_SIG} SELECT * FROM sig"
+
+
+# --- D4: LSH banding -> candidate pairs --------------------------------------
+
+def d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signature(_shingled(spark, sf_dir), num_hashes=4)
+    return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
+
+
+D4_SQL = f"""
+WITH {_SIG}, banded AS (
+  SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, h2 || '|' || h3 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --- D5: exact n-gram Jaccard verification -----------------------------------
+
+def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(_shingled(spark, sf_dir), min_jaccard=0.1)
+    return pairs.select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+D5_SQL = f"""
+WITH {_SHINGLES}, sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
+"""
+
+
+# --- D6: 16-bit SimHash -------------------------------------------------------
+
+def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked = dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text"))
+    tokens = toked.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    )
+    # 4 hex chars of md5(tok) -> 16 bits; per-bit +1/-1 vote, sign -> bit
+    hv = tokens.select(
+        "doc_id",
+        *[
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5("tok"), c + 1, 1),
+                )
+                - 1
+            ).alias(f"v{c}")
+            for c in range(4)
+        ],
+    )
+    votes = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return votes.select("doc_id", acc.cast("bigint").alias("simhash16"))
+
+
+_D6_VOTES = ", ".join(
+    f"sum(CASE WHEN (v{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_D6_COMBINE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+D6_SQL = f"""
+WITH {_TOKS}, dt AS (
+  SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks
+), hv AS (
+  SELECT doc_id,
+         instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1 AS v0,
+         instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS v1,
+         instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1 AS v2,
+         instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1 AS v3
+  FROM dt
+), votes AS (
+  SELECT doc_id, {_D6_VOTES} FROM hv GROUP BY doc_id
+)
+SELECT doc_id, CAST({_D6_COMBINE} AS BIGINT) AS simhash16 FROM votes
+"""
+
+
+# --- D7: embedding-cosine near-dup (label-blocked pairs) ---------------------
+
+def d7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    a, b = e.alias("a"), e.alias("b")
+    cos = similarity.cosine(
+        similarity.as_double(F.col("a.embedding")),
+        similarity.as_double(F.col("b.embedding")),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.15)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").cast("bigint").alias("label"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+D7_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.label AS BIGINT) AS label,
+       round(
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.15
+"""
+
+
+# --- S1: brute-force cosine top-k --------------------------------------------
+
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.brute_force_topk(
+        e.select("vec_id", "embedding"), queries, k=10
+    )
+
+
+S1_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * e.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+  FROM q JOIN e ON e.vec_id != q.qid
+)
+SELECT qid, cid, round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+
+
+# --- S2: IVF-bucketed ANN (the 100 TB path) ----------------------------------
+
+def s2_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids)
+    q = assigned.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    ).withColumn(
+        "cosine",
+        similarity.cosine(
+            similarity.as_double(F.col("qvec")),
+            similarity.as_double(F.col("embedding")),
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            F.col("qbucket").cast("bigint").alias("bucket"),
+            F.col("vec_id").alias("cid"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+S2_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS ark
+        FROM scored)
+  WHERE ark = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+  FROM assigned WHERE vec_id BETWEEN 100 AND 104
+), cand AS (
+  SELECT q.qid, q.qbucket, a.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * a.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+  FROM q JOIN assigned a ON a.bucket = q.qbucket AND a.vec_id != q.qid
+)
+SELECT qid, CAST(qbucket AS BIGINT) AS bucket, cid,
+       round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM cand)
+WHERE rk <= 5
+"""
+
+
+# --- T1: token counting -------------------------------------------------------
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.length("text").cast("bigint").alias("n_chars_txt"),
+    )
+
+
+T1_SQL = rf"""
+WITH {_TOKS}
+SELECT d.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(length(d.text) AS BIGINT) AS n_chars_txt
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+"""
+
+
+# --- T2: quality scoring ------------------------------------------------------
+
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = textstats.quality_scores(_docs(spark, sf_dir))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+T2_SQL = rf"""
+WITH {_TOKS}, q AS (
+  SELECT d.doc_id,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         length(d.text) AS text_len,
+         length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
+         len(list_filter(t.tokens,
+             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           AS stop_hits
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0
+                  THEN (text_len - (n_tokens - 1)) / n_tokens
+                  ELSE 0.0 END, 6) AS avg_token_len,
+       round((text_len - nopunct_len) / greatest(text_len, 1), 6)
+         AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+                  ELSE 0.0 END, 6) AS stopword_ratio
+FROM q
+"""
+
+
+# --- T3: language identification ---------------------------------------------
+
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = textstats.language_scores(_docs(spark, sf_dir))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "hits_de",
+        "hits_en",
+        "hits_es",
+        "hits_fr",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+_T3_HITS = ", ".join(
+    "len(list_filter(tokens, x -> list_contains({words}, x))) AS hits_{lang}".format(
+        words="[" + ",".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]",
+        lang=lang,
+    )
+    for lang in sorted(textstats.STOPWORDS)
+)
+T3_SQL = rf"""
+WITH {_TOKS}, h AS (
+  SELECT d.doc_id, d.lang, {_T3_HITS}
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+), m AS (
+  SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS mx FROM h
+)
+SELECT doc_id, lang,
+       CAST(hits_de AS BIGINT) AS hits_de,
+       CAST(hits_en AS BIGINT) AS hits_en,
+       CAST(hits_es AS BIGINT) AS hits_es,
+       CAST(hits_fr AS BIGINT) AS hits_fr,
+       CASE WHEN mx = 0 THEN 'und'
+            WHEN hits_de = mx THEN 'de'
+            WHEN hits_en = mx THEN 'en'
+            WHEN hits_es = mx THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CAST((CASE WHEN mx = 0 THEN 'und'
+                  WHEN hits_de = mx THEN 'de'
+                  WHEN hits_en = mx THEN 'en'
+                  WHEN hits_es = mx THEN 'es'
+                  ELSE 'fr' END) = lang AS INT) AS is_correct
+FROM m
+"""
+
+
+# --- T4: rolling-hash document fingerprint -------------------------------------
+
+def t4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked = dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text"))
+    tokvals = F.transform(
+        F.col("tokens"), lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long")
+    )
+    rhash = F.aggregate(
+        tokvals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000003,
+    )
+    return toked.select("doc_id", rhash.alias("rhash"))
+
+
+T4_SQL = rf"""
+WITH {_TOKS}
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(tokens,
+                          x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000003) AS rhash
+FROM toks
+"""
+
+
+TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
+              "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
+    QuerySpec("d2_fingerprint_dedup", d2_fingerprint_dedup, D2_SQL,
+              "token-set fingerprint dedup (order-insensitive exact dup)"),
+    QuerySpec("d3_minhash_signatures", d3_minhash_signatures, D3_SQL,
+              "minwise signatures over 3-gram shingles (md5-simulated perms)"),
+    QuerySpec("d4_lsh_candidates", d4_lsh_candidates, D4_SQL,
+              "MinHash-LSH banding -> candidate-pair bucket join"),
+    QuerySpec("d5_ngram_jaccard", d5_ngram_jaccard, D5_SQL,
+              "exact n-gram Jaccard verification join"),
+    QuerySpec("d6_simhash", d6_simhash, D6_SQL,
+              "16-bit SimHash via per-bit token votes"),
+    QuerySpec("d7_embedding_neardup", d7_embedding_neardup, D7_SQL,
+              "embedding-cosine near-dup on label-blocked pairs"),
+    QuerySpec("s1_cosine_topk", s1_cosine_topk, S1_SQL,
+              "brute-force cosine top-k ANN baseline (broadcast queries)"),
+    QuerySpec("s2_ivf_ann", s2_ivf_ann, S2_SQL,
+              "IVF-bucketed ANN: centroid assign -> partition-pruned probe"),
+    QuerySpec("t1_token_stats", t1_token_stats, T1_SQL,
+              "token counting (whitespace tokenizer, codegen-only)"),
+    QuerySpec("t2_quality_scores", t2_quality_scores, T2_SQL,
+              "quality scoring: length/punct/stopword ratios"),
+    QuerySpec("t3_language_id", t3_language_id, T3_SQL,
+              "stopword-argmax language ID with deterministic tie-break"),
+    QuerySpec("t4_rolling_fingerprint", t4_rolling_fingerprint, T4_SQL,
+              "polynomial rolling-hash document fingerprint"),
+]
