@@ -1,0 +1,291 @@
+"""ML-path queries (SURVEY §2.7): FFT features, autoencoder scoring and
+training, FedAvg, grid search, LR schedule.
+
+The headline act: M6 model scoring and M7 FFT are oracle-checked —
+the DuckDB oracle re-computes the dense autoencoder forward pass from
+SQL-literal weights (nested higher-order lambdas) and the DFT from
+naive trig sums, so even the "non-SQL" kernels get exact cross-engine
+verification. Training/FedAvg queries are deterministic (seeded init,
+fixed-order batches) but iterative → rows-only checks (driver records
+the weaker gate, SURVEY §5).
+
+Window convention here: per-user TUMBLING windows of 16 samples over
+``events`` ordered by (ts, event_id) — size==step keeps the oracle SQL
+a plain GROUP BY; the strided variant is exercised by w1/w2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.fft import fft_magnitude
+from ..ml import autoencoder, fedavg, scoring
+from ..operators import windowing
+from .base import QuerySpec, t
+
+WIN = 16
+SIZES = [WIN, 8, 4, 8, WIN]
+SEED = 101
+
+# module-level deterministic weights shared by the Spark query and the
+# SQL-literal oracle for m6
+_M6_WEIGHTS = autoencoder.init_weights(SIZES, seed=SEED)
+
+
+def _event_windows(spark: SparkSession, sf_dir: str, size: int = WIN) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    indexed = ev.withColumn("sample_idx", F.row_number().over(idx) - F.lit(1))
+    return windowing.window_arrays(
+        indexed,
+        size=size,
+        step=size,
+        idx_col="sample_idx",
+        value_col="value",
+        keys=["user_id"],
+    )
+
+
+_WIN_SQL = f"""ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+), win AS (
+  SELECT user_id, rn // {WIN} AS window_idx, list(value ORDER BY rn) AS v
+  FROM ev GROUP BY 1, 2 HAVING count(*) = {WIN}
+)"""
+
+
+# --- M7: FFT magnitude --------------------------------------------------------
+
+def m7_fft_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _event_windows(spark, sf_dir)
+    mag = wins.withColumn("mag_arr", fft_magnitude("window"))
+    return mag.select(
+        "user_id",
+        "window_idx",
+        F.posexplode("mag_arr").alias("k", "mag"),
+    ).select(
+        "user_id",
+        "window_idx",
+        F.col("k").cast("bigint").alias("k"),
+        F.round("mag", 4).alias("mag"),
+    )
+
+
+M7_SQL = f"""
+WITH {_WIN_SQL}, pos AS (
+  SELECT user_id, window_idx,
+         generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x
+  FROM win
+)
+SELECT user_id, window_idx, k,
+       round(sqrt(pow(sr, 2) + pow(si, 2)), 4) AS mag
+FROM (
+  SELECT user_id, window_idx, ks.k,
+         sum(x * cos(2 * pi() * ks.k * j / {WIN}.0)) AS sr,
+         sum(x * sin(2 * pi() * ks.k * j / {WIN}.0)) AS si
+  FROM pos, (SELECT unnest(generate_series(0, {WIN - 1})) AS k) ks
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+# --- M6: autoencoder reconstruction error (oracle = SQL forward pass) ---------
+
+def m6_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _event_windows(spark, sf_dir)
+    scored = scoring.score_windows(wins, _M6_WEIGHTS)
+    return scored.select(
+        "user_id", "window_idx", F.round("mse", 4).alias("mse")
+    )
+
+
+def _sql_arr(a: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in np.ravel(a)) + "]"
+
+
+def _sql_dense(in_var: str, in_size: int, out_size: int,
+               W: np.ndarray, b: np.ndarray, relu: bool) -> str:
+    body = (
+        f"{_sql_arr(b)}[u] + list_sum(list_transform("
+        f"generate_series(1, {in_size}), "
+        f"j -> {in_var}[j] * {_sql_arr(W)}[(j-1)*{out_size} + u]))"
+    )
+    if relu:
+        body = f"greatest(0.0, {body})"
+    return f"list_transform(generate_series(1, {out_size}), u -> {body})"
+
+
+def _m6_oracle() -> str:
+    layers = []
+    var = "v"
+    for i, (W, b) in enumerate(_M6_WEIGHTS):
+        nxt = f"a{i + 1}"
+        expr = _sql_dense(var, W.shape[0], W.shape[1], W, b,
+                          relu=i < len(_M6_WEIGHTS) - 1)
+        layers.append((nxt, expr))
+        var = nxt
+    ctes = ", ".join(
+        f"f{i} AS (SELECT user_id, window_idx, v, {expr} AS {name} "
+        f"FROM {'win' if i == 0 else f'f{i - 1}'})"
+        for i, (name, expr) in enumerate(layers)
+    )
+    last = layers[-1][0]
+    return f"""
+WITH {_WIN_SQL}, {ctes}
+SELECT user_id, window_idx,
+       round(list_sum(list_transform(generate_series(1, {WIN}),
+                                     j -> pow({last}[j] - v[j], 2)))
+             / {WIN}.0, 4) AS mse
+FROM f{len(layers) - 1}
+"""
+
+
+M6_SQL = _m6_oracle()
+
+
+# --- M3: dense autoencoder local training (rows-only; iterative) --------------
+
+def m3_ae_train_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _event_windows(spark, sf_dir).withColumn(
+        "client_id", F.col("user_id") % 4
+    )
+    weights0 = autoencoder.init_weights(SIZES, seed=SEED)
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "window_idx"], kind="mergesort")
+        X = np.stack([np.asarray(w, dtype=np.float64) for w in pdf["window"]])
+        _, losses = autoencoder.train(X, weights0, epochs=3, lr=1e-4)
+        return pd.DataFrame(
+            {
+                "client_id": int(key[0]),
+                "epoch": range(len(losses)),
+                "loss": [round(ls, 6) for ls in losses],
+            }
+        )
+
+    return wins.groupBy("client_id").applyInPandas(
+        fn, "client_id bigint, epoch int, loss double"
+    )
+
+
+# --- M9/A5: FedAvg final-round averaged weights (rows-only; iterative) --------
+
+def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _event_windows(spark, sf_dir).withColumn(
+        "client_id", F.col("user_id") % 4
+    )
+    # one completed round on the driver, second round returned as a plan
+    w1 = fedavg.rows_to_weights(
+        fedavg.fedavg_round(
+            wins, autoencoder.init_weights(SIZES, seed=SEED), lr=1e-4
+        ).collect(),
+        SIZES,
+    )
+    final = fedavg.fedavg_round(wins, w1, lr=1e-4)
+    return final.select(
+        "layer", "part", "idx", F.round("w", 6).alias("w")
+    )
+
+
+# --- M8: hyperparameter grid search (rows-only; model kernel) ------------------
+
+def m8_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _event_windows(spark, sf_dir).filter(F.col("user_id") < 30)
+    configs = spark.sql(
+        "SELECT * FROM VALUES (0, 0.0001D, 8), (1, 0.0003D, 8), "
+        "(2, 0.0001D, 4), (3, 0.0003D, 4) AS t(config_id, lr, hidden)"
+    )
+    grid = wins.crossJoin(F.broadcast(configs))
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        config_id, lr, hidden = int(key[0]), float(key[1]), int(key[2])
+        pdf = pdf.sort_values(["user_id", "window_idx"], kind="mergesort")
+        X = np.stack([np.asarray(w, dtype=np.float64) for w in pdf["window"]])
+        sizes = [WIN, hidden * 2, hidden, hidden * 2, WIN]
+        _, losses = autoencoder.train(
+            X, autoencoder.init_weights(sizes, seed=SEED), epochs=3, lr=lr
+        )
+        return pd.DataFrame(
+            {
+                "config_id": [config_id],
+                "lr": [lr],
+                "hidden": [hidden],
+                "final_loss": [round(losses[-1], 6)],
+            }
+        )
+
+    trials = grid.groupBy("config_id", "lr", "hidden").applyInPandas(
+        fn, "config_id int, lr double, hidden int, final_loss double"
+    )
+    w = Window.orderBy("final_loss", "config_id")
+    return trials.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# --- A5 (pure-SQL form): element-wise mean across clients ----------------------
+
+def a5_fedavg_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        F.col("label").cast("bigint").alias("layer"),
+        F.posexplode("embedding").alias("pos", "wv"),
+    )
+    return pos.groupBy("layer", F.col("pos").cast("bigint").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_clients"),
+        F.round(F.avg(F.col("wv").cast("double")), 6).alias("avg_w"),
+    )
+
+
+A5_SQL = """
+SELECT CAST(label AS BIGINT) AS layer,
+       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       unnest(embedding)::DOUBLE AS wv
+FROM embeddings
+"""
+A5_SQL = f"""
+WITH pos AS ({A5_SQL})
+SELECT layer, pos, count(*) AS n_clients, round(avg(wv), 6) AS avg_w
+FROM pos GROUP BY 1, 2
+"""
+
+
+# --- M5: learning-rate decay schedule ------------------------------------------
+
+def m5_lr_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(25).select(
+        F.col("id").alias("epoch"),
+        F.round(F.lit(1e-3) * F.pow(F.lit(0.99), F.col("id")), 12).alias("lr"),
+    )
+
+
+M5_SQL = """
+SELECT epoch, round(0.001 * pow(0.99, epoch), 12) AS lr
+FROM (SELECT unnest(generate_series(0, 24)) AS epoch)
+"""
+
+
+MLOPS_QUERIES: list[QuerySpec] = [
+    QuerySpec("m7_fft_mag", m7_fft_mag, M7_SQL,
+              "M7 FFT magnitude via Arrow pandas_udf; oracle = naive DFT "
+              "(calculations.py:160-172)"),
+    QuerySpec("m6_reconstruction_error", m6_reconstruction_error, M6_SQL,
+              "M6 autoencoder scoring; oracle = SQL-literal forward pass "
+              "(trainer.py:179-188)"),
+    QuerySpec("m3_ae_train_loss", m3_ae_train_loss, None,
+              "M3 dense AE local training losses (autoencoder.py:75-126)"),
+    QuerySpec("m9_fedavg_weights", m9_fedavg_weights, None,
+              "M9 two FedAvg rounds, final averaged weights "
+              "(aggregation.py:75-84)"),
+    QuerySpec("m8_grid_search", m8_grid_search, None,
+              "M8 hyperparameter grid via parallel applyInPandas trials "
+              "(trainer.py:104-146)"),
+    QuerySpec("a5_fedavg_mean", a5_fedavg_mean, A5_SQL,
+              "A5 element-wise weight mean as hash agg (aggregation.py:75-84)"),
+    QuerySpec("m5_lr_decay", m5_lr_decay, M5_SQL,
+              "M5 multiplicative LR decay schedule (lr_scheduler.py:5-6)"),
+]
