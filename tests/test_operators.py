@@ -1,0 +1,148 @@
+"""Operator unit tests vs hand-computed / pandas-computed expectations:
+threshold, crossing, islands, rolling, fedavg long-form roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.ml import autoencoder as ae
+from anomaly_detection_iiot_spark.ml import fedavg
+from anomaly_detection_iiot_spark.operators import (
+    crossing,
+    rolling,
+    sessionize,
+    threshold,
+)
+
+
+def test_fit_threshold_uses_sample_std(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(pd.DataFrame({"k": "a", "v": vals}))
+    got = threshold.fit_threshold(df, "v", n_std=4.0, keys=["k"]).collect()[0]
+    s = pd.Series(vals)
+    assert got.threshold == pytest.approx(s.mean() + 4.0 * s.std(ddof=1))
+
+
+def test_first_crossing_sentinel_and_value(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 4,
+            "sample_idx": list(range(4)) * 2,
+            "v": [0.1, 0.2, 5.0, 6.0, 0.1, 0.2, 0.3, 0.4],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: r.first_anomaly_idx
+        for r in crossing.first_crossing(df, "v", 1.0, keys=["k"]).collect()
+    }
+    assert got == {"a": 2, "b": 0}  # b: sentinel 0 = no anomaly
+
+
+def test_mark_until_failure(spark):
+    pdf = pd.DataFrame({"sample_idx": range(5), "first": [2] * 5})
+    df = spark.createDataFrame(pdf)
+    got = (
+        crossing.mark_until_failure(df, "first")
+        .orderBy("sample_idx")
+        .collect()
+    )
+    assert [r.is_anomaly for r in got] == [0, 0, 1, 1, 1]
+
+
+def test_islands(spark):
+    idxs = [1, 2, 3, 7, 8, 15]
+    df = spark.createDataFrame(pd.DataFrame({"sample_idx": idxs}))
+    got = sorted(
+        (r.island_start, r.island_end, r.island_len)
+        for r in sessionize.islands(df).collect()
+    )
+    assert got == [(1, 3, 3), (7, 8, 2), (15, 15, 1)]
+
+
+def test_sessionize_by_gap(spark):
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+         "2024-01-01 01:10:00", "2024-01-01 01:15:00"]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "event_id": range(4)}))
+    got = (
+        sessionize.sessionize_by_gap(df, gap_seconds=1800, tiebreak_col="event_id")
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.session_id for r in got] == [1, 1, 2, 2]
+
+
+def test_rolling_min_matches_pandas(spark):
+    vals = [5.0, 3.0, 4.0, 1.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"sample_idx": range(len(vals)), "v": vals})
+    )
+    got = rolling.rolling_min(df, "v", window=3).orderBy("sample_idx").collect()
+    # pandas rolling(3).min() yields NaN for the first 2; ours uses the
+    # partial window (min of available rows) like rolling(3, min_periods=1)
+    expected = pd.Series(vals).rolling(3, min_periods=1).min().tolist()
+    assert [r.rolling_min for r in got] == expected
+
+
+def test_lag_shift_head_fill(spark):
+    vals = [float(i) for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"sample_idx": range(6), "v": vals})
+    )
+    got = rolling.lag_shift(df, "v", offset=2).orderBy("sample_idx").collect()
+    # reference: concat([v[:2], v[:-2]])
+    assert [r.shifted for r in got] == [0.0, 1.0, 0.0, 1.0, 2.0, 3.0]
+
+
+def test_certainty_accumulation(spark):
+    pdf = pd.DataFrame(
+        {"sample_idx": range(4), "mse": [1.0, 3.0, 2.0, 5.0], "thr": 2.0}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling.certainty_accumulation(df, "mse", "thr")
+        .orderBy("sample_idx")
+        .collect()
+    )
+    expected = np.cumsum(np.clip(np.array([1, 3, 2, 5.0]) - 2.0, 0, None) / 2.0)
+    assert [r.certainty for r in got] == pytest.approx(expected.tolist())
+
+
+def test_weights_roundtrip():
+    w = ae.init_weights([6, 4, 2, 4, 6], seed=3)
+    rows = fedavg.weights_to_rows(0, w)
+    back = fedavg.rows_to_weights(rows.to_dict("records"), [6, 4, 2, 4, 6])
+    for (Wa, ba), (Wb, bb) in zip(w, back):
+        np.testing.assert_array_equal(Wa, Wb)
+        np.testing.assert_array_equal(ba, bb)
+
+
+def test_fedavg_mean_of_identical_clients_is_identity(spark):
+    """A5 property: averaging identical client weights returns them."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(8, 6)).tolist()
+    pdf = pd.DataFrame(
+        {
+            "client_id": [0] * 4 + [1] * 4,
+            "user_id": list(range(4)) * 2,
+            "window_idx": 0,
+            "window": X[:4] + X[:4],  # both clients see identical data
+        }
+    )
+    wins = spark.createDataFrame(pdf)
+    sizes = [6, 4, 2, 4, 6]
+    w0 = ae.init_weights(sizes, seed=12)
+    averaged = fedavg.rows_to_weights(
+        fedavg.fedavg_round(wins, w0, epochs=1, lr=1e-3).collect(), sizes
+    )
+    local, _ = ae.train(
+        np.asarray(X[:4]), w0, epochs=1, lr=1e-3
+    )
+    for (Wa, ba), (Wb, bb) in zip(averaged, local):
+        np.testing.assert_allclose(Wa, Wb, rtol=1e-12)
+        np.testing.assert_allclose(ba, bb, rtol=1e-12)

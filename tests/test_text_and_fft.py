@@ -1,0 +1,105 @@
+"""Dedup/text/FFT kernel tests with hand-computable expectations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.functions.fft import fft_magnitude
+from anomaly_detection_iiot_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_fft_magnitude_matches_numpy(spark):
+    rng = np.random.default_rng(13)
+    wins = [rng.normal(size=16).tolist() for _ in range(5)]
+    df = spark.createDataFrame(pd.DataFrame({"window": wins}))
+    got = df.select(fft_magnitude("window").alias("m")).collect()
+    for row, w in zip(got, wins):
+        np.testing.assert_allclose(
+            np.array(row.m), np.abs(np.fft.fft(np.array(w))), rtol=1e-12
+        )
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    df = _docs(spark, ["alpha beta gamma", "gamma  alpha beta", "alpha beta"])
+    got = [
+        r.fingerprint
+        for r in dedup.fingerprint(df).orderBy("doc_id").collect()
+    ]
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    text = "one two three four five six seven eight"
+    sh = dedup.word_shingles(dedup.tokenize(_docs(spark, [text, text, "x y z a b c"])), n=3)
+    sigs = dedup.minhash_signature(sh, num_hashes=4).orderBy("doc_id").collect()
+    assert [sigs[0][f"h{i}"] for i in range(4)] == [
+        sigs[1][f"h{i}"] for i in range(4)
+    ]
+    assert [sigs[0][f"h{i}"] for i in range(4)] != [
+        sigs[2][f"h{i}"] for i in range(4)
+    ]
+
+
+def test_word_shingles_short_doc_yields_none(spark):
+    sh = dedup.word_shingles(dedup.tokenize(_docs(spark, ["just two"])), n=3)
+    assert sh.count() == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
+    df = _docs(spark, ["a b c d", "a b c"])
+    sh = dedup.word_shingles(dedup.tokenize(df), n=3)
+    got = dedup.ngram_jaccard_pairs(sh, min_jaccard=0.0).collect()
+    assert len(got) == 1
+    assert got[0].jaccard == pytest.approx(0.5)
+    assert got[0].n_common == 1
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, ["same text", "same text", "different"])
+    got = dedup.exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2
+    assert got[0].keeper_id == 0
+
+
+def test_cosine_column_math(spark):
+    a, b = [1.0, 0.0, 2.0], [2.0, 1.0, 0.0]
+    df = spark.createDataFrame(pd.DataFrame({"a": [a], "b": [b]}))
+    got = df.select(
+        similarity.cosine(F.col("a"), F.col("b")).alias("c")
+    ).collect()[0].c
+    expected = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert got == pytest.approx(expected)
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0],
+                ],
+            }
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [0], "qvec": [[1.0, 0.0]]})
+    )
+    got = (
+        similarity.brute_force_topk(corpus, queries, k=2)
+        .orderBy("rk")
+        .collect()
+    )
+    assert [r.cid for r in got] == [1, 2]  # self (vec 0) excluded
