@@ -1,0 +1,172 @@
+"""Structured Streaming tests: streaming results must equal the batch
+computation over the same files (availableNow drains, memory sink)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.ml import autoencoder as ae
+from anomaly_detection_iiot_spark.streaming import fedavg_stream, pipeline
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    """Three parquet files of (ts, user_id, value) — 'arriving' events."""
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    frames = []
+    for f in range(3):
+        ts = [base + pd.Timedelta(seconds=20 * (f * 30 + i)) for i in range(30)]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "ts": ts,
+                    "user_id": [i % 2 for i in range(30)],
+                    "value": rng.normal(size=30),
+                }
+            )
+        )
+    out = tmp_path / "events_stream"
+    out.mkdir()
+    for i, pdf in enumerate(frames):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(out)
+        )
+    full = pd.concat(frames, ignore_index=True)
+    return str(out), full
+
+
+def _drain(sdf, spark, name, mode="append"):
+    q = pipeline.start_to_memory(sdf, name, output_mode=mode).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_periodic_mse_stream_equals_batch(spark, event_files):
+    path, full = event_files
+    schema = "ts timestamp, user_id bigint, value double"
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = pipeline.periodic_mse_stream(stream, period="1 minute")
+    got = _drain(agg, spark, "mse_stream", mode="complete").toPandas()
+
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "1 minute").alias("period"), "user_id")
+        .agg(F.avg(F.col("value") * F.col("value")).alias("mse"),
+             F.count(F.lit(1)).alias("n_samples"))
+        .select(F.col("period.start").alias("period_start"), "user_id",
+                "mse", "n_samples")
+        .toPandas()
+    )
+    key = ["period_start", "user_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, batch_s, check_like=True)
+
+
+def test_anomaly_episodes_stream(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # two bursts separated by an hour -> two session episodes
+    ts = (
+        [base + pd.Timedelta(minutes=m) for m in (0, 1, 2)]
+        + [base + pd.Timedelta(minutes=m) for m in (90, 91)]
+    )
+    pdf = pd.DataFrame({"ts": ts, "user_id": 1, "is_anomaly": 1})
+    src = tmp_path / "flags"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, is_anomaly bigint"
+    ).parquet(str(src))
+    episodes = pipeline.anomaly_episodes_stream(stream, gap="5 minutes")
+    got = (
+        _drain(episodes, spark, "episodes", mode="complete")
+        .orderBy("episode_start")
+        .collect()
+    )
+    assert len(got) == 2
+    assert got[0].n_anomalous == 3
+    assert got[1].n_anomalous == 2
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base, base, base + pd.Timedelta(seconds=1)],
+            "user_id": [1, 1, 1],
+            "value": [5.0, 5.0, 6.0],
+        }
+    )
+    src = tmp_path / "dups"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, value double"
+    ).parquet(str(src))
+    deduped = pipeline.dedup_within_watermark(stream, "ts", ("user_id",))
+    got = _drain(deduped, spark, "deduped", mode="append")
+    assert got.count() == 2  # exact duplicate dropped
+
+
+def test_streaming_scoring_matches_batch(spark, tmp_path):
+    """Stateless M6 scoring UDF produces identical MSEs on a stream."""
+    from anomaly_detection_iiot_spark.ml import scoring
+
+    rng = np.random.default_rng(23)
+    wins = [rng.normal(size=8).tolist() for _ in range(12)]
+    pdf = pd.DataFrame({"window_idx": range(12), "window": wins})
+    src = tmp_path / "wins"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    weights = ae.init_weights([8, 4, 2, 4, 8], seed=31)
+
+    stream = spark.readStream.schema(
+        "window_idx bigint, window array<double>"
+    ).parquet(str(src))
+    scored_stream = scoring.score_windows(stream, weights)
+    got = _drain(scored_stream, spark, "scored", mode="append").toPandas()
+
+    batch = scoring.score_windows(
+        spark.read.parquet(str(src)), weights
+    ).toPandas()
+    merged = got.merge(batch, on="window_idx", suffixes=("_s", "_b"))
+    np.testing.assert_allclose(merged.mse_s, merged.mse_b, rtol=1e-12)
+
+
+def test_streaming_fedavg_runs_rounds(spark, tmp_path):
+    rng = np.random.default_rng(29)
+    wins = [rng.normal(size=8).tolist() for _ in range(16)]
+    pdf = pd.DataFrame(
+        {
+            "client_id": [i % 2 for i in range(16)],
+            "user_id": [i // 2 for i in range(16)],
+            "window_idx": 0,
+            "window": wins,
+        }
+    )
+    src = tmp_path / "fed_wins"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "client_id bigint, user_id bigint, window_idx bigint, window array<double>"
+    ).parquet(str(src))
+    trainer = fedavg_stream.run_streaming_fedavg(
+        stream, [8, 4, 2, 4, 8], str(tmp_path / "ckpt"), lr=1e-3
+    )
+    assert trainer.rounds_run == 1
+    w0 = ae.init_weights([8, 4, 2, 4, 8], seed=7)
+    # weights actually moved
+    assert any(
+        not np.array_equal(Wa, Wb)
+        for (Wa, _), (Wb, _) in zip(trainer.weights, w0)
+    )
+
+
+def test_stream_snapshot_dir(spark, tmp_path):
+    stamps = ["2004.02.12.10.32.39", "2004.02.12.10.33.39"]
+    for stamp in stamps:
+        (tmp_path / stamp).write_text("1.0\t2.0\n3.0\t4.0\n")
+    stream = pipeline.stream_snapshot_dir(spark, str(tmp_path), n_cols=2)
+    got = _drain(stream, spark, "snaps", mode="append")
+    assert got.count() == 4
+    assert got.select("file_ts").distinct().count() == 2
