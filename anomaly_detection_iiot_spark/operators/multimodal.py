@@ -1,0 +1,208 @@
+"""Multimodal (image/audio/video) column plumbing (BASELINE.json north
+star; no reference equivalent).
+
+Design: media are opaque ``binary`` columns plus a typed ``meta``
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` so each task streams batches instead of
+materializing a partition of blobs. Partition by ``media_id`` (or a
+storage bucket of it) and cap
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
+frames fits executor memory at 100 TB.
+
+The actual image/audio codecs are NOT in this container. The codec
+boundary is explicit:
+
+- ``decode_media(df, codec="real")`` raises NotImplementedError — the
+  integration point for PIL/libav when available;
+- ``codec="fake"`` (default here, used by tests) decodes
+  deterministically: the blob bytes are interpreted as uint8 and
+  reshaped per the meta struct — schema, batch shape, and everything
+  downstream (resize, features) is REAL numpy and fully tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("data", BinaryType()),
+        StructField("meta", META_SCHEMA),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("pixels", ArrayType(DoubleType())),
+        StructField("shape", ArrayType(IntegerType())),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("std_byte", DoubleType()),
+        StructField("histogram", ArrayType(LongType())),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table from any text corpus: blob = utf-8
+    bytes, kind round-robins image/audio/video, meta derived from the
+    blob length. Pure column ops — used by tests and the oracle-checked
+    manifest/frame-sample queries."""
+    n_bytes = F.octet_length(F.encode(F.col(text_col), "utf-8"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (n_bytes % 32 + 1).cast("int").alias("width"),
+        F.lit(1).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        (n_bytes % 50 + 10).cast("int").alias("n_frames"),
+        F.lit("raw").alias("format"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("data"),
+        meta.alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode blobs to float pixel/sample arrays via mapInPandas.
+
+    codec="real" is the PIL/libav integration point — NOT available in
+    this container and explicitly stubbed."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio codecs (PIL, libav) are not installed in "
+            "this environment; use codec='fake' (deterministic uint8 "
+            "reinterpretation) — the Spark plumbing is identical"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                raw = np.frombuffer(bytes(r.data), dtype=np.uint8)
+                meta = r.meta
+                w = int(meta["width"]) if meta["width"] else len(raw)
+                usable = (len(raw) // w) * w
+                arr = raw[:usable].astype(np.float64) / 255.0
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "pixels": arr.tolist(),
+                        "shape": [len(raw) // w, w],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA])
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def resize_nearest(df: DataFrame, out_len: int) -> DataFrame:
+    """Nearest-neighbor 1-D resample of decoded pixel arrays to a fixed
+    length (the resize step of an image pipeline, flattened) — real
+    numpy over mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def rs(p):
+                a = np.asarray(p, dtype=np.float64)
+                if len(a) == 0:
+                    return [0.0] * out_len
+                idx = np.floor(np.arange(out_len) * len(a) / out_len).astype(int)
+                return a[idx].tolist()
+
+            pdf = pdf.copy()
+            pdf["pixels"] = pdf["pixels"].map(rs)
+            pdf["shape"] = pdf["shape"].map(lambda s: [1, out_len])
+            yield pdf
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def byte_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-media byte statistics + histogram — the cheap feature
+    extraction used for corpus triage before real model embedding."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = np.frombuffer(bytes(r.data), dtype=np.uint8)
+                hist = np.histogram(raw, bins=n_bins, range=(0, 256))[0]
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "n_bytes": len(raw),
+                        "mean_byte": float(raw.mean()) if len(raw) else 0.0,
+                        "std_byte": float(raw.std()) if len(raw) else 0.0,
+                        "histogram": hist.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 7) -> DataFrame:
+    """Video frame sampling: every k-th frame index from meta.n_frames,
+    exploded to (media_id, frame_idx) — pure JVM sequence/explode, no
+    Python; the decode of sampled frames happens later and touches only
+    the sampled subset."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.n_frames") - 1,
+                    F.lit(every),
+                )
+            ).alias("frame_idx"),
+        )
+    )

@@ -30,5 +30,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from .media import MEDIA_QUERIES
+
+    _ALL.extend(MEDIA_QUERIES)
+except ImportError:
+    pass
+
 REGISTRY: dict[str, QuerySpec] = {q.name: q for q in _ALL}
 assert len(REGISTRY) == len(_ALL), "duplicate query names"
