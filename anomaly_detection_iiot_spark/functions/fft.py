@@ -33,3 +33,10 @@ def fft_magnitude(windows: pd.Series) -> pd.Series:
 
 def with_fft_magnitude(col: str | Column, out: str = "fft_mag") -> Column:
     return fft_magnitude(F.col(col) if isinstance(col, str) else col).alias(out)
+
+
+# Use this variant when the result feeds a Generate (posexplode etc.):
+# deterministic UDFs can be duplicated by projection collapse — the
+# executed plan then carries TWO ArrowEvalPython nodes computing the
+# same FFT. Nondeterministic expressions are never duplicated.
+fft_magnitude_once = fft_magnitude.asNondeterministic()

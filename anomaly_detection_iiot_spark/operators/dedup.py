@@ -98,8 +98,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band value.
-    Returns distinct (doc_a < doc_b) candidate pairs."""
+    """Band the signature, bucket docs sharing any band value, expand
+    each bucket's (doc_a < doc_b) pairs. Returns distinct pairs.
+
+    Deliberately NOT a self-join: a self-join on the banded frame makes
+    Spark compute the whole shingle→minhash pipeline twice (no exchange
+    reuse across the join's two branches). One groupBy(band) +
+    JVM-side array combinatorics computes signatures once and shuffles
+    only (band_key, [ids]) — at 100 TB that is one shuffle of ~|docs| ×
+    n_bands small rows. Skewed buckets (a band key shared by K docs)
+    expand to K²/2 pairs in one task; keep band_size high enough that K
+    stays small, which is also what LSH precision wants."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -115,19 +124,23 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_id", "band.band_key")
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -87,10 +87,36 @@ def window_arrays(
     """Materialize ArrayType window tensors: one row per complete window,
     values ordered by sample_idx. Used to feed the ML kernels (M6/M7).
 
+    Tumbling case (step == size) is a plain hash aggregate — no sort,
+    no per-row array building: groupBy(idx div size) + collect_list of
+    (idx, value) structs sorted JVM-side. The strided case uses
     collect_list over rowsBetween(0, size-1) anchored at rows where
     idx % step == 0; ordering inside the array follows the window's
     ORDER BY idx, which is deterministic given unique idx.
     """
+    if step == size:
+        grouped = (
+            df.groupBy(
+                *keys,
+                (F.col(idx_col) / F.lit(size)).cast("long").alias("window_idx"),
+            )
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(idx_col).alias("i"),
+                            F.col(value_col).alias("v"),
+                        )
+                    )
+                ).alias("__sv")
+            )
+            .filter(F.size("__sv") == size)
+        )
+        return grouped.select(
+            *keys,
+            "window_idx",
+            F.transform("__sv", lambda s: s["v"]).alias(out),
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(idx_col)

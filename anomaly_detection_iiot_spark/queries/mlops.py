@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.fft import fft_magnitude
+from ..functions.fft import fft_magnitude_once
 from ..ml import autoencoder, fedavg, scoring
 from ..operators import windowing
 from .base import QuerySpec, t
@@ -64,7 +64,7 @@ _WIN_SQL = f"""ev AS (
 
 def m7_fft_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = _event_windows(spark, sf_dir)
-    mag = wins.withColumn("mag_arr", fft_magnitude("window"))
+    mag = wins.withColumn("mag_arr", fft_magnitude_once("window"))
     return mag.select(
         "user_id",
         "window_idx",

@@ -67,9 +67,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.word_shingles(
-        dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text")), n=3
+    # The corpus parquet is small-file-dense (one split), but the
+    # shingle explosion + 4×md5-per-shingle downstream is CPU-bound:
+    # repartition by doc_id so the expansion uses every core instead of
+    # inheriting the scan's single partition. Same reasoning at 100 TB:
+    # partition for the CPU of the expansion, not the bytes of the scan.
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    return dedup.word_shingles(dedup.tokenize(docs), n=3)
 
 
 # --- D1: exact dedup (hash-groupBy) ----------------------------------------
@@ -175,7 +181,11 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
 # --- D6: 16-bit SimHash -------------------------------------------------------
 
 def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toked = dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text"))
+    toked = dedup.tokenize(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     tokens = toked.select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
     )
