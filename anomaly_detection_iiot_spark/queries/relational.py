@@ -477,6 +477,55 @@ FROM (
 """
 
 
+# --- A10/A11: hierarchical aggregates (SURVEY §2.3 note: rollup/cube are
+# free in Spark; exposed as first-class engine queries) -----------------------
+
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+A10_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+A11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -508,4 +557,8 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
               "M13 single-sort exact ROC AUC (calculations.py:111-157)"),
     QuerySpec("m13_best_f1", m13_best_f1, M13_BEST_F1_SQL,
               "M13 best-F1 threshold from sweep (calculations.py:120)"),
+    QuerySpec("a10_rollup", a10_rollup, A10_SQL,
+              "hierarchical rollup with grouping flags"),
+    QuerySpec("a11_cube", a11_cube, A11_SQL,
+              "full cube with grouping flags"),
 ]
