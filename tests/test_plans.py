@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcasts, no accidental joins/cartesians) are
+asserted from explain output so refactors can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from anomaly_detection_iiot_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    if mode == "formatted":
+        return qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return qe.executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    # column pruning: the wide lineitem scan must not read join keys we
+    # don't use
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_s1_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d4_has_no_join_at_all(spark, sf_dir):
+    """The LSH rewrite replaced the banded self-join with per-bucket
+    pair expansion — any Join node reappearing means the double
+    pipeline computation is back."""
+    plan = _plan(spark, sf_dir, "d4_lsh_candidates")
+    assert "Join" not in plan
+
+
+def test_m6_single_udf_evaluation(spark, sf_dir):
+    """The scoring UDF must appear exactly once in the physical tree
+    (projection collapse can silently duplicate deterministic UDFs)."""
+    plan = _plan(spark, sf_dir, "m6_reconstruction_error", mode="executed")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_m7_single_udf_evaluation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "m7_fft_mag", mode="executed")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j5_broadcast_dims")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    """The as-of join uses the union + last-over-window formulation —
+    one shuffle by key, no join node (the 100 TB-safe as-of pattern)."""
+    plan = _plan(spark, sf_dir, "j6_asof_join", mode="executed")
+    assert "Join" not in plan
+    assert "Window" in plan
