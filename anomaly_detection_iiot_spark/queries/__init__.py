@@ -37,5 +37,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from .extras import EXTRA_QUERIES
+
+    _ALL.extend(EXTRA_QUERIES)
+except ImportError:
+    pass
+
 REGISTRY: dict[str, QuerySpec] = {q.name: q for q in _ALL}
 assert len(REGISTRY) == len(_ALL), "duplicate query names"

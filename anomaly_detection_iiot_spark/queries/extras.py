@@ -1,0 +1,127 @@
+"""Completeness queries: O3 metric ranking, W4 last-timestep, A6
+summary statistics (oracle-checked) and A12 approximate aggregates
+(rows-only — sketch algorithms differ across engines by design; the
+accuracy contract is asserted in tests/test_extras.py instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import windowing
+from .base import QuerySpec, t
+
+
+# --- O3: sort-by-metric ranking (logger.py:35) -------------------------------
+
+def o3_loss_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.avg(F.col("value") * F.col("value")), 6).alias("mean_sq")
+    )
+    w = Window.orderBy(F.desc("mean_sq"), F.asc("user_id"))
+    return per_user.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+O3_SQL = """
+WITH per_user AS (
+  SELECT user_id, round(avg(value * value), 6) AS mean_sq
+  FROM events GROUP BY 1
+)
+SELECT user_id, mean_sq,
+       row_number() OVER (ORDER BY mean_sq DESC, user_id) AS rk
+FROM per_user
+"""
+
+
+# --- W4: last timestep of each window (baseline.py:132-145) -------------------
+
+def w4_last_timestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    indexed = ev.withColumn("sample_idx", F.row_number().over(idx) - F.lit(1))
+    wins = windowing.window_arrays(
+        indexed, size=16, step=16, idx_col="sample_idx",
+        value_col="value", keys=["user_id"],
+    )
+    return windowing.last_timestep(wins, "window", out="last_step").select(
+        "user_id", "window_idx", F.round("last_step", 6).alias("last_step")
+    )
+
+
+W4_SQL = """
+WITH ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+), win AS (
+  SELECT user_id, rn // 16 AS window_idx, list(value ORDER BY rn) AS v
+  FROM ev GROUP BY 1, 2 HAVING count(*) = 16
+)
+SELECT user_id, window_idx, round(v[-1], 6) AS last_step FROM win
+"""
+
+
+# --- A6: summary statistics (baseline.py:268 describe()) ----------------------
+
+def a6_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_samp("value"), 6).alias("std"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+A6_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS std,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events GROUP BY 1
+"""
+
+
+# --- A12: approximate aggregates (sketches; rows-only) -------------------------
+
+def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + t-digest quantiles next to their exact values,
+    with relative error materialized — the scale substitutes for the
+    reference's full-sort threshold sweep domain (SURVEY §4 note on O2).
+    """
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("distinct_rel_err"),
+        F.round("approx_p50", 6).alias("approx_p50"),
+        F.round("exact_p50", 6).alias("exact_p50"),
+    )
+
+
+EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("o3_loss_ranking", o3_loss_ranking, O3_SQL,
+              "O3 metric ranking sort (logger.py:35)"),
+    QuerySpec("w4_last_timestep", w4_last_timestep, W4_SQL,
+              "W4 last timestep of each window (baseline.py:132-145)"),
+    QuerySpec("a6_summary_stats", a6_summary_stats, A6_SQL,
+              "A6 describe()-style summary statistics (baseline.py:268)"),
+    QuerySpec("a12_approx_aggregates", a12_approx_aggregates, None,
+              "HLL distinct + t-digest quantiles with materialized error"),
+]

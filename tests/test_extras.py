@@ -1,0 +1,96 @@
+"""Accuracy contracts for the approximate aggregates (not
+oracle-checkable: sketch algorithms differ across engines by design)
+and hypothesis property tests promised by SURVEY §5.3."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomaly_detection_iiot_spark.queries.extras import a12_approx_aggregates
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    rows = a12_approx_aggregates(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HLL with default rsd=5%: allow 10% headroom
+        assert r.distinct_rel_err <= 0.10
+        # t-digest with accuracy 10000 on these sizes: near-exact median
+        assert r.approx_p50 == pytest.approx(r.exact_p50, rel=0.05)
+
+
+# --- SURVEY §5.3 property tests (pure math, no Spark session needed) ----------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=60),
+    st.integers(min_value=1, max_value=10),
+)
+def test_resample_linearity(values, factor):
+    """mean-of-chunk-means of a + b == mean-of-chunk-means(a) +
+    mean-of-chunk-means(b) chunk-wise (A1 is linear)."""
+    a = np.array(values)
+    b = a * 2.0 + 1.0
+    def chunk_means(x):
+        n = len(x) // factor * factor
+        if n == 0:
+            return np.array([])
+        return x[:n].reshape(-1, factor).mean(axis=1)
+    np.testing.assert_allclose(
+        chunk_means(a + b), chunk_means(a) + chunk_means(b), atol=1e-9
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(0, 1e3), min_size=3, max_size=80))
+def test_threshold_monotonicity(values):
+    """Raising n_std never flags MORE points (M11 monotone in n_std)."""
+    s = pd.Series(values)
+    mean, std = s.mean(), s.std(ddof=1)
+    if not np.isfinite(std):
+        return
+    flags = [
+        (s > mean + k * std).sum() for k in (0.0, 1.0, 2.0, 4.0)
+    ]
+    assert flags == sorted(flags, reverse=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=2, max_value=6),
+)
+def test_fedavg_mean_of_means_equals_global_mean(n_layers, n_clients):
+    """A5 with equal-weight clients: element-wise mean of client weights
+    == mean over the stacked tensor (FedAvg invariant)."""
+    rng = np.random.default_rng(n_layers * 10 + n_clients)
+    client_weights = [
+        [rng.normal(size=(3, 2)) for _ in range(n_layers)]
+        for _ in range(n_clients)
+    ]
+    for li in range(n_layers):
+        fedavg = np.mean([cw[li] for cw in client_weights], axis=0)
+        stacked = np.stack([cw[li] for cw in client_weights]).mean(axis=0)
+        np.testing.assert_allclose(fedavg, stacked)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=100, unique=True))
+def test_islands_partition_invariant(idxs):
+    """Gaps-and-islands: islands partition the input (lengths sum to n,
+    bounds nest, no overlaps) — pure mirror of the rn-difference trick."""
+    s = sorted(idxs)
+    groups = {}
+    for rn, v in enumerate(s):
+        groups.setdefault(v - rn, []).append(v)
+    islands = [(g[0], g[-1], len(g)) for g in groups.values()]
+    assert sum(n for _, _, n in islands) == len(s)
+    islands.sort()
+    for (s1, e1, _), (s2, _, _) in zip(islands, islands[1:]):
+        assert e1 + 1 < s2  # true gap between consecutive islands
+    for lo, hi, n in islands:
+        assert hi - lo + 1 == n  # contiguous
