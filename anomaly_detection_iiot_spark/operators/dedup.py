@@ -13,6 +13,12 @@ Four tiers, all DataFrame-native and shuffle-conscious:
 - n-gram Jaccard: exact pairwise verification on candidate (or all)
   pairs via a shingle equi-join — the verify step after LSH recall.
 
+Shingles come in two shapes: long form (`word_shingles`, exploded —
+required by the Jaccard equi-join) and array form (`shingle_array`,
+one row per doc — for per-doc reductions like minhash/simhash, where
+exploding |docs|×|shingles| rows into a groupBy just to reduce them
+back to |docs| wastes a full shuffle).
+
 Scale notes: all joins are equi-joins on hash keys (shuffle-hash /
 sort-merge safe, AQE-skew-splittable). The pairwise Jaccard join is
 bounded by LSH candidate generation at 100 TB — never run it unbucketed
@@ -47,6 +53,50 @@ def word_shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.withColumn(out, F.explode(F.array_distinct(grams))).drop(tokens_col)
+
+
+def shingle_array(
+    df: DataFrame, n: int = 3, tokens_col: str = "tokens", out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-grams per row as an ARRAY column — the zero-shuffle
+    sibling of :func:`word_shingles` for consumers that reduce per-doc
+    (minhash, simhash). Keeps one row per document end-to-end instead of
+    exploding to |docs|×|shingles| rows."""
+    grams = F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out, F.array_distinct(grams)).drop(tokens_col)
+
+
+def minhash_signature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Array-native minwise signature: ``h_i = array_min(md5(seed_i || s))``
+    over the per-doc shingle array. Computes the exact same values as
+    :func:`minhash_signature` over :func:`word_shingles` output, but with
+    ZERO shuffle — no explode, no groupBy; pure whole-stage-codegen
+    projections. At 100 TB this is the path: the exploded form shuffles
+    |docs|×|shingles| rows into an aggregate just to reduce them straight
+    back to |docs|. Docs with no shingles are dropped (parity with the
+    exploded form, where they produce no rows)."""
+    # NB: factory, not `lambda s, i=i` — pyspark dispatches on lambda
+    # arity, and a two-parameter lambda would receive the array INDEX
+    # as its second argument
+    def _seeded(i):
+        return lambda s: F.md5(F.concat(F.lit(f"seed{i}:"), s))
+
+    sigs = [
+        F.array_min(F.transform(shingles_col, _seeded(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return df.filter(F.size(shingles_col) > 0).select(F.col(id_col), *sigs)
 
 
 def exact_duplicates(

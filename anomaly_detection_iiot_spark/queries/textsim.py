@@ -66,16 +66,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents")
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus parquet is small-file-dense (one split), but the
-    # shingle explosion + 4×md5-per-shingle downstream is CPU-bound:
+    # shingle expansion + md5-per-shingle downstream is CPU-bound:
     # repartition by doc_id so the expansion uses every core instead of
     # inheriting the scan's single partition. Same reasoning at 100 TB:
     # partition for the CPU of the expansion, not the bytes of the scan.
-    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(
+    return _docs(spark, sf_dir).select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    return dedup.word_shingles(dedup.tokenize(docs), n=3)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.word_shingles(
+        dedup.tokenize(_spread_docs(spark, sf_dir)), n=3
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array-native: one row per doc throughout, zero shuffle after the
+    # CPU-spreading repartition (vs explode → groupBy in the long form)
+    return dedup.minhash_signature_arrays(
+        dedup.shingle_array(dedup.tokenize(_spread_docs(spark, sf_dir)), n=3),
+        num_hashes=4,
+    )
 
 
 # --- D1: exact dedup (hash-groupBy) ----------------------------------------
@@ -126,7 +140,7 @@ FROM toks GROUP BY 1 HAVING count(*) > 1
 # --- D3: minhash signatures --------------------------------------------------
 
 def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signature(_shingled(spark, sf_dir), num_hashes=4)
+    return _signatures(spark, sf_dir)
 
 
 D3_SQL = f"WITH {_SIG} SELECT * FROM sig"
@@ -135,7 +149,7 @@ D3_SQL = f"WITH {_SIG} SELECT * FROM sig"
 # --- D4: LSH banding -> candidate pairs --------------------------------------
 
 def d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup.minhash_signature(_shingled(spark, sf_dir), num_hashes=4)
+    sig = _signatures(spark, sf_dir)
     return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
 
 
@@ -181,39 +195,34 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
 # --- D6: 16-bit SimHash -------------------------------------------------------
 
 def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toked = dedup.tokenize(
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Array-native: one row per doc end-to-end, zero shuffle (the long
+    # form exploded |docs|×|tokens| rows into a 16-sum groupBy only to
+    # reduce them straight back to |docs|). md5 is computed ONCE per
+    # distinct token; the 16 per-bit vote walks reuse the hashed array.
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    # first 4 hex chars of md5(tok) -> one 16-bit value per token; nibble
+    # c = hex char c+1, so token bit j (= nibble j//4, bit j%4) is value
+    # bit 4*(3 - j//4) + j%4
+    hv = F.transform(
+        F.array_distinct("tokens"),
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int"),
     )
-    tokens = toked.select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
-    )
-    # 4 hex chars of md5(tok) -> 16 bits; per-bit +1/-1 vote, sign -> bit
-    hv = tokens.select(
+    hashed = toked.select("doc_id", hv.alias("hv")).filter(F.size("hv") > 0)
+
+    # factory, not a default-arg lambda: pyspark dispatches on lambda
+    # arity, so extra parameters would be fed lambda-variable Columns
+    def _vote(j):
+        shift = 4 * (3 - j // 4) + j % 4
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = hashed.select(
         "doc_id",
         *[
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.md5("tok"), c + 1, 1),
-                )
-                - 1
-            ).alias(f"v{c}")
-            for c in range(4)
-        ],
-    )
-    votes = hv.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"s{j}")
+            F.aggregate("hv", F.lit(0), _vote(j)).alias(f"s{j}")
             for j in range(16)
-        ]
+        ],
     )
     bits = [
         F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
