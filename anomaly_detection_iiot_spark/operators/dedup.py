@@ -72,31 +72,71 @@ def shingle_array(
     return df.withColumn(out, F.array_distinct(grams)).drop(tokens_col)
 
 
+def _digest_expr(s, n_digests: int):
+    """32·n_digests lowercase-hex chars per shingle: md5(s) for the first
+    128 bits, md5("seed<j>:"+s) for each further 128. One md5 call covers
+    FOUR 32-bit minhash slots — hashing is the dominant cost of minhash at
+    scale, so slicing one digest beats four seeded digests 4×."""
+    parts = [F.md5(s)] + [
+        F.md5(F.concat(F.lit(f"seed{j}:"), s)) for j in range(1, n_digests)
+    ]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
 def minhash_signature_arrays(
     df: DataFrame,
     id_col: str = "doc_id",
     shingles_col: str = "shingles",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Array-native minwise signature: ``h_i = array_min(md5(seed_i || s))``
-    over the per-doc shingle array. Computes the exact same values as
+    """Array-native minwise signature over the per-doc shingle array:
+    ``h_i = array_min(slice_i(digest(s)))`` where slice_i is the i-th
+    8-hex-char (32-bit) window of the shingle digest. Fixed-length
+    lowercase hex compares lexicographically == numerically, so a string
+    min over a slice is a valid minwise hash. Same values as
     :func:`minhash_signature` over :func:`word_shingles` output, but with
-    ZERO shuffle — no explode, no groupBy; pure whole-stage-codegen
-    projections. At 100 TB this is the path: the exploded form shuffles
-    |docs|×|shingles| rows into an aggregate just to reduce them straight
-    back to |docs|. Docs with no shingles are dropped (parity with the
-    exploded form, where they produce no rows)."""
-    # NB: factory, not `lambda s, i=i` — pyspark dispatches on lambda
+    ZERO shuffle — no explode, no groupBy; pure per-row projections. At
+    100 TB this is the path: the exploded form shuffles |docs|×|shingles|
+    rows into an aggregate just to reduce them straight back to |docs|.
+    Docs with no shingles are dropped (parity with the exploded form,
+    where they produce no rows).
+
+    The digest array is materialized in its own projection and referenced
+    by all num_hashes mins: CollapseProject only inlines cheap/single-use
+    aliases, so md5 runs once per shingle, not once per (shingle, hash).
+
+    The no-shingle drop is expressed as ``h0 IS NOT NULL OR _b < -1``
+    where ``_b`` is a materialized ``rand()`` column in the signature
+    projection. The always-false disjunct referencing a nondeterministic
+    projected column makes the filter non-pushable (pushdown through a
+    Project requires every projected field deterministic): otherwise
+    PushPredicateThroughNonJoin substitutes the whole tokenize→shingle→
+    digest pipeline into the predicate and pushes it below the caller's
+    repartition — re-evaluating the pipeline a second time on the
+    PRE-shuffle side, i.e. on however few splits the scan has (a small
+    corpus file is ONE split: the pushed filter alone then costs more
+    than the whole query, measured 3.3s vs 0.4s at sf0.1). An inline
+    ``rand() < -1`` disjunct does NOT survive: the optimizer reduces the
+    Or to its deterministic branch before pushing."""
+    n_digests = (num_hashes + 3) // 4
+    digests = F.transform(shingles_col, lambda s: _digest_expr(s, n_digests))
+
+    # NB: factory, not `lambda d, i=i` — pyspark dispatches on lambda
     # arity, and a two-parameter lambda would receive the array INDEX
     # as its second argument
-    def _seeded(i):
-        return lambda s: F.md5(F.concat(F.lit(f"seed{i}:"), s))
+    def _slice(i):
+        return lambda d: F.substring(d, 8 * i + 1, 8)
 
     sigs = [
-        F.array_min(F.transform(shingles_col, _seeded(i))).alias(f"h{i}")
+        F.array_min(F.transform("_digests", _slice(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return df.filter(F.size(shingles_col) > 0).select(F.col(id_col), *sigs)
+    return (
+        df.withColumn("_digests", digests)
+        .select(F.col(id_col), *sigs, F.rand().alias("_b"))
+        .filter(F.col("h0").isNotNull() | (F.col("_b") < -1.0))
+        .drop("_b")
+    )
 
 
 def exact_duplicates(
@@ -132,11 +172,16 @@ def minhash_signature(
     shingle_col: str = "shingle",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """One row per doc with columns h0..h{k-1}: min over shingles of
-    md5(seed || shingle). md5 is a uniform hash, so min-over-set is a
-    valid minwise signature; deterministic across engines."""
+    """One row per doc with columns h0..h{k-1}: min over shingles of the
+    i-th 8-hex-char slice of the shingle digest (see :func:`_digest_expr`
+    — one md5 feeds four hash slots). md5 is a uniform hash and
+    fixed-length lowercase hex sorts numerically, so min-over-set of a
+    slice is a valid minwise signature; deterministic across engines.
+    Same values as :func:`minhash_signature_arrays`."""
+    n_digests = (num_hashes + 3) // 4
+    digest = _digest_expr(F.col(shingle_col), n_digests)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col(shingle_col)))).alias(f"h{i}")
+        F.min(F.substring(digest, 8 * i + 1, 8)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)

@@ -54,10 +54,10 @@ _SHINGLES = _TOKS + r""", pos AS (
 
 _SIG = _SHINGLES + r""", sig AS (
   SELECT doc_id,
-         min(md5('seed0:' || shingle)) AS h0,
-         min(md5('seed1:' || shingle)) AS h1,
-         min(md5('seed2:' || shingle)) AS h2,
-         min(md5('seed3:' || shingle)) AS h3
+         min(substr(md5(shingle), 1, 8)) AS h0,
+         min(substr(md5(shingle), 9, 8)) AS h1,
+         min(substr(md5(shingle), 17, 8)) AS h2,
+         min(substr(md5(shingle), 25, 8)) AS h3
   FROM sh GROUP BY doc_id
 )"""
 

@@ -73,3 +73,36 @@ def test_asof_join_is_window_not_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j6_asof_join", mode="executed")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_d3_no_shingle_filter_below_shuffle(spark, sf_dir):
+    """The h0-not-null drop must stay ABOVE the repartition. If filter
+    pushdown substitutes the signature pipeline into the predicate and
+    sinks it below the exchange, the whole tokenize->shingle->digest
+    chain re-runs on the scan's (few) splits — a ~8x regression on a
+    single-split corpus file (see minhash_signature_arrays)."""
+    df = REGISTRY["d3_minhash_signatures"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    below_exchange = plan.split("RepartitionByExpression", 1)[1]
+    assert "Filter" not in below_exchange
+    # and md5 must be evaluated once, not once per hash slot
+    assert plan.count("md5") == 1
+
+
+def test_minhash_long_and_array_forms_agree(spark, sf_dir):
+    from anomaly_detection_iiot_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    long_form = dedup.minhash_signature(
+        dedup.word_shingles(dedup.tokenize(docs), n=3), num_hashes=4
+    )
+    array_form = dedup.minhash_signature_arrays(
+        dedup.shingle_array(dedup.tokenize(docs), n=3), num_hashes=4
+    )
+    assert (
+        long_form.exceptAll(array_form).count()
+        + array_form.exceptAll(long_form).count()
+        == 0
+    )
