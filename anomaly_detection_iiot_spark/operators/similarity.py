@@ -93,3 +93,59 @@ def ivf_assign(
         .filter(F.col("_rk") == 1)
         .select(corpus["*"], F.col(centroid_id).alias("bucket"))
     )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.15,
+) -> DataFrame:
+    """All same-block vector pairs with cosine >= min_cosine, via a
+    per-block numpy gram matrix (``applyInPandas``).
+
+    The naive formulation — self-join on the block key, then a
+    higher-order-function cosine per pair — evaluates an interpreted
+    64-element fold 3x per pair: O(|block|^2) lambda dispatches (5.9s
+    for 200k pairs at sf0.1). Grouping the block to one Arrow batch and
+    computing U @ U.T vectorizes the same arithmetic (0.5s). This is
+    also the 100 TB shape: one shuffle of N rows by block key, O(b^2)
+    SIMD flops per block, and no |pairs|-row join materialization in
+    the plan. Block size must be bounded upstream (that is the job of
+    the blocking key: label here, LSH band/IVF cell for open-domain
+    corpora) — a pathological block makes one task O(b^2); AQE cannot
+    split a groupBy-applyInPandas group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"vec_a long, vec_b long, {block_col} long, cosine double"
+    )
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], block_col: [], "cosine": []}
+            )
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        G = U @ U.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = G[ia, ib] >= min_cosine
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                block_col: pdf[block_col].iloc[0],
+                "cosine": np.round(G[ia, ib], 6),
+            }
+        )
+
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        gram, out_schema
+    )

@@ -261,26 +261,12 @@ SELECT doc_id, CAST({_D6_COMBINE} AS BIGINT) AS simhash16 FROM votes
 # --- D7: embedding-cosine near-dup (label-blocked pairs) ---------------------
 
 def d7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label-blocked gram matrix (numpy per block) — NOT a self-join with
+    # a per-pair HOF cosine, which pays 3 interpreted 64-element folds
+    # per pair (~12x slower at sf0.1; see blocked_neardup_pairs)
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    a, b = e.alias("a"), e.alias("b")
-    cos = similarity.cosine(
-        similarity.as_double(F.col("a.embedding")),
-        similarity.as_double(F.col("b.embedding")),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.15)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").cast("bigint").alias("label"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+    return similarity.blocked_neardup_pairs(
+        e, block_col="label", min_cosine=0.15
     )
 
 

@@ -103,3 +103,20 @@ def test_brute_force_topk_ranks_by_cosine(spark):
         .collect()
     )
     assert [r.cid for r in got] == [1, 2]  # self (vec 0) excluded
+
+
+def test_blocked_neardup_pairs(spark):
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], 7),
+        (2, [1.0, 0.01], 7),   # ~same direction as 1
+        (3, [-1.0, 0.0], 7),   # opposite
+        (4, [1.0, 0.0], 8),    # different block: never paired with 1-3
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = similarity.blocked_neardup_pairs(df, min_cosine=0.5).collect()
+    assert [(r.vec_a, r.vec_b, r.label) for r in got] == [(1, 2, 7)]
+    assert got[0].cosine == pytest.approx(1.0, abs=1e-3)
