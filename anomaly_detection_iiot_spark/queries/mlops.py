@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fft import fft_magnitude_once
-from ..ml import autoencoder, fedavg, scoring
+from ..ml import autoencoder, fedavg, lstm, scoring
 from ..operators import windowing
 from .base import QuerySpec, t
 
@@ -174,6 +174,40 @@ def m3_ae_train_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M2/M4: seq2seq LSTM autoencoder local training (rows-only) --------------
+
+def m2_lstm_train_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client LSTM-AE training loss curves — the reference's main
+    model (autoencoder.py:12-72) trained exactly as its federated
+    clients train: independently per client inside one Spark task
+    (SURVEY §7.4: at scale the parallelism axis is clients × windows,
+    not within-model). Windows reshape to (N, T, 1) sequences."""
+    wins = _event_windows(spark, sf_dir).withColumn(
+        "client_id", F.col("user_id") % 4
+    )
+    params0 = lstm.init_params(
+        input_dim=1, timesteps=WIN, outer_size=8, hidden_size=4, seed=SEED
+    )
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "window_idx"], kind="mergesort")
+        X = np.stack(
+            [np.asarray(w, dtype=np.float64) for w in pdf["window"]]
+        )[:, :, None]
+        _, losses = lstm.train(X, params0, epochs=2, lr=5e-4, batch_size=64)
+        return pd.DataFrame(
+            {
+                "client_id": int(key[0]),
+                "epoch": range(len(losses)),
+                "loss": [round(ls, 6) for ls in losses],
+            }
+        )
+
+    return wins.groupBy("client_id").applyInPandas(
+        fn, "client_id bigint, epoch int, loss double"
+    )
+
+
 # --- M9/A5: FedAvg final-round averaged weights (rows-only; iterative) --------
 
 def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +312,10 @@ MLOPS_QUERIES: list[QuerySpec] = [
               "(trainer.py:179-188)"),
     QuerySpec("m3_ae_train_loss", m3_ae_train_loss, None,
               "M3 dense AE local training losses (autoencoder.py:75-126)"),
+    QuerySpec("m2_lstm_train_loss", m2_lstm_train_loss, None,
+              "M2 seq2seq LSTM AE per-client training losses "
+              "(autoencoder.py:12-72); M4 is the same kernel, bigger "
+              "layers (baseline.py:197-229)"),
     QuerySpec("m9_fedavg_weights", m9_fedavg_weights, None,
               "M9 two FedAvg rounds, final averaged weights "
               "(aggregation.py:75-84)"),
