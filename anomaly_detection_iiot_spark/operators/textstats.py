@@ -28,6 +28,30 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
     return df.withColumn(out, F.size(_tokens(text_col)).cast("bigint"))
 
 
+# GPT-2-style pre-tokenizer, simplified to explicit ASCII classes so the
+# Java regex engine (Spark) and RE2 (DuckDB oracle) agree character-for-
+# character: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+BPE_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Subword-style token count: number of BPE pre-tokenizer matches,
+    excluding pure-whitespace matches (those never become tokens). This
+    is the 'how many tokens will the LLM see' estimator of data
+    pipelines — a pure JVM regexp, no tokenizer library."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    return df.withColumn(
+        out,
+        F.size(F.filter(pieces, lambda p: p.rlike(r"\S"))).cast("bigint"),
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword ratios — the standard cheap
     quality filters of LLM-data pipelines."""

@@ -393,16 +393,26 @@ WHERE rk <= 5
 # --- T1: token counting -------------------------------------------------------
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_count(_docs(spark, sf_dir)).select(
+    counted = textstats.bpe_token_count(
+        textstats.token_count(_docs(spark, sf_dir))
+    )
+    return counted.select(
         "doc_id",
         "n_tokens",
+        "n_bpe_tokens",
         F.length("text").cast("bigint").alias("n_chars_txt"),
     )
 
 
+_BPE_RE_SQL = textstats.BPE_SPLIT_RE.replace("'", "''")
+
 T1_SQL = rf"""
 WITH {_TOKS}
 SELECT d.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(
+              regexp_extract_all(d.text,
+                '{_BPE_RE_SQL}'),
+              p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
        CAST(length(d.text) AS BIGINT) AS n_chars_txt
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 """

@@ -120,3 +120,16 @@ def test_blocked_neardup_pairs(spark):
     got = similarity.blocked_neardup_pairs(df, min_cosine=0.5).collect()
     assert [(r.vec_a, r.vec_b, r.label) for r in got] == [(1, 2, 7)]
     assert got[0].cosine == pytest.approx(1.0, abs=1e-3)
+
+
+def test_bpe_token_count(spark):
+    from anomaly_detection_iiot_spark.operators import textstats
+
+    df = _docs(spark, ["I don't like 42 bugs!!", ""])
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textstats.bpe_token_count(df).collect()
+    }
+    # I | don | 't | like | 42 | bugs | !!
+    assert got[0] == 7
+    assert got[1] == 0
