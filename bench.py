@@ -44,6 +44,10 @@ HEADLINE = [
     "t3_language_id",
     "m6_reconstruction_error",
     "m7_fft_mag",
+    # training path — BASELINE.md's published numbers are training
+    # runtimes, so the bench shows ours at the same data scale
+    "m2_lstm_train_loss",
+    "m3_ae_train_loss",
 ]
 
 
