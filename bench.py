@@ -72,21 +72,18 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # min of 2 runs per query (3rd run when the first two disagree >2x):
-    # this host shows bursty hypervisor CPU steal (cumulative steal in
-    # /proc/stat), which can inflate any single run ~10x — and sometimes
-    # both of two back-to-back runs. The min across agreeing runs is the
-    # steady-state number.
+    # min of 3 runs per query: run 1 often pays query-shape-specific
+    # warmup (codegen, exchange reuse), and this host shows bursty
+    # hypervisor CPU steal (cumulative steal in /proc/stat) that can
+    # inflate any single run ~10x. The min is the steady-state number.
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs: list[float] = []
-        for attempt in range(3):
+        for _ in range(3):
             t0 = time.time()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
-            if attempt == 1 and max(runs) <= 2 * min(runs):
-                break
         times[name] = round(min(runs), 3)
 
     total = round(sum(times.values()), 3)
