@@ -119,3 +119,70 @@ def test_m2_query_runs(spark, sf_dir):
             range(len(cr))
         )
         assert all(r.loss is not None and r.loss >= 0 for r in cr)
+
+
+def test_lstm_fedavg_round_distributed(spark):
+    """One federated round with the LSTM kernel, clients = Spark groups:
+    local train inside applyInPandas, weights exchanged as long-form
+    (tensor_idx, pos, w) rows, A5 mean = groupBy average — the
+    reference's federated topology (training.py:49-84) with its real
+    model instead of the dense stand-in."""
+    import pandas as pd
+
+    T, D = 6, 1
+    params0 = lstm.init_params(D, T, outer_size=4, hidden_size=2, seed=3)
+    flat0 = lstm.flatten(params0)
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (int(c), i, [float(x) for x in rng.normal(size=T)])
+        for c in (0, 1)
+        for i in range(8)
+    ]
+    wins = spark.createDataFrame(
+        rows, "client_id long, window_idx long, window array<double>"
+    )
+
+    def local(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("window_idx", kind="mergesort")
+        X = np.stack([np.asarray(w) for w in pdf["window"]])[:, :, None]
+        trained, _ = lstm.train(X, params0, epochs=1, lr=5e-4)
+        flat = lstm.flatten(trained)
+        return pd.DataFrame(
+            {
+                "client_id": int(key[0]),
+                "tensor_idx": np.concatenate(
+                    [np.full(a.size, i) for i, a in enumerate(flat)]
+                ),
+                "pos": np.concatenate([np.arange(a.size) for a in flat]),
+                "w": np.concatenate([a.ravel() for a in flat]),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    averaged = (
+        wins.groupBy("client_id")
+        .applyInPandas(local, "client_id long, tensor_idx long, pos long, w double")
+        .groupBy("tensor_idx", "pos")
+        .agg(F.avg("w").alias("w"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 2 for r in averaged)
+    assert len(averaged) == sum(a.size for a in flat0)
+
+    # reassemble and check: same shapes, actually moved from init
+    by_tensor = {}
+    for r in averaged:
+        by_tensor.setdefault(r.tensor_idx, {})[r.pos] = r.w
+    reassembled = [
+        np.array([vals[p] for p in range(len(vals))]).reshape(flat0[i].shape)
+        for i, vals in sorted(by_tensor.items())
+    ]
+    moved = any(
+        not np.allclose(a, b) for a, b in zip(reassembled, flat0)
+    )
+    assert moved
+    avg_params = lstm.unflatten(reassembled, params0)
+    mse = lstm.reconstruction_mse(np.zeros((2, T, D)), avg_params)
+    assert mse.shape == (2,)
