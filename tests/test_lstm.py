@@ -143,7 +143,7 @@ def test_lstm_fedavg_round_distributed(spark):
         rows, "client_id long, window_idx long, window array<double>"
     )
 
-    def local(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def local(key, pdf):
         pdf = pdf.sort_values("window_idx", kind="mergesort")
         X = np.stack([np.asarray(w) for w in pdf["window"]])[:, :, None]
         trained, _ = lstm.train(X, params0, epochs=1, lr=5e-4)
