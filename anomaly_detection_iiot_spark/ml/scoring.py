@@ -37,3 +37,31 @@ def score_windows(
         return pd.Series(reconstruction_mse(X, frozen))
 
     return df.withColumn(out, _mse(F.col(window_col)))
+
+
+def score_windows_lstm(
+    df: DataFrame,
+    params,
+    window_col: str = "window",
+    out: str = "mse",
+) -> DataFrame:
+    """LSTM-side M6: per-window seq2seq reconstruction error. Same
+    stateless Arrow-batch shape as :func:`score_windows` — the params
+    ride the task closure, windows reshape to (N, T, 1) — so it drops
+    into BOTH batch plans and Structured Streaming stages unchanged
+    (stateless projections need no watermark or state store)."""
+    from .lstm import clone as lstm_clone
+    from .lstm import reconstruction_mse as lstm_mse
+
+    frozen = lstm_clone(params)
+
+    @F.pandas_udf("double")
+    def _mse(wins: pd.Series) -> pd.Series:
+        if len(wins) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack([np.asarray(w, dtype=np.float64) for w in wins])[
+            :, :, None
+        ]
+        return pd.Series(lstm_mse(X, frozen))
+
+    return df.withColumn(out, _mse(F.col(window_col)))

@@ -208,6 +208,24 @@ def m2_lstm_train_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M6 (LSTM side): seq2seq reconstruction scoring (rows-only) --------------
+
+_M2_PARAMS = lstm.init_params(
+    input_dim=1, timesteps=WIN, outer_size=8, hidden_size=4, seed=SEED
+)
+
+
+def m6_lstm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless LSTM reconstruction scoring over event windows — the
+    same Arrow-batch UDF drops into streaming unchanged (tested in
+    tests/test_streaming.py). rows-only: a seq2seq LSTM forward pass is
+    not reasonably SQL-expressible."""
+    wins = _event_windows(spark, sf_dir)
+    return scoring.score_windows_lstm(wins, _M2_PARAMS).select(
+        "user_id", "window_idx", F.round("mse", 6).alias("mse")
+    )
+
+
 # --- M9/A5: FedAvg final-round averaged weights (rows-only; iterative) --------
 
 def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +334,9 @@ MLOPS_QUERIES: list[QuerySpec] = [
               "M2 seq2seq LSTM AE per-client training losses "
               "(autoencoder.py:12-72); M4 is the same kernel, bigger "
               "layers (baseline.py:197-229)"),
+    QuerySpec("m6_lstm_scores", m6_lstm_scores, None,
+              "M6 LSTM-side reconstruction scoring (trainer.py:179-188 "
+              "with the real model); stateless, streaming-ready"),
     QuerySpec("m9_fedavg_weights", m9_fedavg_weights, None,
               "M9 two FedAvg rounds, final averaged weights "
               "(aggregation.py:75-84)"),

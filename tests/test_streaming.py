@@ -170,3 +170,31 @@ def test_stream_snapshot_dir(spark, tmp_path):
     got = _drain(stream, spark, "snaps", mode="append")
     assert got.count() == 4
     assert got.select("file_ts").distinct().count() == 2
+
+
+def test_streaming_lstm_scoring_matches_batch(spark, tmp_path):
+    """The LSTM scoring UDF (M6 with the reference's real model) is a
+    stateless projection: identical MSEs streaming vs batch."""
+    from anomaly_detection_iiot_spark.ml import lstm, scoring
+
+    rng = np.random.default_rng(29)
+    wins = [rng.normal(size=8).tolist() for _ in range(10)]
+    pdf = pd.DataFrame({"window_idx": range(10), "window": wins})
+    src = tmp_path / "lstm_wins"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    params = lstm.init_params(1, 8, outer_size=4, hidden_size=2, seed=17)
+
+    stream = spark.readStream.schema(
+        "window_idx bigint, window array<double>"
+    ).parquet(str(src))
+    got = _drain(
+        scoring.score_windows_lstm(stream, params), spark, "lstm_scored",
+        mode="append",
+    ).toPandas()
+    batch = scoring.score_windows_lstm(
+        spark.read.parquet(str(src)), params
+    ).toPandas()
+    merged = got.merge(batch, on="window_idx", suffixes=("_s", "_b"))
+    assert len(merged) == 10
+    np.testing.assert_allclose(merged.mse_s, merged.mse_b, rtol=1e-12)
+    assert (merged.mse_s >= 0).all()
