@@ -1,0 +1,56 @@
+"""M8 random search + M10 transfer learning (VERDICT r1 items 3-4)."""
+
+from __future__ import annotations
+
+from anomaly_detection_iiot_spark.queries.mlops import (
+    m3_ae_train_loss,
+    m8_random_search,
+    m10_transfer_loss,
+    sample_search_space,
+)
+
+
+def test_sample_search_space_seeded_and_deduped():
+    a = sample_search_space(seed=101, n_trials=6)
+    b = sample_search_space(seed=101, n_trials=6)
+    assert a == b  # same seed -> identical trials
+    cfgs = [(t["lr"], t["outer"], t["depth"]) for t in a]
+    assert len(set(cfgs)) == len(cfgs)  # duplicate draws skipped
+    assert sample_search_space(seed=202, n_trials=6) != a  # seed matters
+    for trial in a:
+        sizes = trial["sizes"]
+        # reference geometric-shrink shape: win .. desc .. hidden .. asc .. win
+        assert sizes[0] == sizes[-1] == 16
+        mid = len(sizes) // 2
+        assert sizes[mid] == 4
+        assert sizes[1 : mid + 1] == sorted(sizes[1 : mid + 1], reverse=True)
+
+
+def test_m8_best_config_stable_under_seed(spark, sf_dir):
+    first = m8_random_search(spark, sf_dir).orderBy("rk").collect()
+    second = m8_random_search(spark, sf_dir).orderBy("rk").collect()
+    assert [r.asDict() for r in first] == [r.asDict() for r in second]
+    assert first[0].rk == 1
+    losses = [r.val_loss for r in first]
+    assert losses == sorted(losses)
+
+
+def test_m10_transfer_property(spark, sf_dir):
+    base = {
+        (r.client_id, r.epoch): r.loss
+        for r in m3_ae_train_loss(spark, sf_dir).collect()
+    }
+    transfer = {
+        (r.client_id, r.epoch): r.loss
+        for r in m10_transfer_loss(spark, sf_dir).collect()
+    }
+    epochs = sorted({e for (_, e) in base})
+    # clients 1-3 unchanged vs the non-transfer run
+    for c in (1, 2, 3):
+        for e in epochs:
+            assert transfer[(c, e)] == base[(c, e)]
+    # client 0 trains on client 1's windows -> matches client 1's curve,
+    # and differs from its own non-transfer curve
+    for e in epochs:
+        assert transfer[(0, e)] == base[(1, e)]
+    assert any(transfer[(0, e)] != base[(0, e)] for e in epochs)
