@@ -19,8 +19,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PHASE1 = {
+    # F.count(col) (null-ignoring), NOT count(lit(1)): groupBy().agg(
+    # count(col)) skips NULLs, and the avg denominator must count only
+    # non-null measure values for parity with the unsalted aggregate.
     "sum": lambda c: F.sum(c),
-    "count": lambda c: F.count(F.lit(1)),
+    "count": lambda c: F.count(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
 }
@@ -33,11 +36,17 @@ _PHASE2 = {
 
 
 def salt_column(df: DataFrame, salt_buckets: int, keys: list[str]) -> Column:
-    """Deterministic salt: hash of the non-key columns, so re-runs
-    produce identical partials (rand() would also work but breaks
-    replays)."""
-    others = [c for c in df.columns if c not in keys] or keys
-    return F.pmod(F.hash(*others), F.lit(salt_buckets))
+    """Deterministic salt: hash of every column PLUS the input
+    partition id. Hashing row values alone is a no-op for a hot key
+    whose rows are duplicates (the common skew shape — identical
+    non-key values all hash to one bucket); mixing in
+    ``spark_partition_id()`` spreads such rows across as many buckets
+    as there are upstream partitions while staying deterministic for a
+    fixed input partitioning (task retries recompute the same salt,
+    unlike a per-row counter)."""
+    return F.pmod(
+        F.hash(*df.columns, F.spark_partition_id()), F.lit(salt_buckets)
+    )
 
 
 def salted_aggregate(

@@ -93,6 +93,14 @@ def window_arrays(
     collect_list over rowsBetween(0, size-1) anchored at rows where
     idx % step == 0; ordering inside the array follows the window's
     ORDER BY idx, which is deterministic given unique idx.
+
+    PRECONDITION (strided path): ``idx_col`` must be contiguous
+    0,1,2,... per key group — the row-count frame equates "next size
+    rows" with "next size idx values", so an idx gap would silently
+    widen the covered idx range while still passing the size==N filter,
+    diverging from ``assign_window_ids``' idx-range semantics.
+    ``operators/indexing.py`` establishes contiguity at ingestion
+    (row_number per key); keep that invariant upstream of this call.
     """
     if step == size:
         grouped = (

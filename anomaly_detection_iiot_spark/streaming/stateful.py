@@ -63,13 +63,18 @@ def first_crossing_stream(
     ) -> Iterator[pd.DataFrame]:
         fired = state.get[0] == 1 if state.exists else False
         hit = None
+        # A group's micro-batch may arrive as MULTIPLE Arrow chunks with
+        # no cross-chunk ordering; scan them all and keep the min-ts
+        # crossing so a later chunk holding an earlier event still wins
+        # within the batch (across batches, arrival order stands).
         for pdf in pdfs:
-            if fired:
+            if fired and hit is None:
                 continue
             over = pdf[pdf[value_col] > threshold]
             if len(over):
                 first = over.sort_values(ts_col).iloc[0]
-                hit = (int(key[0]), first[ts_col], float(first[value_col]))
+                if hit is None or first[ts_col] < hit[1]:
+                    hit = (int(key[0]), first[ts_col], float(first[value_col]))
                 fired = True
         state.update((1 if fired else 0,))
         if hit is not None:
