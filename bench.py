@@ -51,6 +51,54 @@ HEADLINE = [
 ]
 
 
+def _bearing_snapshot_dir() -> str:
+    """Deterministic synthetic snapshot corpus for the end-to-end
+    bearing pipeline bench (VERDICT r1 item 6): 40 TSV files x 4096
+    rows x 4 channels (~655k samples) in the reference's on-disk layout
+    (timestamp filename, tab-separated, headerless). Generated once and
+    cached under .bench_data/ so per-round bench timings exclude it."""
+    import numpy as np
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_data", "bearing_snapshots_v1",
+    )
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(73)
+    n_files, rows, n_ch = 40, 4096, 4
+    for f in range(n_files):
+        stamp = f"2004.02.12.{10 + f // 60:02d}.{f % 60:02d}.00"
+        cols = rng.normal(0, 1, size=(rows, n_ch))
+        # channel 3 degrades over the last quarter of files
+        if f >= n_files * 3 // 4:
+            cols[:, 3] *= 25.0
+        np.savetxt(os.path.join(out, stamp), cols, fmt="%.6f", delimiter="\t")
+    open(marker, "w").close()
+    return out
+
+
+def _bench_bearing_pipeline(spark) -> float:
+    from anomaly_detection_iiot_spark.ml import autoencoder as ae
+    from anomaly_detection_iiot_spark.plans.bearing_pipeline import (
+        bearing_anomaly_report,
+    )
+
+    snap = _bearing_snapshot_dir()
+    weights = ae.init_weights([16, 8, 4, 8, 16], seed=55)
+    runs: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        bearing_anomaly_report(
+            spark, snap, weights, n_cols=4, rows_per_file=4096,
+            resample_factor=16, window_size=16, window_step=16, period=4,
+        ).write.mode("overwrite").format("noop").save()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -85,6 +133,10 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
         times[name] = round(min(runs), 3)
+
+    # flagship scan→window→score→threshold→crossing chain on the
+    # reference's own file layout (not a testdata-table query)
+    times["bearing_pipeline"] = _bench_bearing_pipeline(spark)
 
     total = round(sum(times.values()), 3)
     print(
