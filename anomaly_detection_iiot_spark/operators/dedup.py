@@ -192,6 +192,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_expand: int = 64,
 ) -> DataFrame:
     """Band the signature, bucket docs sharing any band value, expand
     each bucket's (doc_a < doc_b) pairs. Returns distinct pairs.
@@ -201,9 +202,18 @@ def lsh_candidate_pairs(
     reuse across the join's two branches). One groupBy(band) +
     JVM-side array combinatorics computes signatures once and shuffles
     only (band_key, [ids]) — at 100 TB that is one shuffle of ~|docs| ×
-    n_bands small rows. Skewed buckets (a band key shared by K docs)
-    expand to K²/2 pairs in one task; keep band_size high enough that K
-    stays small, which is also what LSH precision wants."""
+    n_bands small rows.
+
+    Skew guard (two-phase expansion, no truncation): a bucket of K docs
+    expands to K²/2 pairs; with everything in one flatten that is one
+    task per bucket — a single hot band key (near-identical boilerplate
+    docs are common in web corpora) turns into a straggler. Buckets
+    larger than ``max_bucket_expand`` are instead posexploded to one row
+    per (anchor doc, tail slice) and ROUND-ROBIN repartitioned before
+    the final explode, spreading the O(K²) pair generation across the
+    cluster. Results are identical to the unguarded path (asserted in
+    tests/test_lsh_skew.py); the repartition shuffle moves O(K²/2) id
+    strings — the same order as the pair output itself."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -233,11 +243,25 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        buckets.filter(F.size("ds") <= max_bucket_expand)
+        .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    big_pairs = (
+        buckets.filter(F.size("ds") > max_bucket_expand)
+        .select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.expr("slice(ds, i + 2, size(ds))").alias("rest"),
+        )
+        .repartition(
+            int(signatures.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+        )
+        .select("doc_a", F.explode("rest").alias("doc_b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def ngram_jaccard_pairs(
