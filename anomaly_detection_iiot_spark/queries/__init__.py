@@ -44,5 +44,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from .roundtrip import ROUNDTRIP_QUERIES
+
+    _ALL.extend(ROUNDTRIP_QUERIES)
+except ImportError:
+    pass
+
 REGISTRY: dict[str, QuerySpec] = {q.name: q for q in _ALL}
 assert len(REGISTRY) == len(_ALL), "duplicate query names"

@@ -1,0 +1,308 @@
+"""Source/sink round-trip queries (SURVEY §2.1 S1-S7, S11; §2.2 P2,
+P4, P5; §2.3 A7) — converts the ingestion layer from pytest-only to
+driver-oracle-checked coverage.
+
+Pattern: the Spark side runs the REAL source path (write files in the
+reference's on-disk layout, scan them back through our readers), while
+the DuckDB oracle recomputes the expected result straight from the
+source parquet table. A value-hash match therefore proves the entire
+file round-trip — formatting, filename-timestamp parsing, positional
+naming, ordering contract — not just the arithmetic.
+
+Determinism notes:
+- File payloads are written at full double precision ('%.17g' /
+  Java shortest-round-trip), so parse-back is bit-exact and only the
+  final aggregate is rounded for cross-engine summation-order noise.
+- The tiny driver-side writes (a few KB of snapshot/log files) happen
+  eagerly at query-construction time, like m9's round-1 collect —
+  deliberate: filenames carry semantics (S2) and Spark sinks cannot
+  name individual output files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import bearing, sinks
+from ..sources.kbm import parse_ts_multi
+from .base import QuerySpec, t
+
+
+# --- P2: projection by position (trainer.py:51 usecols=[0,2,4,6]) -------------
+
+def p2_positional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = [li.columns[p] for p in (0, 2, 4, 6)]
+    return (
+        li.select(*cols)
+        .groupBy(cols[0])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cols[2]), 6).alias("sum_qty"),
+            F.round(F.sum(cols[3]), 6).alias("sum_disc"),
+            F.max(cols[1]).alias("max_supp"),
+        )
+    )
+
+
+# positions [0,2,4,6] of lineitem = these names (FIXTURES.md schema)
+P2_SQL = """
+SELECT l_orderkey, count(*) AS n,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_discount), 6) AS sum_disc,
+       max(l_suppkey) AS max_supp
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- P4: timestamp truncation to seconds (pipeline.py:33) ---------------------
+
+def p4_ts_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+    )
+
+
+P4_SQL = "SELECT event_id, date_trunc('second', ts) AS ts_sec FROM events"
+
+
+# --- P5: multi-format timestamp parse (calculations.py:14-17) ----------------
+
+def p5_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render each event's (second-truncated) timestamp in one of the
+    reference's two wild formats by row parity, then recover it with
+    the coalesce-of-parsers. Oracle = the expected recovery
+    (date_trunc to seconds), so the check proves format round-trip."""
+    ev = t(spark, sf_dir, "events")
+    rendered = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .otherwise(F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+        .alias("ts_str"),
+    )
+    return rendered.select(
+        "event_id", parse_ts_multi(F.col("ts_str")).alias("parsed_ts")
+    )
+
+
+P5_SQL = "SELECT event_id, date_trunc('second', ts) AS parsed_ts FROM events"
+
+
+# --- A7: resource-style aggregates (logger.py:92-97) --------------------------
+
+def a7_resource_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+    )
+
+
+A7_SQL = """
+SELECT user_id, count(*) AS n_samples, round(avg(value), 6) AS avg_v,
+       round(max(value), 6) AS max_v, round(sum(value), 6) AS sum_v
+FROM events GROUP BY user_id
+"""
+
+
+# --- S1-S4: bearing snapshot-directory round-trip -----------------------------
+
+_S1_USERS = 4
+_S1_SAMPLES = 16  # per user; every sf has >= 50 events/user
+_S1_FILES = 2
+_S1_ROWS_PER_FILE = _S1_SAMPLES // _S1_FILES
+_S1_STAMPS = ["2004.02.12.10.32.39", "2004.02.12.10.33.39"]
+
+
+def s1_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3+S4 proven end-to-end: the first 16 events of users 0-3
+    (ordered by ts, event_id — the canonical ordering contract) are
+    written as 2 headerless TSV snapshot files with timestamp filenames
+    (full '%.17g' precision), scanned back through read_snapshot_dir →
+    to_canonical_long, and aggregated per channel. The oracle recomputes
+    the same numbers straight from ``events``, so a hash match proves
+    the TSV scan, filename event-time, positional channel naming, and
+    the cross-file global_idx stitching. The KB-scale file write is
+    eager at construction time (see module docstring)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.filter(F.col("user_id") < _S1_USERS)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < _S1_SAMPLES)
+        .select("user_id", "rn", "value")
+        .collect()
+    )
+    series = {u: [0.0] * _S1_SAMPLES for u in range(_S1_USERS)}
+    for r in head:
+        series[r.user_id][r.rn] = r.value
+    out_dir = tempfile.mkdtemp(prefix="s1_snap_")
+    for f, stamp in enumerate(_S1_STAMPS):
+        lines = []
+        for i in range(_S1_ROWS_PER_FILE):
+            idx = f * _S1_ROWS_PER_FILE + i
+            lines.append(
+                "\t".join("%.17g" % series[u][idx] for u in range(_S1_USERS))
+            )
+        with open(os.path.join(out_dir, stamp), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    raw = bearing.read_snapshot_dir(spark, out_dir, n_cols=_S1_USERS)
+    long = bearing.to_canonical_long(
+        raw, n_channels=_S1_USERS, rows_per_file=_S1_ROWS_PER_FILE
+    )
+    return long.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.max("global_idx").alias("max_idx"),
+        F.countDistinct("file_ts").alias("n_files"),
+    )
+
+
+S1_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events WHERE user_id < {_S1_USERS}
+)
+SELECT CAST(user_id AS VARCHAR) AS channel,
+       count(*) AS n_samples,
+       round(sum(value), 6) AS sum_v,
+       CAST({_S1_SAMPLES - 1} AS BIGINT) AS max_idx,
+       CAST({_S1_FILES} AS BIGINT) AS n_files
+FROM ranked WHERE rn < {_S1_SAMPLES}
+GROUP BY user_id
+"""
+
+
+# --- S5: CSV sink + scan round-trip (trainer.py:51 / bearing.py:30-33) --------
+
+def s5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CSV write (Java shortest-round-trip doubles) → CSV
+    scan with explicit schema + projection → aggregate; oracle reads
+    the parquet directly."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="s5_csv_"), "li")
+    li.select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).write.option("header", "true").mode("overwrite").csv(out_dir)
+    back = (
+        spark.read.option("header", "true")
+        .schema(
+            "l_orderkey bigint, l_linestatus string, l_quantity double, "
+            "l_extendedprice double"
+        )
+        .csv(out_dir)
+    )
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+S5_SQL = """
+SELECT l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY l_linestatus
+"""
+
+
+# --- S6+S7: JSON results sink + scan round-trip -------------------------------
+
+def s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user result rows written with the S6 JSON sink and re-read
+    with the S7 schema-inferring scan; oracle recomputes from events.
+    Aggregates are rounded BEFORE the sink so the JSON carries short
+    exact decimals."""
+    ev = t(spark, sf_dir, "events")
+    results = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="s6_json_"), "res")
+    sinks.write_results_json(results, out_dir)
+    back = sinks.read_results_json(spark, out_dir)
+    return back.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+    )
+
+
+S6_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_v
+FROM events GROUP BY user_id
+"""
+
+
+# --- S11: training-log text scanner -------------------------------------------
+
+_S11_EPOCHS = 25
+
+
+def s11_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keras-style stdout generated from an exact-binary formula
+    (i/64 — six decimals render it exactly), parsed back by the S11
+    scanner (logger.py:106-161). Oracle = the same closed form."""
+    out_dir = tempfile.mkdtemp(prefix="s11_log_")
+    path = os.path.join(out_dir, "training.log")
+    lines = []
+    for i in range(1, _S11_EPOCHS + 1):
+        lines.append(f"Epoch {i}/{_S11_EPOCHS}")
+        loss = i / 64.0
+        val = (i + _S11_EPOCHS) / 64.0
+        lines.append(
+            f"10/10 [==============================] - 1s 2ms/step - "
+            f"loss: {loss:.6f} - val_loss: {val:.6f}"
+        )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return sinks.parse_training_log(spark, path).select(
+        F.col("epoch").cast("bigint").alias("epoch"), "loss", "val_loss"
+    )
+
+
+S11_SQL = f"""
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       epoch / 64.0 AS loss,
+       (epoch + {_S11_EPOCHS}) / 64.0 AS val_loss
+FROM (SELECT unnest(generate_series(1, {_S11_EPOCHS})) AS epoch)
+"""
+
+
+ROUNDTRIP_QUERIES: list[QuerySpec] = [
+    QuerySpec("p2_positional_select", p2_positional_select, P2_SQL,
+              "P2 projection by position (trainer.py:51, config.yaml:42-47)"),
+    QuerySpec("p4_ts_truncate", p4_ts_truncate, P4_SQL,
+              "P4 timestamp truncation to seconds (pipeline.py:33)"),
+    QuerySpec("p5_multiformat_parse", p5_multiformat_parse, P5_SQL,
+              "P5 two-format timestamp parse round-trip "
+              "(calculations.py:14-17)"),
+    QuerySpec("a7_resource_aggs", a7_resource_aggs, A7_SQL,
+              "A7 count/avg/max/sum resource aggregates (logger.py:92-97)"),
+    QuerySpec("s1_snapshot_roundtrip", s1_snapshot_roundtrip, S1_SQL,
+              "S1-S4 snapshot TSV scan + filename event time + canonical "
+              "long round-trip (bearing.py:27-33)"),
+    QuerySpec("s5_csv_roundtrip", s5_csv_roundtrip, S5_SQL,
+              "S5 CSV sink+scan round-trip with projection "
+              "(trainer.py:51)"),
+    QuerySpec("s6_json_roundtrip", s6_json_roundtrip, S6_SQL,
+              "S6/S7 JSON results sink + schema-inferred scan "
+              "(trainer.py:204-211, visualization.py:41-43)"),
+    QuerySpec("s11_log_scan", s11_log_scan, S11_SQL,
+              "S11 Keras-stdout log scanner (logger.py:106-161)"),
+]
