@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from ..ml.autoencoder import Weights
 from ..ml.scoring import score_windows
-from ..operators import crossing, normalize, resample, rolling, threshold, windowing
+from ..operators import normalize, resample, windowing
 from ..sources import bearing
+from .eval_tail import evaluation_tail
 
 KEYS = ["experiment", "channel"]
 
@@ -52,6 +53,13 @@ def bearing_anomaly_report(
         long, resample_factor, idx_col="global_idx",
         value_cols=["value"], keys=KEYS,
     )
+    # Persist the resampled intermediate: it is 1/resample_factor of the
+    # raw data and feeds TWO consumers (the scaler's stats aggregate and
+    # the transform) — without it Spark recomputes the scan→stack→
+    # resample chain once per branch. This mirrors the reference, which
+    # also persists its resampled table as a derived artifact
+    # (resampler.py:27-39 writes "<exp>_<rate>.csv"; SURVEY §4).
+    resampled = resampled.persist()
     normalized = normalize.standard_scale(
         resampled, "value", keys=KEYS, out="v",
     )
@@ -64,25 +72,11 @@ def bearing_anomaly_report(
         *KEYS,
         (F.col("window_idx") / period).cast("long").alias("period_idx"),
     ).agg(F.avg("mse").alias("mse"))
-    maxp = periods.groupBy(*KEYS).agg(F.max("period_idx").alias("__maxp"))
-    periods = periods.join(F.broadcast(maxp), KEYS)
-    val = F.col("period_idx") <= F.greatest(
-        F.lit(1), (F.col("__maxp") * validation_fraction).cast("long")
-    )
-    thr = threshold.fit_threshold(
-        periods.filter(val), "mse", n_std=n_std, keys=KEYS
-    )
-    flagged = threshold.flag_anomalies(
-        periods.drop("__maxp"), thr, "mse", keys=KEYS
-    )
-    smoothed = rolling.rolling_min(
-        flagged, "mse", window=3, partition_by=KEYS, idx_col="period_idx",
-        out="mse_smooth",
-    )
-    return crossing.first_crossing(
-        smoothed, "mse_smooth", F.col("threshold"),
-        idx_col="period_idx", keys=[*KEYS, "threshold"],
-        out="first_anomaly_period",
+    # single-pass tail (see eval_tail: the join-based formulation made
+    # the plan recompute the scan+score upstream once per branch)
+    return evaluation_tail(
+        periods, KEYS, n_std=n_std,
+        validation_fraction=validation_fraction,
     ).select(
         *KEYS,
         F.round("threshold", 6).alias("threshold"),

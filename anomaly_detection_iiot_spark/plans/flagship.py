@@ -8,9 +8,10 @@ events (ts, user_id≈channel, value≈vibration)
   → W5 rolling min of 3 (visualization.py:82)
   → W8 first crossing with 0 sentinel (visualization.py:89-94)
 
-All stages are DataFrame-native: two hash aggregates, one broadcast
-join, one bounded window — no UDFs, no collect until the driver sinks
-the (per-user) result.
+All stages are DataFrame-native: two hash aggregates and one window
+pass over the per-user partitioning — no joins, no UDFs, no collect
+until the driver sinks the (per-user) result (the threshold/flag/
+crossing tail is a single-pass window formulation, see eval_tail).
 """
 
 from __future__ import annotations
@@ -18,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import crossing, rolling, threshold
 from ..queries.base import t
+from .eval_tail import evaluation_tail
 
 
 def flagship_anomaly_report(
@@ -40,34 +41,12 @@ def flagship_anomaly_report(
         F.avg(F.col("value") * F.col("value")).alias("mse"),
         F.count(F.lit(1)).alias("n_samples"),
     )
-    # validation slice: first 10% of periods per user
-    maxp = periods.groupBy("user_id").agg(F.max("period_idx").alias("__maxp"))
-    periods = periods.join(F.broadcast(maxp), "user_id")
-    # at least 2 validation periods so stddev_samp is defined at tiny SFs
-    val_filter = F.col("period_idx") <= F.greatest(
-        F.lit(1), F.col("__maxp") * validation_fraction
-    )
-    thr = threshold.fit_threshold(
-        periods.filter(val_filter), "mse", n_std=n_std, keys=["user_id"]
-    )
-    flagged = threshold.flag_anomalies(
-        periods.drop("__maxp"), thr, "mse", keys=["user_id"]
-    )
-    # W5: rolling min smoothing before crossing detection
-    smoothed = rolling.rolling_min(
-        flagged, "mse", window=3, partition_by=["user_id"], idx_col="period_idx",
-        out="mse_smooth",
-    )
-    # W8: first period whose smoothed MSE crosses the threshold
-    first = crossing.first_crossing(
-        smoothed.withColumn("crossed", F.col("mse_smooth")),
-        "crossed",
-        F.col("threshold"),
-        idx_col="period_idx",
-        keys=["user_id", "threshold"],
-        out="first_anomaly_period",
-    )
-    return first.select(
+    # A3/M11 + W5 + W8 in one pass over one partitioning (see
+    # eval_tail: the join-based tail recomputed the upstream per branch)
+    return evaluation_tail(
+        periods, ["user_id"], n_std=n_std,
+        validation_fraction=validation_fraction,
+    ).select(
         "user_id",
         F.round("threshold", 6).alias("threshold"),
         "first_anomaly_period",

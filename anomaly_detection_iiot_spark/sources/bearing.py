@@ -89,13 +89,21 @@ def to_canonical_long(
         "sample_idx",
         F.expr(f"stack({n_channels}, {pairs}) AS (channel, value)"),
     )
-    file_rank = F.dense_rank().over(
-        Window.partitionBy("experiment", "channel").orderBy("file_ts")
+    # File rank via a tiny distinct + broadcast join, NOT a dense_rank
+    # window over (experiment, channel): that window would pull an
+    # entire channel's samples into ONE task's sort — the ingestion
+    # bottleneck at 100 TB. The distinct is #files rows (map-side
+    # partial agg), its window sort is trivial, and the join back is a
+    # broadcast — the big table never shuffles.
+    files = long.select("experiment", "file_ts").distinct()
+    w = Window.partitionBy("experiment").orderBy("file_ts")
+    ranks = files.withColumn(
+        "__file_rank", (F.dense_rank().over(w) - 1).cast("long")
     )
-    return long.withColumn(
+    return long.join(F.broadcast(ranks), ["experiment", "file_ts"]).withColumn(
         "global_idx",
-        (file_rank - 1).cast("long") * rows_per_file + F.col("sample_idx"),
-    )
+        F.col("__file_rank") * rows_per_file + F.col("sample_idx"),
+    ).drop("__file_rank")
 
 
 def write_canonical(
