@@ -234,6 +234,13 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    # Persisted: the small/big split below makes TWO consumers of this
+    # frame, and without a cache each branch re-executes the whole
+    # scan→shingle→minhash→band-agg pipeline (verified in the executed
+    # plan: the band exchange appeared twice). The frame is one row per
+    # COLLIDING band key with an id list — tiny relative to the corpus
+    # by LSH design — so MEMORY_AND_DISK is safe at scale.
+    buckets = buckets.persist()
     pairs = F.flatten(
         F.transform(
             "ds",

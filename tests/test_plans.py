@@ -89,6 +89,62 @@ def test_d3_no_shingle_filter_below_shuffle(spark, sf_dir):
     assert plan.count("md5") == 1
 
 
+def test_flagship_single_scan_no_joins(spark, sf_dir):
+    """The flagship evaluation tail is the single-pass window
+    formulation (plans/eval_tail.py): one events scan, zero joins. The
+    round-1 fit+join tail recomputed the scan once per branch — any
+    Join node or second scan reappearing means that regression is
+    back."""
+    from anomaly_detection_iiot_spark.plans.flagship import (
+        flagship_anomaly_report,
+    )
+
+    plan = flagship_anomaly_report(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_bearing_pipeline_single_udf_and_cached_resample(spark, tmp_path):
+    """Bearing pipeline: scoring UDF evaluated once, resampled
+    intermediate cached (two consumers), eval tail join-free."""
+    import numpy as np
+
+    from anomaly_detection_iiot_spark.ml import autoencoder as ae
+    from anomaly_detection_iiot_spark.plans.bearing_pipeline import (
+        bearing_anomaly_report,
+    )
+
+    rng = np.random.default_rng(3)
+    for f in range(4):
+        stamp = f"2004.02.12.10.{40 + f:02d}.00"
+        rows = rng.normal(size=(64, 2))
+        (tmp_path / stamp).write_text(
+            "\n".join("\t".join("%.6f" % v for v in r) for r in rows) + "\n"
+        )
+    df = bearing_anomaly_report(
+        spark, str(tmp_path), ae.init_weights([8, 4, 2, 4, 8], seed=5),
+        n_cols=2, rows_per_file=64, resample_factor=4,
+        window_size=8, window_step=8, period=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "InMemoryTableScan" in plan  # persisted resample feeds both consumers
+    # the only join allowed is the broadcast file-rank join
+    assert plan.count("Join") <= plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_d4_buckets_cached_once(spark, sf_dir):
+    """The skew-guard split must read one persisted buckets frame, not
+    re-execute the minhash pipeline per branch."""
+    plan = _plan(spark, sf_dir, "d4_lsh_candidates", mode="executed")
+    # both branches must read the persisted frame (the cache lineage is
+    # printed under each InMemoryTableScan but executes once)
+    assert plan.count("InMemoryTableScan") == 2  # small + big branch
+
+
 def test_minhash_long_and_array_forms_agree(spark, sf_dir):
     from anomaly_detection_iiot_spark.operators import dedup
 
