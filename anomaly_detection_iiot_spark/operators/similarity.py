@@ -95,6 +95,60 @@ def ivf_assign(
     )
 
 
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """IVF probe with multi-cell fan-out: each query searches its
+    ``nprobe`` nearest cells (the standard IVF recall lever — nprobe=1
+    misses neighbors that quantize across a cell boundary).
+
+    Scale shape: the (queries × centroids) ranking is broadcast-sized;
+    the candidate join broadcasts nprobe×|queries| probe rows against
+    the bucket-partitioned corpus, so the big side is scanned once with
+    partition pruning on ``bucket`` when the corpus is written bucketed
+    (sources/bucketed.py). Corpus cells are disjoint, so no pair
+    dedup is needed."""
+    qcells = queries.join(F.broadcast(centroids)).withColumn(
+        "_qsim",
+        cosine(as_double(F.col(qvec_col)), as_double(F.col(centroid_vec))),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_qsim"), F.asc(centroid_id))
+    probes = (
+        qcells.withColumn("_qrk", F.row_number().over(wq))
+        .filter(F.col("_qrk") <= nprobe)
+        .select(qid_col, qvec_col, F.col(centroid_id).alias("_probe_bucket"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("_probe_bucket"))
+        & (F.col(id_col) != F.col(qid_col)),
+    ).withColumn(
+        "cosine", cosine(as_double(F.col(qvec_col)), as_double(F.col(vec_col)))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(qid_col),
+            F.col(id_col).alias("cid"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def blocked_neardup_pairs(
     df: DataFrame,
     block_col: str = "label",

@@ -390,6 +390,64 @@ WHERE rk <= 5
 """
 
 
+# --- S3: IVF with multi-cell probe (nprobe=2) ---------------------------------
+
+def s3_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its two nearest
+    cells, recovering neighbors that quantize across a cell boundary
+    (the standard IVF recall lever; see operators/similarity.py::
+    ivf_probe). Same centroid/query setup as s2_ivf_ann."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids)
+    q = e.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_probe(assigned, q, centroids, k=5, nprobe=2)
+
+
+S3_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS ark
+        FROM scored)
+  WHERE ark = 1
+), probes AS (
+  SELECT vec_id AS qid, v AS qv, centroid_id AS probe_bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS qrk
+        FROM scored)
+  WHERE vec_id BETWEEN 100 AND 104 AND qrk <= 2
+), cand AS (
+  SELECT p.qid, a.bucket, a.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> p.qv[i] * a.v[i]))
+         / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+  FROM probes p JOIN assigned a
+    ON a.bucket = p.probe_bucket AND a.vec_id != p.qid
+)
+SELECT qid, cid, CAST(bucket AS BIGINT) AS bucket,
+       round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM cand)
+WHERE rk <= 5
+"""
+
+
 # --- T1: token counting -------------------------------------------------------
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +607,8 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "brute-force cosine top-k ANN baseline (broadcast queries)"),
     QuerySpec("s2_ivf_ann", s2_ivf_ann, S2_SQL,
               "IVF-bucketed ANN: centroid assign -> partition-pruned probe"),
+    QuerySpec("s3_ivf_nprobe", s3_ivf_nprobe, S3_SQL,
+              "IVF ANN with nprobe=2 multi-cell probe (recall lever)"),
     QuerySpec("t1_token_stats", t1_token_stats, T1_SQL,
               "token counting (whitespace tokenizer, codegen-only)"),
     QuerySpec("t2_quality_scores", t2_quality_scores, T2_SQL,

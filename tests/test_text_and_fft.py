@@ -105,6 +105,48 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert [r.cid for r in got] == [1, 2]  # self (vec 0) excluded
 
 
+def test_ivf_nprobe_improves_recall(spark):
+    """A query whose true nearest neighbor quantizes into the SECOND
+    nearest cell is missed at nprobe=1 and found at nprobe=2; nprobe
+    results must be a superset with cosines >= per rank."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [10, 11, 12],
+                # 10 sits in cell 0; 11 (the query's true NN) lands in
+                # cell 1; 12 is noise in cell 1
+                "embedding": [
+                    [1.0, 0.0], [0.72, 0.70], [0.0, 1.0],
+                ],
+            }
+        )
+    )
+    centroids = spark.createDataFrame(
+        pd.DataFrame(
+            {"centroid_id": [0, 1], "cvec": [[1.0, 0.0], [0.6, 0.8]]}
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [99], "qvec": [[0.9, 0.44]]})
+    )
+    assigned = similarity.ivf_assign(corpus, centroids)
+    got1 = {
+        r.cid
+        for r in similarity.ivf_probe(
+            assigned, queries, centroids, k=3, nprobe=1
+        ).collect()
+    }
+    got2 = {
+        r.cid
+        for r in similarity.ivf_probe(
+            assigned, queries, centroids, k=3, nprobe=2
+        ).collect()
+    }
+    assert got1 <= got2  # more cells can only add candidates
+    assert 11 in got2  # the cross-boundary true NN is recovered
+    assert len(got2) == 3  # both cells' candidates present
+
+
 def test_blocked_neardup_pairs(spark):
     from anomaly_detection_iiot_spark.operators import similarity
 
