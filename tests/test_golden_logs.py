@@ -201,6 +201,48 @@ def test_federated_golden_values_exact(spark):
         assert got_first[int(client)] == exp_first
 
 
+def test_federated_transfer_golden_values_exact(spark):
+    """Value-level replay over the transfer-learning run's logs (M10):
+    thresholds and first-crossing indexes per client, pinned against
+    numpy over the real federated_transfer.json MSE series."""
+    import numpy as np
+
+    d = json.load(open(f"{LOGS}/bearing_experiment-2/federated_transfer.json"))
+    frames = [
+        pd.DataFrame(
+            {
+                "client": int(client),
+                "period_idx": range(len(payload["lstm"]["mse"])),
+                "mse": payload["lstm"]["mse"],
+            }
+        )
+        for client, payload in d.items()
+    ]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    n_periods = {int(c): len(p["lstm"]["mse"]) for c, p in d.items()}
+    assert len(set(n_periods.values())) == 1  # uniform period count
+    periods = next(iter(n_periods.values()))
+    thr = threshold.fit_threshold(
+        df, "mse", n_std=4.0, keys=["client"],
+        validation_filter=F.col("period_idx") < int(periods * 0.1),
+    )
+    smoothed = rolling.rolling_min(
+        df.join(F.broadcast(thr), ["client"]), "mse", window=3,
+        partition_by=["client"], idx_col="period_idx", out="mse_smooth",
+    )
+    first = crossing.first_crossing(
+        smoothed, "mse_smooth", F.col("threshold"),
+        idx_col="period_idx", keys=["client", "threshold"],
+        out="first_anomaly",
+    )
+    got_thr = {r.client: r.threshold for r in thr.collect()}
+    got_first = {r.client: r.first_anomaly for r in first.collect()}
+    for client, payload in d.items():
+        exp_thr, _, exp_first = _expected_chain(payload["lstm"]["mse"])
+        np.testing.assert_allclose(got_thr[int(client)], exp_thr, rtol=1e-9)
+        assert got_first[int(client)] == exp_first
+
+
 def test_baseline_golden_values_with_lag_and_scale(spark):
     """Baseline chain: W13 lookback realignment (lag 20, head-filled —
     visualization.py:67) then threshold x1.7 (visualization.py:83),
