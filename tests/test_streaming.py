@@ -280,6 +280,66 @@ def test_multibatch_file_redelivery_exactly_once(spark, tmp_path):
     assert got.value.sum() == 1.0 + 2.0 + 3.0 + 4.0
 
 
+def test_chained_stateful_bearing_episode_stream(spark, tmp_path):
+    """ONE streaming query: snapshot files → per-channel windowed MSE →
+    threshold → session episodes (two chained stateful operators via
+    window_time propagation). The burst on channel 1 (files 5-7) must
+    come out as exactly one 3-period episode; channel 0 stays quiet.
+    Streaming per-period MSE must equal the batch computation."""
+    from anomaly_detection_iiot_spark.streaming import bearing_stream
+
+    rng = np.random.default_rng(5)
+    for f in range(8):
+        stamp = f"2004.02.12.10.{30 + f:02d}.00"
+        c0 = rng.normal(0, 1, 32)
+        c1 = rng.normal(0, 30.0 if f >= 5 else 1.0, 32)
+        (tmp_path / stamp).write_text(
+            "\n".join(f"{a:.6f}\t{b:.6f}" for a, b in zip(c0, c1)) + "\n"
+        )
+    # flush file so the final windows cross the zero-delay watermark
+    (tmp_path / "2004.02.12.10.50.00").write_text("0.0\t0.0\n")
+
+    episodes = bearing_stream.snapshot_anomaly_episodes_stream(
+        spark, str(tmp_path), n_cols=2, threshold=25.0,
+    )
+    got = _drain(episodes, spark, "bearing_episodes", mode="append").collect()
+    assert len(got) == 1
+    ep = got[0]
+    assert ep.channel == "1" and ep.n_periods == 3
+    # window_time bounds are 1us shy of the period grid
+    assert str(ep.episode_start).startswith("2004-02-12 10:35:59")
+    assert str(ep.episode_end).startswith("2004-02-12 10:39:59")
+
+    # streaming MSE == batch MSE over the same files
+    mse_stream = bearing_stream.snapshot_mse_stream(
+        spark, str(tmp_path), n_cols=2
+    )
+    got_mse = _drain(mse_stream, spark, "bearing_mse", mode="append").toPandas()
+    from anomaly_detection_iiot_spark.sources import bearing as bsrc
+
+    raw = bsrc.read_snapshot_dir(spark, str(tmp_path), n_cols=2)
+    batch = (
+        bsrc.to_canonical_long(raw, n_channels=2, rows_per_file=32)
+        # the flush file's own window never crosses the zero-delay
+        # watermark, so append-mode streaming (correctly) omits it
+        .filter(F.col("file_ts") < "2004-02-12 10:50:00")
+        .groupBy(F.window("file_ts", "1 minute").alias("period"), "channel")
+        .agg(F.avg(F.col("value") * F.col("value")).alias("mse"),
+             F.count(F.lit(1)).alias("n_samples"))
+        .toPandas()
+    )
+    key = ["period", "channel"]
+    pd.testing.assert_frame_equal(
+        got_mse.sort_values(key).reset_index(drop=True)[
+            ["period", "channel", "mse", "n_samples"]
+        ],
+        batch.sort_values(key).reset_index(drop=True)[
+            ["period", "channel", "mse", "n_samples"]
+        ],
+        check_like=True,
+    )
+
+
 def test_streaming_lstm_scoring_matches_batch(spark, tmp_path):
     """The LSTM scoring UDF (M6 with the reference's real model) is a
     stateless projection: identical MSEs streaming vs batch."""
