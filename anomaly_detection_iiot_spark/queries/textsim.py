@@ -192,6 +192,50 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
 """
 
 
+# --- D8: duplicate clusters (transitive closure over verified pairs) ----------
+
+def d8_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: verified near-dup PAIRS (d5) promoted to CLUSTERS
+    via iterative min-label propagation (operators/graph.py) — if A~B
+    and B~C then {A,B,C} share one cluster even though A~C was never
+    emitted. cluster_id = smallest reachable doc_id = the keeper under
+    a min-id policy. The oracle is a DuckDB RECURSIVE CTE computing the
+    same reachability closure, so the iterative Spark loop gets a full
+    value-hash check."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_shingled(spark, sf_dir), min_jaccard=0.1)
+    return connected_components(pairs).select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
+D8_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM verified
+), reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 # --- D6: 16-bit SimHash -------------------------------------------------------
 
 def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +643,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "MinHash-LSH banding -> candidate-pair bucket join"),
     QuerySpec("d5_ngram_jaccard", d5_ngram_jaccard, D5_SQL,
               "exact n-gram Jaccard verification join"),
+    QuerySpec("d8_dup_clusters", d8_dup_clusters, D8_SQL,
+              "duplicate clusters: iterative min-label propagation over "
+              "verified pairs; oracle = recursive-CTE closure"),
     QuerySpec("d6_simhash", d6_simhash, D6_SQL,
               "16-bit SimHash via per-bit token votes"),
     QuerySpec("d7_embedding_neardup", d7_embedding_neardup, D7_SQL,

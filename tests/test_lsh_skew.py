@@ -51,3 +51,36 @@ def test_ordering_invariant(spark):
     sigs = _signatures(spark)
     pairs = lsh_candidate_pairs(sigs, max_bucket_expand=16).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain 1-2-3 collapses to one cluster (1~3 never emitted as a
+    pair); 10-11 is separate; singletons absent from the pair set are
+    not returned."""
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-node path graph needs ~20 propagation rounds (min label
+    moves one hop per round) — exercises the localCheckpoint lineage
+    cut several times over."""
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert len(got) == 21
+    assert {r.cluster_id for r in got} == {0}
