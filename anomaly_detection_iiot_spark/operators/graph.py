@@ -46,6 +46,11 @@ def connected_components(
     ).distinct().persist()
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     labels = labels.persist()
+    # Convergence scalar: labels are monotonically non-increasing per
+    # node, so sum(label) is strictly decreasing until the fixpoint —
+    # an equal sum between rounds IS convergence. One agg action per
+    # round, no label-vs-label join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for it in range(max_iter):
         msgs = (
@@ -60,16 +65,12 @@ def connected_components(
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     edges.unpersist()
     return labels.select(
