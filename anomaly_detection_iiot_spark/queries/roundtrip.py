@@ -249,6 +249,68 @@ FROM events GROUP BY user_id
 """
 
 
+# --- S5/P3/P4/P5 composite: KBM reader round-trip + anomaly labels ------------
+
+def k1_kbm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KBM reader proven end-to-end: events re-rendered in the KBM
+    on-disk shape (``vibration-x/y/z``, a ``tags`` string embedding
+    ``temperature=<v>``, fractional ``time`` — pipeline.py:12-34),
+    written as CSV, read back through ``read_kbm_csv`` (tag extraction
+    P3, second-truncation P4, multi-format parse P5), then labeled with
+    ``with_anomaly_labels`` (the hardcoded-timestamp range join,
+    pipeline.py:7-11; one literal per timestamp format). The oracle
+    recomputes the expected table from ``events`` directly. Doubles ride
+    the CSV as shortest-round-trip strings, so the recovered values are
+    bit-exact and only the output columns are rounded."""
+    from ..sources.kbm import read_kbm_csv, with_anomaly_labels
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    kbm = ev.select(
+        F.col("value").cast("double").alias("vibration-x"),
+        (F.col("value") * 2).alias("vibration-y"),
+        (-F.col("value")).alias("vibration-z"),
+        F.concat(
+            F.lit("host=h1 temperature="),
+            F.col("value").cast("string"),
+            F.lit(" unit=C"),
+        ).alias("tags"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("time"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="k1_kbm_"), "kbm")
+    kbm.write.option("header", "true").mode("overwrite").csv(out_dir)
+    back = read_kbm_csv(spark, out_dir)
+    labeled = with_anomaly_labels(
+        back, ["2024-01-10 00:00:00", "15/01/2024 12:00:00"]
+    )
+    return labeled.select(
+        "ts",
+        F.round("vibration_x", 6).alias("vibration_x"),
+        F.round("vibration_y", 6).alias("vibration_y"),
+        F.round("vibration_z", 6).alias("vibration_z"),
+        F.round("temperature", 6).alias("temperature"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+K1_SQL = """
+WITH src AS (
+  SELECT date_trunc('second', ts) AS ts_sec, value
+  FROM events WHERE user_id < 20
+)
+SELECT ts_sec AS ts,
+       round(value, 6) AS vibration_x,
+       round(value * 2, 6) AS vibration_y,
+       round(-value, 6) AS vibration_z,
+       round(value, 6) AS temperature,
+       CAST(CASE WHEN (ts_sec >= TIMESTAMP '2024-01-10 00:00:00'
+                       AND ts_sec < TIMESTAMP '2024-01-10 01:00:00')
+                   OR (ts_sec >= TIMESTAMP '2024-01-15 12:00:00'
+                       AND ts_sec < TIMESTAMP '2024-01-15 13:00:00')
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM src
+"""
+
+
 # --- S11: training-log text scanner -------------------------------------------
 
 _S11_EPOCHS = 25
@@ -303,6 +365,9 @@ ROUNDTRIP_QUERIES: list[QuerySpec] = [
     QuerySpec("s6_json_roundtrip", s6_json_roundtrip, S6_SQL,
               "S6/S7 JSON results sink + schema-inferred scan "
               "(trainer.py:204-211, visualization.py:41-43)"),
+    QuerySpec("k1_kbm_roundtrip", k1_kbm_roundtrip, K1_SQL,
+              "S5/P3/P4/P5 KBM reader round-trip + anomaly-label range "
+              "join (pipeline.py:7-34)"),
     QuerySpec("s11_log_scan", s11_log_scan, S11_SQL,
               "S11 Keras-stdout log scanner (logger.py:106-161)"),
 ]
