@@ -605,6 +605,88 @@ FROM m
 """
 
 
+# --- C1: corpus curation (the composed training-data pipeline) -----------------
+
+def c1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data endgame composed from the families above: per doc,
+    language-ID (t3) + quality scores (t2) + exact-dup keeper selection
+    (d1's min-id policy as a WINDOW over md5(text) — no join back), and
+    a deterministic verdict cascade:
+
+      dup   — not the min doc_id of its content-hash group
+      lang  — no stopword hits in any known language ('und')
+      short — fewer than 5 tokens
+      lowq  — stopword ratio < 0.02 (boilerplate/non-prose)
+      keep  — survives every filter
+
+    One |docs|-row join (lang × quality frames on doc_id) plus one
+    window shuffle on the 16-byte content hash; every filter is
+    JVM-side. This is the query a user runs FIRST at 100 TB — it
+    prunes the corpus the expensive operators (minhash, embeddings)
+    then run on."""
+    docs = _docs(spark, sf_dir)
+    lang = textstats.language_scores(docs).select("doc_id", "pred_lang")
+    quality = textstats.quality_scores(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    keeper = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("keeper_id"),
+    )
+    joined = keeper.join(lang, "doc_id").join(quality, "doc_id")
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keeper_id"), "dup")
+        .when(F.col("pred_lang") == "und", "lang")
+        .when(F.col("n_tokens") < 5, "short")
+        .when(F.col("stopword_ratio") < 0.02, "lowq")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        "pred_lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        verdict.alias("verdict"),
+    )
+
+
+C1_SQL = rf"""
+WITH {_TOKS}, h AS (
+  SELECT d.doc_id, {_T3_HITS}
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM h
+), q AS (
+  SELECT d.doc_id,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t.tokens) > 0
+              THEN len(list_filter(t.tokens,
+                   x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                   / len(t.tokens)
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+), k AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+  FROM documents
+)
+SELECT k.doc_id, lang.pred_lang, q.n_tokens,
+       CASE WHEN k.doc_id != k.keeper_id THEN 'dup'
+            WHEN lang.pred_lang = 'und' THEN 'lang'
+            WHEN q.n_tokens < 5 THEN 'short'
+            WHEN q.stopword_ratio < 0.02 THEN 'lowq'
+            ELSE 'keep' END AS verdict
+FROM k JOIN lang ON lang.doc_id = k.doc_id
+JOIN q ON q.doc_id = k.doc_id
+"""
+
+
 # --- T4: rolling-hash document fingerprint -------------------------------------
 
 def t4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,4 +746,7 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "stopword-argmax language ID with deterministic tie-break"),
     QuerySpec("t4_rolling_fingerprint", t4_rolling_fingerprint, T4_SQL,
               "polynomial rolling-hash document fingerprint"),
+    QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
+              "composed curation pipeline: language ID + quality + "
+              "exact-dup keeper -> verdict per doc"),
 ]
