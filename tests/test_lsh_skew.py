@@ -70,6 +70,77 @@ def test_connected_components_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized graphs vs an independent union-find reference."""
+    import numpy as np
+
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(97)
+    for _ in range(3):
+        n, m = 60, 45
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected
+
+
+def test_lsh_pairs_match_bruteforce_banding(spark):
+    """Random signatures: lsh_candidate_pairs == the naive banded
+    self-join computed in pandas."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {
+            "doc_id": f"d{i:03d}",
+            **{f"h{j}": f"{rng.integers(0, 6):08x}" for j in range(8)},
+        }
+        for i in range(80)
+    ]
+    import itertools
+
+    expected = set()
+    for a, b in itertools.combinations(rows, 2):
+        for band in range(4):
+            ka = (a[f"h{2*band}"], a[f"h{2*band+1}"])
+            kb = (b[f"h{2*band}"], b[f"h{2*band+1}"])
+            if ka == kb:
+                expected.add(tuple(sorted((a["doc_id"], b["doc_id"]))))
+                break
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            spark.createDataFrame(pd.DataFrame(rows)), max_bucket_expand=8
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 20-node path graph needs ~20 propagation rounds (min label
     moves one hop per round) — exercises the localCheckpoint lineage
