@@ -31,6 +31,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Cache ownership for the intra-query persists below (LSH buckets,
+# Jaccard shingles). These frames must stay cached while the RETURNED
+# lazy DataFrame is alive (the caller decides when to materialize), so
+# the functions cannot unpersist before returning. Instead each call
+# releases the cache its PREVIOUS invocation created — repeated
+# invocations in one session (bench's min-of-3 loop, d8 re-calling the
+# verify step) hold at most one live cache per site instead of
+# accumulating for the session lifetime. Unpersist is a performance
+# hint, not a correctness event: a still-referenced old result simply
+# recomputes.
+_OWNED_CACHES: dict[str, DataFrame] = {}
+
+
+def _replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
+    prev = _OWNED_CACHES.get(site)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down between calls
+    cached = frame.persist()
+    _OWNED_CACHES[site] = cached
+    return cached
+
 
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
     """Lowercase whitespace tokenization with empty-token filtering
@@ -193,9 +217,13 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket_expand: int = 64,
+    _return_branches: bool = False,
 ) -> DataFrame:
     """Band the signature, bucket docs sharing any band value, expand
-    each bucket's (doc_a < doc_b) pairs. Returns distinct pairs.
+    each bucket's (doc_a < doc_b) pairs. Returns distinct pairs
+    (``_return_branches=True`` is a test hook returning the raw
+    (small_pairs, big_pairs) branch frames pre-distinct, so skew tests
+    can measure pairs-per-task of the expansion stage itself).
 
     Deliberately NOT a self-join: a self-join on the banded frame makes
     Spark compute the whole shingle→minhash pipeline twice (no exchange
@@ -239,8 +267,9 @@ def lsh_candidate_pairs(
     # scan→shingle→minhash→band-agg pipeline (verified in the executed
     # plan: the band exchange appeared twice). The frame is one row per
     # COLLIDING band key with an id list — tiny relative to the corpus
-    # by LSH design — so MEMORY_AND_DISK is safe at scale.
-    buckets = buckets.persist()
+    # by LSH design — so MEMORY_AND_DISK is safe at scale. Ownership:
+    # see _replace_owned_cache — the next call releases this cache.
+    buckets = _replace_owned_cache("lsh_buckets", buckets)
     pairs = F.flatten(
         F.transform(
             "ds",
@@ -268,6 +297,8 @@ def lsh_candidate_pairs(
         )
         .select("doc_a", F.explode("rest").alias("doc_b"))
     )
+    if _return_branches:
+        return small_pairs, big_pairs
     return small_pairs.unionByName(big_pairs).distinct()
 
 
@@ -286,8 +317,11 @@ def ngram_jaccard_pairs(
     shingle explode runs once instead of three times — without the
     cache each consumer re-executed the full text scan (verified: 4
     source scans in the executed plan). MEMORY_AND_DISK spills
-    gracefully when |docs|×|shingles| exceeds executor memory."""
-    shingled = shingled.persist()
+    gracefully when |docs|×|shingles| exceeds executor memory.
+    Cache ownership transfers to this function (the caller's frame is
+    persisted here; the next invocation unpersists it — see
+    _replace_owned_cache)."""
+    shingled = _replace_owned_cache("jaccard_shingled", shingled)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")

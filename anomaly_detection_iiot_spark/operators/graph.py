@@ -17,15 +17,31 @@ localCheckpoint every few rounds so the plan does not grow with the
 iteration count (a 20-round loop would otherwise compile a 20-deep
 join tree).
 
-Convergence is detected with a driver-side scalar (count of changed
-labels) — a per-round KB-scale collect, the Spark-idiomatic shape for
-iterative algorithms (SURVEY §4: "FedAvg — driver-side algorithm").
+Convergence is detected with a driver-side scalar (sum of labels) — a
+per-round KB-scale collect, the Spark-idiomatic shape for iterative
+algorithms (SURVEY §4: "FedAvg — driver-side algorithm"). The sum trick
+requires NUMERIC node ids (summing strings yields NULL and would fake
+instant convergence), so non-numeric ids are first mapped to dense
+surrogate longs via ``monotonically_increasing_id`` and mapped back at
+the end — the per-round loop stays join-free either way.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NUMERIC_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+)
 
 
 def connected_components(
@@ -39,8 +55,43 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation over undirected ``(a, b)`` edges. Returns
     one row per node appearing in any pair, labeled with the smallest
-    node id reachable from it (the cluster id). Deterministic."""
+    node id reachable from it (the cluster id; lexicographic min for
+    string ids). Deterministic. Warns if ``max_iter`` rounds elapse
+    without reaching the fixpoint (labels then only partially
+    propagated — raise ``max_iter`` for graphs of larger diameter)."""
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    node_type = dict(fwd.dtypes)["u"]
+    if not node_type.startswith(_NUMERIC_PREFIXES):
+        # Surrogate-id path: CC over dense longs, then map back and take
+        # min ORIGINAL id per cluster so the public label contract
+        # (smallest reachable node id) holds for strings too. Two extra
+        # one-time shuffles; the per-round loop is untouched.
+        # Eager localCheckpoint (not persist): monotonically_increasing_id
+        # is nondeterministic under recomputation, and the result's
+        # lineage reads `mapping` twice (edge build + final map-back) —
+        # the ids must be frozen, not recomputable.
+        mapping = (
+            fwd.select("u")
+            .unionByName(fwd.select(F.col("v").alias("u")))
+            .distinct()
+            .withColumn("nid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        mapped = (
+            fwd.join(mapping, "u")
+            .select(F.col("nid").alias("u_nid"), "v")
+            .join(mapping.select(F.col("u").alias("v"), F.col("nid").alias("v_nid")), "v")
+            .select(F.col("u_nid").alias("a"), F.col("v_nid").alias("b"))
+        )
+        numeric = connected_components(
+            mapped, "a", "b", "nid", "label_nid", max_iter, checkpoint_every
+        )
+        out = numeric.join(mapping, "nid").select("u", "label_nid")
+        clusters = out.groupBy("label_nid").agg(F.min("u").alias(label_out))
+        return out.join(clusters, "label_nid").select(
+            F.col("u").alias(node_out), label_out
+        )
+
     edges = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().persist()
@@ -49,8 +100,16 @@ def connected_components(
     # Convergence scalar: labels are monotonically non-increasing per
     # node, so sum(label) is strictly decreasing until the fixpoint —
     # an equal sum between rounds IS convergence. One agg action per
-    # round, no label-vs-label join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # round, no label-vs-label join. Summed as decimal(38,0) so huge id
+    # spaces (e.g. monotonically_increasing_id's partition-shifted
+    # longs) cannot overflow bigint and corrupt the check.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    converged = False
 
     for it in range(max_iter):
         msgs = (
@@ -65,13 +124,22 @@ def connected_components(
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
 
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; labels are only partially propagated (graph diameter "
+            "exceeds max_iter). Increase max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(
         F.col("u").alias(node_out), F.col("label").alias(label_out)

@@ -107,17 +107,99 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
     )
 
 
-def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+def pil_available() -> bool:
+    """True when Pillow can be imported (optional dependency)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_media(
+    df: DataFrame,
+    codec: str = "fake",
+    kinds: tuple[str, ...] = ("image", "audio", "video"),
+) -> DataFrame:
     """Decode blobs to float pixel/sample arrays via mapInPandas.
 
-    codec="real" is the PIL/libav integration point — NOT available in
-    this container and explicitly stubbed."""
+    codec="real" decodes with real codecs where one exists:
+
+    - images via Pillow (optional dependency — when absent and
+      ``kinds`` includes "image", raises NotImplementedError at
+      CONSTRUCTION time, so the failure is a clear driver-side error,
+      not a mid-job executor crash; pass ``kinds=("audio",)`` to decode
+      audio-only frames without Pillow);
+    - PCM WAV audio via the stdlib ``wave`` module (always available);
+    - video raises NotImplementedError — libav/ffmpeg bindings are
+      genuinely absent from this environment.
+
+    codec="fake" (deterministic uint8 reinterpretation) exercises the
+    identical Spark plumbing with no codec dependency."""
     if codec == "real":
-        raise NotImplementedError(
-            "real image/audio codecs (PIL, libav) are not installed in "
-            "this environment; use codec='fake' (deterministic uint8 "
-            "reinterpretation) — the Spark plumbing is identical"
-        )
+        if "image" in kinds and not pil_available():
+            raise NotImplementedError(
+                "codec='real' image decode needs Pillow, which is not "
+                "installed; pass kinds=('audio',) for stdlib WAV decode, "
+                "or use codec='fake' (deterministic uint8 "
+                "reinterpretation) — the Spark plumbing is identical"
+            )
+        df = df.filter(F.col("kind").isin(*kinds))
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+            import wave
+
+            out_cols = [f.name for f in DECODED_SCHEMA]
+            for pdf in it:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    blob = bytes(r.data)
+                    if r.kind == "image":
+                        # executor-side import; guaranteed present by the
+                        # construction-time gate above
+                        from PIL import Image
+
+                        arr = (
+                            np.asarray(Image.open(io.BytesIO(blob)))
+                            .astype(np.float64)
+                            / 255.0
+                        )
+                        shape = list(arr.shape)
+                    elif r.kind == "audio":
+                        with wave.open(io.BytesIO(blob)) as w:
+                            raw = w.readframes(w.getnframes())
+                            width = w.getsampwidth()
+                            nch = w.getnchannels()
+                        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+                        if dtype is None:
+                            raise NotImplementedError(
+                                f"unsupported WAV sample width {width}"
+                            )
+                        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                        scale = float(2 ** (8 * width - 1))
+                        if dtype is np.uint8:  # 8-bit WAV is unsigned
+                            samples = samples - 128.0
+                            scale = 128.0
+                        arr = samples / scale
+                        shape = [len(samples) // nch, nch]
+                    else:
+                        raise NotImplementedError(
+                            "codec='real' video decode needs libav/ffmpeg "
+                            "bindings, which are not installed"
+                        )
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "kind": r.kind,
+                            "pixels": arr.ravel().tolist(),
+                            "shape": shape,
+                        }
+                    )
+                yield pd.DataFrame(out, columns=out_cols)
+
+        return df.mapInPandas(real_batches, DECODED_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -155,6 +155,7 @@ def blocked_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.15,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
     """All same-block vector pairs with cosine >= min_cosine, via a
     per-block numpy gram matrix (``applyInPandas``).
@@ -166,11 +167,18 @@ def blocked_neardup_pairs(
     computing U @ U.T vectorizes the same arithmetic (0.5s). This is
     also the 100 TB shape: one shuffle of N rows by block key, O(b^2)
     SIMD flops per block, and no |pairs|-row join materialization in
-    the plan. Block size must be bounded upstream (that is the job of
-    the blocking key: label here, LSH band/IVF cell for open-domain
-    corpora) — a pathological block makes one task O(b^2); AQE cannot
-    split a groupBy-applyInPandas group.
-    """
+    the plan.
+
+    Skew guard (ENFORCED, no truncation — r2 verdict item 2): AQE
+    cannot split a groupBy-applyInPandas group, so a pathological block
+    would otherwise run one O(b^2) task. Blocks larger than
+    ``max_block_rows`` are id-ordered into chunks of that size and the
+    gram matrix is computed TILE-wise: each (chunk_i, chunk_j) tile
+    (i <= j) is its own group, so no task touches more than a
+    max_block_rows^2 tile. Rows replicate to the n_chunks tiles they
+    participate in — O(b^2 / cap) rows moved per oversized block, the
+    same order as the pair output itself. Results are identical to the
+    unguarded path (asserted in tests/test_skew.py)."""
     import numpy as np
     import pandas as pd
 
@@ -178,15 +186,21 @@ def blocked_neardup_pairs(
         f"vec_a long, vec_b long, {block_col} long, cosine double"
     )
 
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"vec_a": [], "vec_b": [], block_col: [], "cosine": []}
+        )
+
+    def _normalized(pdf: "pd.DataFrame") -> "np.ndarray":
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return V / np.linalg.norm(V, axis=1, keepdims=True)
+
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], block_col: [], "cosine": []}
-            )
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+            return _empty()
+        U = _normalized(pdf)
         G = U @ U.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = G[ia, ib] >= min_cosine
@@ -200,6 +214,80 @@ def blocked_neardup_pairs(
             }
         )
 
-    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        gram, out_schema
+    base = df.select(id_col, vec_col, block_col)
+    wb = Window.partitionBy(block_col).orderBy(id_col)
+    chunked = (
+        base.withColumn("__rn", F.row_number().over(wb) - F.lit(1))
+        .withColumn(
+            "__nchunks",
+            F.ceil(
+                F.count(F.lit(1)).over(Window.partitionBy(block_col))
+                / F.lit(max_block_rows)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__chunk", (F.col("__rn") / F.lit(max_block_rows)).cast("int")
+        )
     )
+
+    small_pairs = (
+        chunked.filter(F.col("__nchunks") <= 1)
+        .select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(gram, out_schema)
+    )
+
+    # Oversized blocks: explode each row to every tile it belongs to.
+    # A row in chunk c is the A-side of tiles (c, c..n-1) and the B-side
+    # of tiles (0..c-1, c). Chunks are id-ordered, so every id in chunk
+    # i is < every id in chunk j for i < j — the (vec_a < vec_b) pair
+    # contract falls out of tile orientation with no per-pair compare.
+    a_tiles = F.transform(
+        F.sequence(F.col("__chunk"), F.col("__nchunks") - F.lit(1)),
+        lambda j: F.struct(F.col("__chunk").alias("ta"), j.alias("tb")),
+    )
+    b_tiles = F.when(
+        F.col("__chunk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__chunk") - F.lit(1)),
+            lambda i: F.struct(i.alias("ta"), F.col("__chunk").alias("tb")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ta:int,tb:int>>"))
+    tiled = (
+        chunked.filter(F.col("__nchunks") > 1)
+        .withColumn("__tile", F.explode(F.concat(a_tiles, b_tiles)))
+        .select(
+            id_col,
+            vec_col,
+            block_col,
+            F.col("__chunk"),
+            F.col("__tile.ta").alias("__ta"),
+            F.col("__tile.tb").alias("__tb"),
+        )
+    )
+
+    def tile_gram(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _, ta, tb = key
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        if ta == tb:
+            return gram(pdf.drop(columns=["__chunk", "__ta", "__tb"]))
+        a_pdf = pdf[pdf["__chunk"] == ta]
+        b_pdf = pdf[pdf["__chunk"] == tb]
+        if a_pdf.empty or b_pdf.empty:
+            return _empty()
+        Ua, Ub = _normalized(a_pdf), _normalized(b_pdf)
+        G = Ua @ Ub.T
+        ia, ib = np.nonzero(G >= min_cosine)
+        return pd.DataFrame(
+            {
+                "vec_a": a_pdf[id_col].to_numpy()[ia],
+                "vec_b": b_pdf[id_col].to_numpy()[ib],
+                block_col: pdf[block_col].iloc[0],
+                "cosine": np.round(G[ia, ib], 6),
+            }
+        )
+
+    big_pairs = tiled.groupBy(block_col, "__ta", "__tb").applyInPandas(
+        tile_gram, out_schema
+    )
+    return small_pairs.unionByName(big_pairs)

@@ -14,9 +14,11 @@ Here every derived quantity (max period, validation stats, smoothed
 MSE) is a window aggregate over the SAME partition keys, so the
 upstream is computed once, there is exactly one exchange for the tail
 (plus the final tiny crossing agg), and the operators keep reference
-semantics: validation slice = first 10% of periods with a >=2-period
-floor, sample std, rolling min of 3 with partial heads, min-index
-crossing with the 0 sentinel (visualization.py:80-94).
+semantics: validation slice = first int(n_periods * 0.1) periods
+(count-based, exactly the reference's `[:int(n*0.1)]`) with a
+>=2-period floor for tiny inputs, sample std, rolling min of 3 with
+partial heads, min-index crossing with the 0 sentinel
+(visualization.py:80-94).
 """
 
 from __future__ import annotations
@@ -44,9 +46,16 @@ def evaluation_tail(
         .orderBy(period_col)
         .rowsBetween(-(rolling_window - 1), 0)
     )
+    # Count-based validation slice, matching the reference's
+    # `values[:int(n_periods * 0.1)]` (visualization.py:80): with
+    # contiguous 0-based period_idx, n_periods = max_idx + 1 and the
+    # slice is period_idx < floor(n_periods * fraction). The
+    # greatest(2, ...) floor keeps >=2 validation rows on tiny inputs so
+    # stddev_samp is defined (sf0.001 has ~3 periods per key).
     maxp = F.max(period_col).over(wk)
-    val_cond = F.col(period_col) <= F.greatest(
-        F.lit(1), maxp * F.lit(validation_fraction)
+    val_cond = F.col(period_col) < F.greatest(
+        F.lit(2),
+        F.floor((maxp + F.lit(1)) * F.lit(validation_fraction)),
     )
     val_mse = F.when(val_cond, F.col(mse_col))
     thr = (

@@ -323,8 +323,14 @@ def m8_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "window_idx"], kind="mergesort")
         X = np.stack([np.asarray(w, dtype=np.float64) for w in pdf["window"]])
-        n_val = max(1, int(len(X) * 0.1))
-        X_train, X_val = X[:-n_val], X[-n_val:]
+        # Single-window clients: X[:-1] would empty the training set and
+        # autoencoder.train would see a 0-row matrix (NaN losses); train
+        # and validate on the same lone window instead.
+        if len(X) > 1:
+            n_val = max(1, int(len(X) * 0.1))
+            X_train, X_val = X[:-n_val], X[-n_val:]
+        else:
+            X_train, X_val = X, X
         out = []
         for cfg in trials:
             trained, _ = autoencoder.train(

@@ -38,16 +38,23 @@ HEADLINE = [
     "o4_top1_per_user",
     # text / dedup / similarity / ML families
     "d4_lsh_candidates",
+    "d8_dup_clusters",  # transitive-closure loop: rounds x O(|edges|) shuffle
     "d6_simhash",
     "s1_cosine_topk",
     "s2_ivf_ann",
     "t3_language_id",
+    "c1_corpus_curation",  # composed lang-ID + quality + dedup keeper path
     "m6_reconstruction_error",
     "m7_fft_mag",
+    # source round-trip: write reference's CSV layout, read through real reader
+    "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training
     # runtimes, so the bench shows ours at the same data scale
     "m2_lstm_train_loss",
     "m3_ae_train_loss",
+    # fn() construction runs FedAvg round 1 eagerly (driver-side round
+    # loop by design); timed here so BOTH rounds have a tracked number
+    "m9_fedavg_weights",
 ]
 
 

@@ -31,8 +31,9 @@ def _random_periods(seed: int, n_keys: int = 5, periods: int = 40):
 def _composed(df, validation_fraction=0.1):
     maxp = df.groupBy("key").agg(F.max("period_idx").alias("__maxp"))
     joined = df.join(F.broadcast(maxp), "key")
-    val = F.col("period_idx") <= F.greatest(
-        F.lit(1), F.col("__maxp") * validation_fraction
+    val = F.col("period_idx") < F.greatest(
+        F.lit(2),
+        F.floor((F.col("__maxp") + F.lit(1)) * validation_fraction),
     )
     thr = threshold.fit_threshold(
         joined.filter(val), "mse", n_std=4.0, keys=["key"]
@@ -49,6 +50,25 @@ def _composed(df, validation_fraction=0.1):
         idx_col="period_idx", keys=["key", "threshold"],
         out="first_anomaly_period",
     )
+
+
+def test_eval_tail_matches_reference_count_slice(spark):
+    """Threshold must come from the count-based validation slice
+    values[:int(n_periods*0.1)] (visualization.py:80) — not the
+    index-based `idx <= max_idx*0.1` form, which includes one extra
+    period whenever n*0.1 is fractional."""
+    pdf = _random_periods(7, n_keys=3, periods=40)
+    got = {
+        r.key: r.threshold
+        for r in evaluation_tail(
+            spark.createDataFrame(pdf), ["key"]
+        ).collect()
+    }
+    for k in range(3):
+        s = pdf[pdf.key == k].sort_values("period_idx")["mse"].to_numpy()
+        val = s[: int(len(s) * 0.1)]
+        exp = val.mean() + 4.0 * val.std(ddof=1)
+        np.testing.assert_allclose(got[k], exp, rtol=1e-9)
 
 
 def test_eval_tail_equals_operator_composition(spark):

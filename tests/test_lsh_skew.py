@@ -109,6 +109,90 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == expected
 
 
+def test_connected_components_string_ids(spark):
+    """String node ids (the natural pairing with lsh_candidate_pairs'
+    doc ids): summing a string column yields NULL, so the join-free
+    sum-convergence check must route through the surrogate-id path —
+    labels are the lexicographic min reachable id."""
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("hot0001", "hot0002"),
+            ("hot0002", "hot0003"),
+            ("doc0005", "hot0003"),
+            ("zz1", "zz2"),
+        ],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        "hot0001": "doc0005",
+        "hot0002": "doc0005",
+        "hot0003": "doc0005",
+        "doc0005": "doc0005",
+        "zz1": "zz1",
+        "zz2": "zz1",
+    }
+
+
+def test_connected_components_string_chain_matches_numeric(spark):
+    """Same topology under string and long ids must produce the same
+    clusters (after mapping labels back to node sets)."""
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(0, 1), (1, 2), (4, 5), (7, 2)]
+    num = connected_components(
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ).collect()
+    s = connected_components(
+        spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in edges], "doc_a string, doc_b string"
+        )
+    ).collect()
+
+    def clusters(rows):
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r.cluster_id, set()).add(str(r.doc_id))
+        return {frozenset(v) for v in by_label.values()}
+
+    assert clusters(num) == {
+        frozenset(s_mem) for s_mem in [{"0", "1", "2", "7"}, {"4", "5"}]
+    }
+    assert clusters(s) == {
+        frozenset({"n0", "n1", "n2", "n7"}),
+        frozenset({"n4", "n5"}),
+    }
+
+
+def test_connected_components_warns_on_max_iter_exhaustion(spark):
+    """A diameter-21 path with max_iter=3 cannot converge; the partial
+    result must be accompanied by a RuntimeWarning, not silence."""
+    import warnings as _w
+
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(pairs, max_iter=3).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
+        for w in rec
+    )
+
+
 def test_lsh_pairs_match_bruteforce_banding(spark):
     """Random signatures: lsh_candidate_pairs == the naive banded
     self-join computed in pandas."""

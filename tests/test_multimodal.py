@@ -46,9 +46,79 @@ def test_fake_decode_roundtrip(media):
         assert r.shape == [len(raw) // w, w]
 
 
-def test_real_codec_is_explicit_stub(media):
+def test_real_codec_raises_cleanly_without_pil(media):
+    """When Pillow is absent, codec='real' must fail at CONSTRUCTION
+    with an explicit NotImplementedError (not a mid-job executor
+    ImportError). Skipped where Pillow exists — the decode tests below
+    cover that environment."""
+    if multimodal.pil_available():
+        pytest.skip("Pillow installed; construction-time guard inactive")
     with pytest.raises(NotImplementedError, match="not installed"):
         multimodal.decode_media(media, codec="real")
+
+
+def test_real_codec_decodes_png(spark):
+    """Real PIL decode of an in-memory PNG — skipped (not failed) where
+    Pillow is not installed."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    rng = np.random.default_rng(5)
+    img_arr = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img_arr, mode="L").save(buf, format="PNG")
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 1,
+                    "kind": "image",
+                    "data": bytearray(buf.getvalue()),
+                    "meta": (5, 4, 1, 0, 1, "png"),
+                }
+            ]
+        ),
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.decode_media(media, codec="real").collect()
+    assert len(rows) == 1
+    assert rows[0].shape == [4, 5]
+    np.testing.assert_allclose(
+        rows[0].pixels, img_arr.ravel() / 255.0, rtol=1e-12
+    )
+
+
+def test_real_codec_decodes_wav(spark):
+    """PCM WAV decode uses the stdlib wave module — no optional deps,
+    always runs."""
+    import io
+    import wave
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 2,
+                    "kind": "audio",
+                    "data": bytearray(buf.getvalue()),
+                    "meta": (0, 0, 1, 8000, 0, "wav"),
+                }
+            ]
+        ),
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.decode_media(
+        media, codec="real", kinds=("audio",)
+    ).collect()
+    assert rows[0].shape == [6, 1]
+    np.testing.assert_allclose(rows[0].pixels, samples / 32768.0, rtol=1e-12)
 
 
 def test_resize_nearest(spark, media):

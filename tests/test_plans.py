@@ -80,7 +80,18 @@ def test_d3_no_shingle_filter_below_shuffle(spark, sf_dir):
     pushdown substitutes the signature pipeline into the predicate and
     sinks it below the exchange, the whole tokenize->shingle->digest
     chain re-runs on the scan's (few) splits — a ~8x regression on a
-    single-split corpus file (see minhash_signature_arrays)."""
+    single-split corpus file (see minhash_signature_arrays).
+
+    SPARK-VERSION PIN: the guard in minhash_signature_arrays is a
+    non-deterministic `rand() < -1` conjunct whose only job is to make
+    the Catalyst rule PushPredicateThroughNonJoin (and its AQE
+    re-optimization pass) classify the filter as non-pushable —
+    deterministic predicates get pushed below RepartitionByExpression
+    by that rule. Verified against Spark 4.1.x (see README "Spark
+    version"). If this assert fires after a Spark upgrade, the
+    optimizer likely started pushing (or folding) the rand() conjunct:
+    re-pin the trick (options: barrier via localCheckpoint, or a
+    python-free non-deterministic expr the new version respects)."""
     df = REGISTRY["d3_minhash_signatures"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     below_exchange = plan.split("RepartitionByExpression", 1)[1]

@@ -108,3 +108,64 @@ def test_salt_spreads_duplicate_rows(spark):
     with_salt = df.withColumn("__salt", salt_column(df, 16, ["k"]))
     buckets = with_salt.select("__salt").distinct().count()
     assert buckets >= 6  # one bucket per upstream partition at minimum
+
+
+# --- blocked_neardup_pairs tile guard (r2 verdict item 2) --------------------
+
+def _block_vectors(seed=17):
+    """One pathological 50-vector block, one small block, one singleton."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(50):
+        base = rng.normal(size=8)
+        # clusters of near-identical vectors so plenty of pairs pass
+        if i % 5 == 0:
+            base = np.ones(8) + rng.normal(scale=0.01, size=8)
+        rows.append({"vec_id": i, "label": 1, "embedding": base.tolist()})
+    for i in range(4):
+        rows.append(
+            {"vec_id": 100 + i, "label": 2,
+             "embedding": rng.normal(size=8).tolist()}
+        )
+    rows.append({"vec_id": 200, "label": 3,
+                 "embedding": rng.normal(size=8).tolist()})
+    return pd.DataFrame(rows)
+
+
+def test_blocked_neardup_guard_matches_unguarded(spark):
+    """A block far larger than max_block_rows must produce EXACTLY the
+    same pairs through the tiled path as through one gram matrix."""
+    from anomaly_detection_iiot_spark.operators.similarity import (
+        blocked_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(_block_vectors())
+    guarded = blocked_neardup_pairs(df, min_cosine=0.1, max_block_rows=8)
+    unguarded = blocked_neardup_pairs(df, min_cosine=0.1, max_block_rows=10**9)
+    a = sorted(map(tuple, guarded.collect()))
+    b = sorted(map(tuple, unguarded.collect()))
+    assert a == b
+    assert len(a) > 50  # the pathological block actually generated pairs
+
+
+def test_blocked_neardup_tile_boundaries(spark):
+    """Pairs that straddle a chunk boundary (off-diagonal tiles) must
+    appear exactly once with vec_a < vec_b."""
+    from anomaly_detection_iiot_spark.operators.similarity import (
+        blocked_neardup_pairs,
+    )
+
+    # 10 identical vectors -> all 45 pairs, chunk size 3 -> 4 chunks
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(10),
+            "label": [7] * 10,
+            "embedding": [[1.0, 2.0, 3.0]] * 10,
+        }
+    )
+    got = blocked_neardup_pairs(
+        spark.createDataFrame(pdf), min_cosine=0.5, max_block_rows=3
+    ).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert len(got) == 45 and len(pairs) == 45
+    assert all(a < b for a, b in pairs)
