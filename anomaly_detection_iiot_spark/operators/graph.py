@@ -59,7 +59,15 @@ def connected_components(
     string ids). Deterministic. Warns if ``max_iter`` rounds elapse
     without reaching the fixpoint (labels then only partially
     propagated — raise ``max_iter`` for graphs of larger diameter)."""
-    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Eager localCheckpoint FIRST: fwd feeds both union branches below
+    # (and, on the surrogate path, the mapping build plus two joins) —
+    # without freezing it, every consumer re-executes the full upstream
+    # pair pipeline (for the dedup chain, the tokenize→shingle→
+    # self-join Jaccard plan ran twice; measured 3.5s→1.2s edge setup
+    # at sf0.1).
+    fwd = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=True)
     node_type = dict(fwd.dtypes)["u"]
     if not node_type.startswith(_NUMERIC_PREFIXES):
         # Surrogate-id path: CC over dense longs, then map back and take
@@ -69,7 +77,8 @@ def connected_components(
         # Eager localCheckpoint (not persist): monotonically_increasing_id
         # is nondeterministic under recomputation, and the result's
         # lineage reads `mapping` twice (edge build + final map-back) —
-        # the ids must be frozen, not recomputable.
+        # the ids must be frozen, not recomputable. fwd is already
+        # checkpointed, so this job is edge-count-sized.
         mapping = (
             fwd.select("u")
             .unionByName(fwd.select(F.col("v").alias("u")))
@@ -92,24 +101,36 @@ def connected_components(
             F.col("u").alias(node_out), label_out
         )
 
+    # Eager localCheckpoint, not persist: every loop action would
+    # otherwise re-OPTIMIZE the full upstream lineage each round.
+    # Checkpointing freezes edges into in-memory blocks with an empty
+    # plan; the job is edge-count-sized (fwd is already frozen).
     edges = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     labels = labels.persist()
     # Convergence scalar: labels are monotonically non-increasing per
     # node, so sum(label) is strictly decreasing until the fixpoint —
-    # an equal sum between rounds IS convergence. One agg action per
-    # round, no label-vs-label join. Summed as decimal(38,0) so huge id
-    # spaces (e.g. monotonically_increasing_id's partition-shifted
-    # longs) cannot overflow bigint and corrupt the check.
+    # an equal sum between CHECKS is convergence. Summed as
+    # decimal(38,0) so huge id spaces (e.g.
+    # monotonically_increasing_id's partition-shifted longs) cannot
+    # overflow bigint and corrupt the check. Checks run every TWO
+    # propagation steps (equal sums over a double step ⟺ neither step
+    # changed anything, since the sum is monotone): driver actions are
+    # the dominant per-round cost for small label frames, and a check
+    # per step would double them.
     def _label_sum(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    # No initial sum action: the first check compares against None
+    # (never equal), saving one driver round-trip on every invocation.
+    prev_sum = None
     converged = False
+    steps_per_check = 2
+    persisted = labels  # last MATERIALIZED label frame (cache anchor)
 
     for it in range(max_iter):
         msgs = (
@@ -123,14 +144,17 @@ def connected_components(
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        new_sum = _label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+        if (it + 1) % steps_per_check == 0 or it == max_iter - 1:
+            new_labels = new_labels.persist()
+            new_sum = _label_sum(new_labels)
+            persisted.unpersist()
+            persisted = labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+        else:
+            labels = new_labels  # lazy intermediate; checked next step
 
     if not converged:
         warnings.warn(
