@@ -32,28 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Cache ownership for the intra-query persists below (LSH buckets,
-# Jaccard shingles). These frames must stay cached while the RETURNED
-# lazy DataFrame is alive (the caller decides when to materialize), so
-# the functions cannot unpersist before returning. Instead each call
-# releases the cache its PREVIOUS invocation created — repeated
-# invocations in one session (bench's min-of-3 loop, d8 re-calling the
-# verify step) hold at most one live cache per site instead of
-# accumulating for the session lifetime. Unpersist is a performance
-# hint, not a correctness event: a still-referenced old result simply
-# recomputes.
-_OWNED_CACHES: dict[str, DataFrame] = {}
-
-
-def _replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
-    prev = _OWNED_CACHES.get(site)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session torn down between calls
-    cached = frame.persist()
-    _OWNED_CACHES[site] = cached
-    return cached
+# Jaccard shingles): see operators/cache.py — each call site releases
+# the cache its previous invocation created.
+from .cache import replace_owned_cache as _replace_owned_cache
 
 
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..ml.autoencoder import Weights
 from ..ml.scoring import score_windows
 from ..operators import normalize, resample, windowing
+from ..operators.cache import replace_owned_cache
 from ..sources import bearing
 from .eval_tail import evaluation_tail
 
@@ -59,7 +60,8 @@ def bearing_anomaly_report(
     # resample chain once per branch. This mirrors the reference, which
     # also persists its resampled table as a derived artifact
     # (resampler.py:27-39 writes "<exp>_<rate>.csv"; SURVEY §4).
-    resampled = resampled.persist()
+    # Ownership: the next invocation releases this cache (cache.py).
+    resampled = replace_owned_cache("bearing_resampled", resampled)
     normalized = normalize.standard_scale(
         resampled, "value", keys=KEYS, out="v",
     )

@@ -169,3 +169,50 @@ def test_blocked_neardup_tile_boundaries(spark):
     pairs = {(r.vec_a, r.vec_b) for r in got}
     assert len(got) == 45 and len(pairs) == 45
     assert all(a < b for a, b in pairs)
+
+
+def test_owned_caches_do_not_accumulate(spark):
+    """Repeated invocations of cache-owning operators (bench's
+    min-of-3 loop shape) must hold at most one live cache per site —
+    not one per call (ADVICE r2)."""
+    from anomaly_detection_iiot_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature_arrays, shingle_array,
+        tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(40), "text": [f"tok{i % 7} a b c d" for i in range(40)]}
+        )
+    )
+    sigs = minhash_signature_arrays(shingle_array(tokenize(docs), n=2))
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    lsh_candidate_pairs(sigs).count()
+    after_first = n_cached()
+    for _ in range(3):
+        lsh_candidate_pairs(sigs).count()
+    assert n_cached() <= after_first
+
+
+def test_owned_cache_same_plan_reused_different_plan_replaced(spark):
+    from anomaly_detection_iiot_spark.operators.cache import (
+        replace_owned_cache,
+    )
+
+    a = spark.range(100).selectExpr("id", "id * 2 AS v")
+    first = replace_owned_cache("test_site", a)
+    first.count()
+    # identical plan -> the SAME cached frame comes back
+    again = replace_owned_cache(
+        "test_site", spark.range(100).selectExpr("id", "id * 2 AS v")
+    )
+    assert again is first
+    # different plan -> replaced (and old cache released)
+    other = replace_owned_cache(
+        "test_site", spark.range(50).selectExpr("id", "id * 3 AS v")
+    )
+    assert other is not first
+    assert other.count() == 50
