@@ -29,7 +29,7 @@ def mm1_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM1_SQL = f"""
 SELECT {_KIND_SQL} AS kind,
        count(*) AS n_media,
-       sum({_NBYTES_SQL}) AS total_bytes,
+       CAST(sum({_NBYTES_SQL}) AS BIGINT) AS total_bytes,
        round(avg({_NBYTES_SQL} % 32 + 1), 6) AS avg_width,
        round(avg({_NBYTES_SQL} % 50 + 10), 6) AS avg_frames
 FROM documents GROUP BY 1

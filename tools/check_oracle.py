@@ -50,7 +50,24 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class mirroring what the driver's value hash is
+    sensitive to: an int64 Spark sum vs a float64 DuckDB HUGEINT sum
+    hashes differently even when every value matches (the mm1 r3 miss)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def compare(
+    spark_pd: pd.DataFrame, duck_pd: pd.DataFrame, strict_dtype: bool = True
+) -> list[str]:
     problems = []
     if len(spark_pd) != len(duck_pd):
         problems.append(f"rowcount spark={len(spark_pd)} duck={len(duck_pd)}")
@@ -61,6 +78,14 @@ def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     a, b = canonical(spark_pd), canonical(duck_pd)
+    if strict_dtype:
+        for c in a.columns:
+            ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
+            if ka != kb:
+                problems.append(
+                    f"dtype col {c}: spark={a[c].dtype} ({ka}) vs "
+                    f"duck={b[c].dtype} ({kb}) — driver hash would mismatch"
+                )
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
