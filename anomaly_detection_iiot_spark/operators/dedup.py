@@ -192,19 +192,17 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _lsh_pair_branches(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket_expand: int = 64,
-    _return_branches: bool = False,
-) -> DataFrame:
-    """Band the signature, bucket docs sharing any band value, expand
-    each bucket's (doc_a < doc_b) pairs. Returns distinct pairs
-    (``_return_branches=True`` is a test hook returning the raw
-    (small_pairs, big_pairs) branch frames pre-distinct, so skew tests
-    can measure pairs-per-task of the expansion stage itself).
+) -> tuple[DataFrame, DataFrame]:
+    """Raw (small_pairs, big_pairs) expansion branches pre-distinct —
+    the private building block of ``lsh_candidate_pairs``, imported
+    directly by skew tests that measure pairs-per-task of the
+    expansion stage itself.
 
     Deliberately NOT a self-join: a self-join on the banded frame makes
     Spark compute the whole shingle→minhash pipeline twice (no exchange
@@ -278,8 +276,22 @@ def lsh_candidate_pairs(
         )
         .select("doc_a", F.explode("rest").alias("doc_b"))
     )
-    if _return_branches:
-        return small_pairs, big_pairs
+    return small_pairs, big_pairs
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_expand: int = 64,
+) -> DataFrame:
+    """Distinct LSH candidate pairs: band the signature, bucket docs
+    sharing any band value, expand each bucket's (doc_a < doc_b) pairs
+    with the two-phase skew guard (see ``_lsh_pair_branches``)."""
+    small_pairs, big_pairs = _lsh_pair_branches(
+        signatures, id_col, num_hashes, band_size, max_bucket_expand
+    )
     return small_pairs.unionByName(big_pairs).distinct()
 
 

@@ -20,10 +20,12 @@ join tree).
 Convergence is detected with a driver-side scalar (sum of labels) — a
 per-round KB-scale collect, the Spark-idiomatic shape for iterative
 algorithms (SURVEY §4: "FedAvg — driver-side algorithm"). The sum trick
-requires NUMERIC node ids (summing strings yields NULL and would fake
-instant convergence), so non-numeric ids are first mapped to dense
-surrogate longs via ``monotonically_increasing_id`` and mapped back at
-the end — the per-round loop stays join-free either way.
+requires INTEGER node ids (strings sum to NULL and would fake instant
+convergence; fractional float/decimal labels could round to an
+unchanged decimal(38,0) sum and stop early), so all other id types are
+first mapped to dense surrogate longs via
+``monotonically_increasing_id`` and mapped back at the end — the
+per-round loop stays join-free either way.
 """
 
 from __future__ import annotations
@@ -33,15 +35,12 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC_PREFIXES = (
-    "tinyint",
-    "smallint",
-    "int",
-    "bigint",
-    "float",
-    "double",
-    "decimal",
-)
+# Only INTEGER ids may take the direct sum-convergence path: the scalar
+# casts labels to decimal(38,0), so a fractional (float/double/decimal-
+# with-scale) label change, e.g. 2.9 -> 2.6, could round to an unchanged
+# sum and report convergence prematurely. Non-integer ids go through the
+# surrogate-long path instead, which is exact for every id type.
+_INTEGER_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
 
 
 def connected_components(
@@ -69,7 +68,7 @@ def connected_components(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint(eager=True)
     node_type = dict(fwd.dtypes)["u"]
-    if not node_type.startswith(_NUMERIC_PREFIXES):
+    if node_type not in _INTEGER_TYPES:
         # Surrogate-id path: CC over dense longs, then map back and take
         # min ORIGINAL id per cluster so the public label contract
         # (smallest reachable node id) holds for strings too. Two extra
@@ -164,7 +163,9 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
+    # edges/fwd/mapping are localCheckpoint blocks, not persist() caches:
+    # there is no public eager-free API for them; the ContextCleaner GCs
+    # the blocks once the frames fall out of scope after return.
     return labels.select(
         F.col("u").alias(node_out), F.col("label").alias(label_out)
     )

@@ -9,11 +9,14 @@ storage bucket of it) and cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
 frames fits executor memory at 100 TB.
 
-The actual image/audio codecs are NOT in this container. The codec
-boundary is explicit:
+The codec boundary is explicit:
 
-- ``decode_media(df, codec="real")`` raises NotImplementedError — the
-  integration point for PIL/libav when available;
+- ``decode_media(df, codec="real")`` decodes images (Pillow), PCM WAV
+  audio (stdlib ``wave``), and MJPEG-style video — a blob of
+  concatenated JPEG frames split on SOI markers, each frame decoded
+  via the same Pillow path. Pillow is optional: when absent and
+  ``kinds`` touches image/video, construction raises
+  NotImplementedError driver-side (never a mid-job executor crash).
 - ``codec="fake"`` (default here, used by tests) decodes
   deterministically: the blob bytes are interpreted as uint8 and
   reshaped per the meta struct — schema, batch shape, and everything
@@ -117,6 +120,26 @@ def pil_available() -> bool:
         return False
 
 
+_JPEG_SOI = b"\xff\xd8\xff"
+
+
+def split_mjpeg_frames(blob: bytes) -> list[bytes]:
+    """Split an MJPEG-style blob (concatenated JPEG images) into
+    per-frame byte strings by scanning for SOI markers (FFD8FF).
+    Pure bytes logic — safe because within JPEG entropy-coded data a
+    0xFF byte is always stuffed with 0x00 or an RST marker (D0-D7),
+    so the three-byte SOI sequence only occurs at a frame start."""
+    starts = []
+    i = blob.find(_JPEG_SOI)
+    while i != -1:
+        starts.append(i)
+        i = blob.find(_JPEG_SOI, i + 2)
+    if not starts:
+        raise ValueError("no JPEG SOI marker found in video blob")
+    bounds = starts + [len(blob)]
+    return [blob[bounds[k]:bounds[k + 1]] for k in range(len(starts))]
+
+
 def decode_media(
     df: DataFrame,
     codec: str = "fake",
@@ -127,23 +150,25 @@ def decode_media(
     codec="real" decodes with real codecs where one exists:
 
     - images via Pillow (optional dependency — when absent and
-      ``kinds`` includes "image", raises NotImplementedError at
-      CONSTRUCTION time, so the failure is a clear driver-side error,
-      not a mid-job executor crash; pass ``kinds=("audio",)`` to decode
-      audio-only frames without Pillow);
+      ``kinds`` touches "image" or "video", raises NotImplementedError
+      at CONSTRUCTION time, so the failure is a clear driver-side
+      error, not a mid-job executor crash; pass ``kinds=("audio",)``
+      to decode audio without Pillow);
     - PCM WAV audio via the stdlib ``wave`` module (always available);
-    - video raises NotImplementedError — libav/ffmpeg bindings are
-      genuinely absent from this environment.
+    - MJPEG-style video — concatenated JPEG frames split on SOI
+      markers (``split_mjpeg_frames``), each frame decoded via the
+      same Pillow path, stacked to a (n_frames, h, w[, c]) tensor.
 
     codec="fake" (deterministic uint8 reinterpretation) exercises the
     identical Spark plumbing with no codec dependency."""
     if codec == "real":
-        if "image" in kinds and not pil_available():
+        needs_pil = {"image", "video"} & set(kinds)
+        if needs_pil and not pil_available():
             raise NotImplementedError(
-                "codec='real' image decode needs Pillow, which is not "
-                "installed; pass kinds=('audio',) for stdlib WAV decode, "
-                "or use codec='fake' (deterministic uint8 "
-                "reinterpretation) — the Spark plumbing is identical"
+                f"codec='real' {'/'.join(sorted(needs_pil))} decode needs "
+                "Pillow, which is not installed; pass kinds=('audio',) for "
+                "stdlib WAV decode, or use codec='fake' (deterministic "
+                "uint8 reinterpretation) — the Spark plumbing is identical"
             )
         df = df.filter(F.col("kind").isin(*kinds))
 
@@ -184,11 +209,18 @@ def decode_media(
                             scale = 128.0
                         arr = samples / scale
                         shape = [len(samples) // nch, nch]
-                    else:
-                        raise NotImplementedError(
-                            "codec='real' video decode needs libav/ffmpeg "
-                            "bindings, which are not installed"
-                        )
+                    else:  # video: MJPEG-style concatenated JPEGs
+                        from PIL import Image
+
+                        frames = [
+                            np.asarray(Image.open(io.BytesIO(fb))).astype(
+                                np.float64
+                            )
+                            / 255.0
+                            for fb in split_mjpeg_frames(blob)
+                        ]
+                        arr = np.stack(frames)
+                        shape = list(arr.shape)
                     out.append(
                         {
                             "media_id": r.media_id,

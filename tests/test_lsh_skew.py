@@ -239,3 +239,23 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(pairs).collect()
     assert len(got) == 21
     assert {r.cluster_id for r in got} == {0}
+
+
+def test_connected_components_fractional_ids_fully_propagate(spark):
+    """ADVICE r3 (medium): double ids whose labels all round to the SAME
+    decimal(38,0) value (3.0..3.3 -> 3) would fake sum-convergence after
+    two checks on the old direct-numeric path, leaving a diameter-6
+    chain only partially propagated. Doubles must route through the
+    surrogate-long path and propagate exactly."""
+    from anomaly_detection_iiot_spark.operators.graph import (
+        connected_components,
+    )
+
+    ids = [3.0, 3.05, 3.1, 3.15, 3.2, 3.25, 3.3]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "doc_a double, doc_b double"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 3.0 for i in ids}

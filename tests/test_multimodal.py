@@ -159,3 +159,63 @@ def test_sample_frames(media):
         if mid % 3 == 2
     }
     assert vids == expected
+
+
+def test_split_mjpeg_frames_pure_bytes():
+    """Marker-based MJPEG splitting is pure bytes logic — testable
+    without Pillow. Payloads avoid the 3-byte SOI sequence, as real
+    entropy-coded JPEG data does (0xFF is always stuffed)."""
+    f1 = b"\xff\xd8\xff\xe0" + b"frame-one-payload" + b"\xff\xd9"
+    f2 = b"\xff\xd8\xff\xdb" + b"\x00" * 9 + b"\xff\xd9"
+    f3 = b"\xff\xd8\xff\xc0" + b"tail" + b"\xff\xd9"
+    assert multimodal.split_mjpeg_frames(f1 + f2 + f3) == [f1, f2, f3]
+    assert multimodal.split_mjpeg_frames(f2) == [f2]
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.split_mjpeg_frames(b"not a jpeg at all")
+
+
+def test_real_codec_video_gate_without_pil(media):
+    """ADVICE r3: kinds including 'video' must fail at CONSTRUCTION
+    when Pillow is absent — never mid-job in an executor."""
+    if multimodal.pil_available():
+        pytest.skip("Pillow installed; construction-time guard inactive")
+    with pytest.raises(NotImplementedError, match="not installed"):
+        multimodal.decode_media(media, codec="real", kinds=("video",))
+
+
+def test_real_codec_decodes_mjpeg_video(spark):
+    """Real MJPEG-style video decode: concatenated Pillow-encoded JPEG
+    frames split on SOI and stacked to (n_frames, h, w). Skipped (not
+    failed) where Pillow is absent."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    # uniform-gray frames survive JPEG's lossy round-trip almost exactly
+    levels = [40, 128, 220]
+    frames = []
+    for lv in levels:
+        buf = io.BytesIO()
+        arr = np.full((6, 8), lv, dtype=np.uint8)
+        PIL.Image.fromarray(arr, mode="L").save(buf, format="JPEG", quality=95)
+        frames.append(buf.getvalue())
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 7,
+                    "kind": "video",
+                    "data": bytearray(b"".join(frames)),
+                    "meta": (8, 6, 1, 0, len(levels), "mjpeg"),
+                }
+            ]
+        ),
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.decode_media(
+        media, codec="real", kinds=("video",)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].shape == [3, 6, 8]
+    got = np.asarray(rows[0].pixels).reshape(3, 6, 8)
+    for k, lv in enumerate(levels):
+        np.testing.assert_allclose(got[k], lv / 255.0, atol=0.02)

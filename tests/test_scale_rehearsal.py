@@ -56,8 +56,8 @@ def test_hot_band_expansion_is_balanced(spark, hot_signatures):
     median across the round-robin partitions (the guard's whole point —
     without it the hot band is ONE task doing all 319k pairs)."""
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    _small, big = dedup.lsh_candidate_pairs(
-        hot_signatures, max_bucket_expand=64, _return_branches=True
+    _small, big = dedup._lsh_pair_branches(
+        hot_signatures, max_bucket_expand=64
     )
     dist = (
         big.withColumn("pid", F.spark_partition_id())
