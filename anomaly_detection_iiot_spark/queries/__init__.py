@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "d4_lsh_candidates",      # lsh_candidate_pairs branch-helper refactor
     "d5_ngram_jaccard",       # consumes lsh_candidate_pairs output
     "a12_approx_aggregates",  # exact columns split out to a real oracle
+    "a13_exact_distinct_quantiles",  # NEW in r4: the oracle-backed half
     # changed in round 3 after their last driver row (r2-era)
     "d7_embedding_neardup",   # tiled gram matrix
     "d1_exact_dedup",

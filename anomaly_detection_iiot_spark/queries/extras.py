@@ -113,15 +113,40 @@ def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "approx_users",
-        "exact_users",
         F.round(
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users"),
             6,
         ).alias("distinct_rel_err"),
         F.round("approx_p50", 6).alias("approx_p50"),
-        F.round("exact_p50", 6).alias("exact_p50"),
+        F.round(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.abs(F.col("exact_p50")),
+            6,
+        ).alias("p50_rel_err"),
     )
+
+
+# --- A13: the EXACT half of A12, oracle-checked (VERDICT r3 item 7) -----------
+
+def a13_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(distinct) + exact interpolated median per group —
+    the DuckDB-reproducible columns split out of a12 so only the sketch
+    estimates stay rows-only (their accuracy contract lives in
+    tests/test_extras.py)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+    )
+
+
+A13_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50
+FROM events GROUP BY 1
+"""
 
 
 EXTRA_QUERIES: list[QuerySpec] = [
@@ -133,4 +158,7 @@ EXTRA_QUERIES: list[QuerySpec] = [
               "A6 describe()-style summary statistics (baseline.py:268)"),
     QuerySpec("a12_approx_aggregates", a12_approx_aggregates, None,
               "HLL distinct + t-digest quantiles with materialized error"),
+    QuerySpec("a13_exact_distinct_quantiles", a13_exact_distinct_quantiles,
+              A13_SQL, "exact distinct + median (the oracle-checkable half "
+              "of a12)"),
 ]
