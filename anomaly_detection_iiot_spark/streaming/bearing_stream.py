@@ -37,10 +37,13 @@ def snapshot_mse_stream(
     n_cols: int,
     period: str = "1 minute",
     watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming S1/S2 → P11 → A2: per-channel tumbling-window mean
-    square over an arriving snapshot directory."""
-    snap = stream_snapshot_dir(spark, path, n_cols)
+    square over an arriving snapshot directory.
+    ``max_files_per_trigger`` caps source files per micro-batch (also
+    respected by availableNow drains), forcing a multi-batch run."""
+    snap = stream_snapshot_dir(spark, path, n_cols, max_files_per_trigger)
     pairs = ", ".join(f"'{i}', c{i}" for i in range(n_cols))
     long = snap.select(
         "file_ts",
@@ -64,10 +67,13 @@ def snapshot_anomaly_episodes_stream(
     period: str = "1 minute",
     gap: str = "2 minutes",
     watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The full chain in ONE streaming query: windowed MSE → threshold
     → session-window episodes (two stateful operators)."""
-    mse = snapshot_mse_stream(spark, path, n_cols, period, watermark)
+    mse = snapshot_mse_stream(
+        spark, path, n_cols, period, watermark, max_files_per_trigger
+    )
     return (
         mse.filter(F.col("mse") > threshold)
         .groupBy(
