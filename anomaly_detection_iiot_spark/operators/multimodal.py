@@ -120,24 +120,65 @@ def pil_available() -> bool:
         return False
 
 
-_JPEG_SOI = b"\xff\xd8\xff"
-
-
 def split_mjpeg_frames(blob: bytes) -> list[bytes]:
     """Split an MJPEG-style blob (concatenated JPEG images) into
-    per-frame byte strings by scanning for SOI markers (FFD8FF).
-    Pure bytes logic — safe because within JPEG entropy-coded data a
-    0xFF byte is always stuffed with 0x00 or an RST marker (D0-D7),
-    so the three-byte SOI sequence only occurs at a frame start."""
-    starts = []
-    i = blob.find(_JPEG_SOI)
-    while i != -1:
-        starts.append(i)
-        i = blob.find(_JPEG_SOI, i + 2)
-    if not starts:
+    per-frame byte strings by walking JPEG marker segments.
+
+    Pure bytes logic. Each frame is parsed from its SOI (FFD8) to its
+    EOI (FFD9): length-prefixed segments (APPn/DQT/SOF/DHT/SOS headers)
+    are skipped by their declared length — so an EXIF thumbnail (a full
+    JPEG embedded in an APP1 payload) cannot cause a false split — and
+    entropy-coded data after SOS is scanned for the next real marker
+    (within entropy data a 0xFF is always stuffed with 0x00 or a
+    restart marker D0-D7, so anything else terminates the scan)."""
+    frames: list[bytes] = []
+    i, n = 0, len(blob)
+    while i < n:
+        if blob[i:i + 2] != b"\xff\xd8":
+            raise ValueError(
+                f"expected JPEG SOI marker at offset {i} in video blob"
+            )
+        start = i
+        j = i + 2
+        while True:
+            if j + 1 >= n or blob[j] != 0xFF:
+                raise ValueError(
+                    f"corrupt JPEG: expected marker at offset {j}"
+                )
+            marker = blob[j + 1]
+            if marker == 0xFF:  # fill byte before a marker — resync
+                j += 1
+                continue
+            if marker == 0xD9:  # EOI — frame complete
+                j += 2
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                j += 2
+                continue
+            if j + 3 >= n:
+                raise ValueError("truncated JPEG segment header")
+            seglen = int.from_bytes(blob[j + 2:j + 4], "big")
+            is_sos = marker == 0xDA
+            j += 2 + seglen
+            if is_sos:
+                # entropy-coded scan: skip stuffed FF00 / restart markers
+                while True:
+                    k = blob.find(b"\xff", j)
+                    if k == -1 or k + 1 >= n:
+                        raise ValueError(
+                            "unterminated entropy-coded JPEG scan"
+                        )
+                    nxt = blob[k + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        j = k + 2
+                        continue
+                    j = k
+                    break
+        frames.append(blob[start:j])
+        i = j
+    if not frames:
         raise ValueError("no JPEG SOI marker found in video blob")
-    bounds = starts + [len(blob)]
-    return [blob[bounds[k]:bounds[k + 1]] for k in range(len(starts))]
+    return frames
 
 
 def decode_media(

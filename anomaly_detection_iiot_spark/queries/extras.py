@@ -119,9 +119,12 @@ def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("distinct_rel_err"),
         F.round("approx_p50", 6).alias("approx_p50"),
+        # greatest(|exact|, 1e-12) so a group whose exact median is 0
+        # yields a (large) finite error, not NULL from 0-division
+        # (ADVICE r4) — the test's `err <= tol` then fails loudly
         F.round(
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.abs(F.col("exact_p50")),
+            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-12)),
             6,
         ).alias("p50_rel_err"),
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -101,13 +102,20 @@ def _bearing_stream_dir() -> str:
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
+    # Build in a scratch dir and rename into place, so a crash mid-build
+    # can't leave a half-linked dir whose os.link calls then raise
+    # FileExistsError on every retry (ADVICE r4).
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     for f in os.listdir(src):
         if not f.startswith("."):
-            os.link(os.path.join(src, f), os.path.join(out, f))
-    with open(os.path.join(out, "2004.02.12.11.30.00"), "w") as fh:
+            os.link(os.path.join(src, f), os.path.join(tmp, f))
+    with open(os.path.join(tmp, "2004.02.12.11.30.00"), "w") as fh:
         fh.write("0.0\t0.0\t0.0\t0.0\n")
-    open(marker, "w").close()
+    open(os.path.join(tmp, ".complete"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
     return out
 
 

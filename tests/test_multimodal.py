@@ -161,17 +161,43 @@ def test_sample_frames(media):
     assert vids == expected
 
 
+def _fake_jpeg(*, app1_payload: bytes = b"", entropy: bytes = b"\x01\x02\x03") -> bytes:
+    """Build a structurally valid minimal JPEG: SOI, optional APP1
+    (length-prefixed — where EXIF thumbnails live), an SOS header, raw
+    entropy bytes, EOI. `entropy` must not contain a bare 0xFF followed
+    by a non-stuffing byte (real encoders guarantee this by stuffing)."""
+    parts = [b"\xff\xd8"]
+    if app1_payload:
+        parts.append(b"\xff\xe1" + (len(app1_payload) + 2).to_bytes(2, "big") + app1_payload)
+    sos_hdr = b"\x00\x01\x00"  # arbitrary 3-byte SOS header payload
+    parts.append(b"\xff\xda" + (len(sos_hdr) + 2).to_bytes(2, "big") + sos_hdr)
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
 def test_split_mjpeg_frames_pure_bytes():
-    """Marker-based MJPEG splitting is pure bytes logic — testable
-    without Pillow. Payloads avoid the 3-byte SOI sequence, as real
-    entropy-coded JPEG data does (0xFF is always stuffed)."""
-    f1 = b"\xff\xd8\xff\xe0" + b"frame-one-payload" + b"\xff\xd9"
-    f2 = b"\xff\xd8\xff\xdb" + b"\x00" * 9 + b"\xff\xd9"
-    f3 = b"\xff\xd8\xff\xc0" + b"tail" + b"\xff\xd9"
+    """Marker-segment MJPEG splitting is pure bytes logic — testable
+    without Pillow. Covers stuffed 0xFF and restart markers inside
+    entropy-coded data."""
+    f1 = _fake_jpeg(entropy=b"frame-one \xff\x00 stuffed \xff\xd3 rst")
+    f2 = _fake_jpeg(entropy=b"\x00" * 9)
+    f3 = _fake_jpeg(entropy=b"tail")
     assert multimodal.split_mjpeg_frames(f1 + f2 + f3) == [f1, f2, f3]
     assert multimodal.split_mjpeg_frames(f2) == [f2]
     with pytest.raises(ValueError, match="SOI"):
         multimodal.split_mjpeg_frames(b"not a jpeg at all")
+
+
+def test_split_mjpeg_frames_exif_thumbnail_not_split():
+    """ADVICE r4: an APP1 (EXIF) payload may legally contain a complete
+    embedded thumbnail JPEG — its SOI must NOT start a new frame. The
+    segment walker skips APPn payloads by declared length, so the
+    thumbnail is invisible to the splitter."""
+    thumbnail = _fake_jpeg(entropy=b"thumb")  # full JPEG inside APP1
+    f1 = _fake_jpeg(app1_payload=b"Exif\x00\x00" + thumbnail)
+    f2 = _fake_jpeg(entropy=b"second-frame")
+    assert multimodal.split_mjpeg_frames(f1 + f2) == [f1, f2]
 
 
 def test_real_codec_video_gate_without_pil(media):

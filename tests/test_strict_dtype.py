@@ -43,6 +43,28 @@ def test_matching_dtypes_pass():
     assert compare(a, b) == []
 
 
+def test_integer_width_mismatch_flagged():
+    """ADVICE r4: same-kind but different-width numerics (int32 vs
+    int64) are flagged too — a CAST in the oracle SQL is cheap
+    insurance against a width-sensitive driver hash."""
+    a = pd.DataFrame({"n": pd.array([3, 4], dtype="int32")})
+    b = pd.DataFrame({"n": pd.array([3, 4], dtype="int64")})
+    problems = compare(a, b)
+    assert any("dtype-width col n" in p for p in problems), problems
+    assert compare(a, b, strict_dtype=False) == []
+
+
+def test_datetime_resolution_not_flagged():
+    """Spark converts timestamps to datetime64[ns], DuckDB to
+    datetime64[us]; queries with exactly this difference (q3/p4/p5/
+    w10/k1) have green driver rows, so resolution is canonicalized
+    away rather than flagged."""
+    ts = pd.to_datetime(["2024-01-01 00:00:01", "2024-01-02 03:04:05"])
+    a = pd.DataFrame({"ts": ts.astype("datetime64[ns]")})
+    b = pd.DataFrame({"ts": ts.astype("datetime64[us]")})
+    assert compare(a, b) == []
+
+
 def test_uncast_duckdb_sum_fails_mirror():
     """A DuckDB ``sum()`` over INT yields HUGEINT -> float64 in pandas;
     without a CAST the strict mirror must fail against Spark's bigint."""

@@ -42,7 +42,13 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # normalize to ns so Spark's datetime64[ns] vs DuckDB's
+            # datetime64[us] isn't flagged as a width mismatch — the
+            # driver is provably insensitive to datetime resolution
+            # (q3/p4/p5/w10/k1 all have green driver rows)
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+            )
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
@@ -80,11 +86,22 @@ def compare(
     a, b = canonical(spark_pd), canonical(duck_pd)
     if strict_dtype:
         for c in a.columns:
+            if str(a[c].dtype) == str(b[c].dtype):
+                continue
             ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
             if ka != kb:
                 problems.append(
                     f"dtype col {c}: spark={a[c].dtype} ({ka}) vs "
                     f"duck={b[c].dtype} ({kb}) — driver hash would mismatch"
+                )
+            else:
+                # same kind, different width (e.g. int32 vs int64):
+                # flagged as a problem too (ADVICE r4) — a CAST in the
+                # oracle SQL is cheap insurance against a
+                # width-sensitive driver hash
+                problems.append(
+                    f"dtype-width col {c}: spark={a[c].dtype} vs "
+                    f"duck={b[c].dtype} — cast one side to match"
                 )
     for c in a.columns:
         av, bv = a[c], b[c]
