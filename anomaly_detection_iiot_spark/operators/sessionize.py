@@ -18,6 +18,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(col: Column | str) -> Column:
+    """Fractional epoch seconds from any timestamp-ish column.
+
+    ``TIMESTAMP_NTZ`` (what Spark 4 infers from parquet written with
+    isAdjustedToUTC=false) cannot be cast straight to double; routing
+    through ``timestamp`` first works for NTZ, LTZ, and string inputs.
+    The NTZ->LTZ step interprets wall-clock time in the session zone,
+    which is a constant offset that cancels in the gap *differences*
+    these operators compute.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def islands(
     df: DataFrame,
     idx_col: str = "sample_idx",
@@ -59,7 +73,7 @@ def sessionize_by_gap(
     prev_ts = F.lag(ts_col).over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_seconds),
+        | (_epoch_seconds(ts_col) - _epoch_seconds(prev_ts) > gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
     cum = Window.partitionBy(*partition_by).orderBy(*order).rowsBetween(
@@ -81,7 +95,7 @@ def gap_audit(
     the offending rows as a DataFrame."""
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*partition_by).orderBy(*order)
-    gap = (F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")).alias(
+    gap = (_epoch_seconds(ts_col) - _epoch_seconds(F.lag(ts_col).over(w))).alias(
         "gap_seconds"
     )
     out = df.withColumn("gap_seconds", gap)

@@ -62,19 +62,27 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # changed in round 4 (this round): oracle cast / operator refactors
-    "mm1_media_manifest",     # MM1_SQL BIGINT cast — the r3 red row
-    "d8_dup_clusters",        # graph.py integer-only sum-convergence path
-    "d4_lsh_candidates",      # lsh_candidate_pairs branch-helper refactor
-    "d5_ngram_jaccard",       # consumes lsh_candidate_pairs output
-    "a12_approx_aggregates",  # exact columns split out to a real oracle
-    "a13_exact_distinct_quantiles",  # NEW in r4: the oracle-backed half
-    # changed in round 3 after their last driver row (r2-era)
-    "d7_embedding_neardup",   # tiled gram matrix
-    "d1_exact_dedup",
-    "d2_fingerprint_dedup",
-    "d3_minhash_signatures",
-    "d6_simhash",
+    # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
+    # testdata regeneration writes parquet timestamps with
+    # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and
+    # sessionize computes epochs via an explicit timestamp cast. Every
+    # timestamp-consuming query is affected; front-load the ones whose
+    # operators changed plus the heaviest ts users.
+    "w10_sessionize",         # sessionize.py _epoch_seconds rewrite
+    "w11_gap_audit",          # same operator
+    "w10_islands",            # same module
+    "j6_asof_join",           # ts-ordered as-of semantics
+    "o1_time_sort",           # raw ts passthrough ordering
+    "p4_ts_truncate",         # ts truncation output
+    "p5_multiformat_parse",   # ts parsing output
+    "q1_pricing_summary",     # l_shipdate filter
+    "a1_resample_mean",       # events ts windows
+    # changed in round 4: oracle cast / operator refactors (mm1 + a13
+    # got green r4 rows; keep d-family fresh one more round)
+    "mm1_media_manifest",
+    "a13_exact_distinct_quantiles",
+    "d8_dup_clusters",
+    "d4_lsh_candidates",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

@@ -36,15 +36,33 @@ class QuerySpec:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read nanos as long and integer-divide to micros (same
-        # truncation DuckDB applies), keeping full precision (ns-since-epoch
-        # exceeds double's 53-bit mantissa, so no float division).
+        # Older testdata generations wrote ts as TIMESTAMP(NANOS), which
+        # Spark cannot read natively; read nanos as long and integer-divide
+        # to micros (same truncation DuckDB applies), keeping full precision
+        # (ns-since-epoch exceeds double's 53-bit mantissa, so no float
+        # division). Newer generations write plain micros and skip this.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ltz(df)
+    return _ltz(spark.read.parquet(path))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns (Spark 4's inference for parquet
+    timestamps written with isAdjustedToUTC=false) to TIMESTAMP_LTZ.
+
+    Every driver-green correctness row in rounds 1-4 was produced with
+    LTZ timestamps; NTZ additionally breaks direct double casts and
+    interval comparisons in downstream operators, so pinning the type at
+    the scan keeps all query code on one proven path.
+    """
+    ntz = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})

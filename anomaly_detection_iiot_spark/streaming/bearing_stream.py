@@ -21,6 +21,14 @@ offset by 1µs from the period grid — callers should compare on
 State scale: upstream state = one aggregate per (channel, open window);
 downstream = one session per (channel, open episode). Both bounded by
 the watermark; partitioning follows the channel key.
+
+Sizing note: the state partition count is frozen from
+``spark.sql.shuffle.partitions`` when the query first starts and is
+never AQE-coalesced, so set it from key cardinality x state volume
+BEFORE ``.start()`` — not from core count. Measured on the bench
+corpus (4 channels, 6 micro-batches): 32 partitions = 11.0s, 8
+partitions = 4.4s for identical results; the delta is pure per-batch
+task-scheduling + state-store-commit overhead on near-empty partitions.
 """
 
 from __future__ import annotations

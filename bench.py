@@ -126,12 +126,30 @@ def _bench_bearing_stream(spark) -> float:
     (maxFilesPerTrigger=8 over 41 files). Sanity-checks that the
     degraded channel's episode actually emitted, so the number tracks
     real stateful work, not an empty stream."""
+    snap = _bearing_stream_dir()
+    # Streaming state partition count is baked from
+    # spark.sql.shuffle.partitions at query start and is NEVER
+    # AQE-coalesced, so size it to the state (4 channel keys x open
+    # windows), not to core count: 32 partitions cost 11.0s of
+    # per-batch task+state-store overhead for the same work 8
+    # partitions do in 4.4s (measured min-of-3, r5). On a real
+    # cluster the same sizing rule applies -- keys/state volume, not
+    # executor count.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        runs = _bearing_stream_runs(spark, snap)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return round(min(runs), 3)
+
+
+def _bearing_stream_runs(spark, snap) -> list:
     import shutil
     import tempfile
 
     from anomaly_detection_iiot_spark.streaming import bearing_stream
 
-    snap = _bearing_stream_dir()
     runs: list[float] = []
     for i in range(3):
         episodes = bearing_stream.snapshot_anomaly_episodes_stream(
@@ -154,7 +172,7 @@ def _bench_bearing_stream(spark) -> float:
         n_episodes = spark.table(name).count()
         shutil.rmtree(ckpt, ignore_errors=True)
         assert n_episodes >= 1, "streaming bench produced no episodes"
-    return round(min(runs), 3)
+    return runs
 
 
 def _bench_bearing_pipeline(spark) -> float:
