@@ -311,6 +311,52 @@ FROM src
 """
 
 
+# --- S10: resource-log sink + scan round-trip ---------------------------------
+
+def s10_resource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S10 resource log proven end-to-end: events re-rendered in
+    the reference's exact line shape ``<iso_ts>,<cpu>,<mem_mb>``
+    (logger.py:68) via a distributed text sink, scanned back through
+    ``read_resource_log`` (explicit schema, no inference), then rolled
+    up per minute the way logger.py:92-97 aggregates the series. Doubles
+    ride the file as shortest-round-trip strings (Spark double→string
+    cast), so the recovered values are bit-exact and only the final
+    aggregates are rounded for summation-order noise."""
+    from ..sources import resource_log
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.col("value").cast("string"),
+            (F.col("value") * 2 + 100).cast("string"),
+        ).alias("value")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="s10_res_"), "log")
+    lines.write.mode("overwrite").text(out_dir)
+    back = resource_log.read_resource_log(spark, out_dir)
+    return back.groupBy(
+        F.date_trunc("minute", F.col("sampled_at")).alias("minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("cpu_pct"), 6).alias("avg_cpu"),
+        F.round(F.max("rss_mb"), 6).alias("max_rss"),
+        F.round(F.sum("cpu_pct"), 6).alias("sum_cpu"),
+    )
+
+
+S10_SQL = """
+SELECT date_trunc('minute', ts) AS minute,
+       count(*) AS n_samples,
+       round(avg(value), 6) AS avg_cpu,
+       round(max(value * 2 + 100), 6) AS max_rss,
+       round(sum(value), 6) AS sum_cpu
+FROM events WHERE user_id < 20
+GROUP BY 1
+"""
+
+
 # --- S11: training-log text scanner -------------------------------------------
 
 _S11_EPOCHS = 25
@@ -368,6 +414,9 @@ ROUNDTRIP_QUERIES: list[QuerySpec] = [
     QuerySpec("k1_kbm_roundtrip", k1_kbm_roundtrip, K1_SQL,
               "S5/P3/P4/P5 KBM reader round-trip + anomaly-label range "
               "join (pipeline.py:7-34)"),
+    QuerySpec("s10_resource_roundtrip", s10_resource_roundtrip, S10_SQL,
+              "S10 resource-log sink + scan round-trip + per-minute "
+              "rollup (logger.py:49-97)"),
     QuerySpec("s11_log_scan", s11_log_scan, S11_SQL,
               "S11 Keras-stdout log scanner (logger.py:106-161)"),
 ]
