@@ -106,3 +106,54 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(best)
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     return out.withColumn("pred_lang", pred)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every in-order word ``n``-gram, slide a
+    window of ``window`` consecutive hashes, and keep the minimum hash
+    of each window. The selected set is a position-robust fingerprint:
+    any shared substring of length >= window+n-1 tokens guarantees a
+    shared fingerprint, so it upgrades the whole-document rolling hash
+    (t4) to partial-overlap detection.
+
+    All JVM-side: gram build is a higher-order ``transform`` over the
+    token array, hashing is ``md5`` (lexicographic min over fixed-width
+    lowercase hex == numeric min of the 32-bit value, and identical in
+    DuckDB), selection is one ``min().over(rows window)`` per doc —
+    a single hash-partition shuffle on ``id_col``, no self-joins.
+    Docs with fewer grams than ``window`` contribute their global min
+    (classic winnowing emits nothing; the fallback keeps every doc
+    fingerprinted). Docs with fewer than ``n`` tokens yield no rows.
+    """
+    from pyspark.sql import Window as W
+
+    grams = F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(id_col, F.posexplode(grams).alias("p", "shingle"))
+    h = g.select(
+        id_col, "p", F.substring(F.md5("shingle"), 1, 8).alias("h")
+    )
+    ordered = W.partitionBy(id_col).orderBy("p")
+    win = h.select(
+        id_col,
+        F.min("h").over(ordered.rowsBetween(-(window - 1), 0)).alias("wmin"),
+        F.row_number().over(ordered).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("ng"),
+    )
+    return (
+        win.filter((F.col("rn") >= window) | (F.col("rn") == F.col("ng")))
+        .select(id_col, F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )

@@ -62,9 +62,10 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 5: S10 resource-log roundtrip — needs its first
-    # driver row
+    # NEW in round 5: first driver rows needed
     "s10_resource_roundtrip",
+    "t5_winnowing",
+    "d9_semdedup",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

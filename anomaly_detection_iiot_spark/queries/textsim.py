@@ -330,6 +330,78 @@ WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
 """
 
 
+# --- D9: semantic dedup (cluster-scoped embedding near-dup keeper) ------------
+
+_D9_TAU = 0.3
+
+
+def d9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid
+    (IVF cells as the clustering — broadcast centroids, same setup as
+    s2_ivf_ann), then WITHIN each cluster drop any vector that has a
+    lower-id neighbor with cosine >= tau; the min-id survivor is the
+    keeper, mirroring d1's exact-dup keeper policy. Pairwise work is
+    cluster-bounded and runs through the tiled numpy gram path
+    (blocked_neardup_pairs with the cell as the block), so no task ever
+    sees more than a max_block_rows^2 tile — the 100 TB shape: cheap
+    centroid assignment narrows the quadratic stage to within-cluster
+    tiles, exactly how production semantic dedup caps cost."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids)
+    pairs = similarity.blocked_neardup_pairs(
+        assigned, block_col="bucket", min_cosine=_D9_TAU
+    )
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        assigned.join(dropped.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
+_D9_COS = """
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+"""
+
+D9_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, centroid_id) AS rk
+    FROM scored) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+   AND {_D9_COS} >= {_D9_TAU}
+)
+SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 # --- S1: brute-force cosine top-k --------------------------------------------
 
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +786,44 @@ FROM toks
 """
 
 
+# --- T5: winnowing fingerprints (MOSS) ---------------------------------------
+
+def t5_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (operators/textstats.py::
+    winnowing_fingerprints): min md5 over each sliding window of 4
+    consecutive in-order 3-gram hashes. Upgrades t4's whole-document
+    hash to partial-overlap detection; the CPU-heavy gram explode is
+    spread across cores first."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    return textstats.winnowing_fingerprints(toked, n=3, window=4)
+
+
+T5_SQL = rf"""
+WITH {_TOKS}, pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), grams AS (
+  SELECT doc_id, p,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), g2 AS (
+  SELECT doc_id, p, substr(md5(shingle), 1, 8) AS h
+  FROM grams WHERE shingle IS NOT NULL
+), win AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g2
+)
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM win WHERE rn >= 4 OR rn = ng
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -730,6 +840,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "verified pairs; oracle = recursive-CTE closure"),
     QuerySpec("d6_simhash", d6_simhash, D6_SQL,
               "16-bit SimHash via per-bit token votes"),
+    QuerySpec("d9_semdedup", d9_semdedup, D9_SQL,
+              "SemDeDup: IVF-cell-scoped embedding near-dup keeper "
+              "(arXiv:2303.09540)"),
     QuerySpec("d7_embedding_neardup", d7_embedding_neardup, D7_SQL,
               "embedding-cosine near-dup on label-blocked pairs"),
     QuerySpec("s1_cosine_topk", s1_cosine_topk, S1_SQL,
@@ -746,6 +859,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "stopword-argmax language ID with deterministic tie-break"),
     QuerySpec("t4_rolling_fingerprint", t4_rolling_fingerprint, T4_SQL,
               "polynomial rolling-hash document fingerprint"),
+    QuerySpec("t5_winnowing", t5_winnowing, T5_SQL,
+              "winnowing fingerprints (MOSS): min-hash per sliding "
+              "gram window"),
     QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
               "composed curation pipeline: language ID + quality + "
               "exact-dup keeper -> verdict per doc"),

@@ -175,3 +175,42 @@ def test_bpe_token_count(spark):
     # I | don | 't | like | 42 | bugs | !!
     assert got[0] == 7
     assert got[1] == 0
+
+
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    token run of >= window+n-1 tokens (here 4+3-1=6) share at least one
+    fingerprint; and a doc shorter than the window still fingerprints
+    via the global-min fallback."""
+    from anomaly_detection_iiot_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"one two {shared} three",
+                    f"{shared} nine ten eleven twelve",
+                    "completely different words here entirely distinct",
+                    "tiny doc",  # < n tokens -> zero grams -> no rows
+                ],
+            }
+        )
+    )
+    fp = winnowing_fingerprints(dedup.tokenize(df), n=3, window=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc  # sub-n doc yields no grams
+    # short-doc fallback: 4 tokens -> 2 grams < window -> global min kept
+    short = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c d"]})
+    )
+    short_fp = winnowing_fingerprints(dedup.tokenize(short), n=3, window=4)
+    assert short_fp.count() == 1
