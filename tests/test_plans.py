@@ -173,3 +173,24 @@ def test_minhash_long_and_array_forms_agree(spark, sf_dir):
         + array_form.exceptAll(long_form).count()
         == 0
     )
+
+
+def test_t5_winnowing_single_shuffle(spark, sf_dir):
+    """Winnowing is one hash-partition shuffle on doc_id: the explode,
+    both window functions, and the trailing distinct all reuse that
+    partitioning — a second Exchange would mean the distinct or a
+    window re-shuffled (operators/textstats.py::winnowing_fingerprints)."""
+    plan = _plan(spark, sf_dir, "t5_winnowing", mode="executed")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_d9_assignment_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup's IVF assignment must broadcast the centroid side (a
+    shuffle join on a cross of |corpus| x |centroids| would be the
+    scale-killer); the within-cluster gram stage is the only
+    applyInPandas."""
+    plan = _plan(spark, sf_dir, "d9_semdedup", mode="executed")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # blocked_neardup_pairs = union of the small-block gram branch and
+    # the oversized-tile branch -> exactly two grouped-pandas stages
+    assert plan.count("FlatMapGroupsInPandas") == 2
