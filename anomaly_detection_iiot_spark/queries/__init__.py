@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "s10_resource_roundtrip",
     "t5_winnowing",
     "d9_semdedup",
+    "c2_curation_with_semdedup",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

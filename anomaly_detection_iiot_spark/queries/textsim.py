@@ -759,6 +759,42 @@ JOIN q ON q.doc_id = k.doc_id
 """
 
 
+# --- C2: full curation funnel (text cascade + semantic dedup) -----------------
+
+def c2_curation_with_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data funnel: c1's text cascade (exact-dup
+    keeper → language → length → quality) extended with the semantic
+    stage — a doc that survives every text filter is still dropped as
+    ``semdup`` when its embedding (vec_id = doc_id) has a lower-id near
+    neighbor in its IVF cell (d9's keeper policy). This is the
+    production ordering: cheap JVM-side text filters prune first, the
+    embedding stage only decides for survivors. One extra |docs|-row
+    equi-join on doc_id against the d9 verdict frame."""
+    base = c1_corpus_curation(spark, sf_dir)
+    sem = d9_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "kept"
+    )
+    verdict = (
+        F.when(F.col("verdict") != "keep", F.col("verdict"))
+        .when(F.col("kept") == 0, "semdup")
+        .otherwise("keep")
+    )
+    return base.join(sem, "doc_id").select(
+        "doc_id", "pred_lang", "n_tokens", verdict.alias("verdict")
+    )
+
+
+# DuckDB allows a WITH clause inside a derived table, so the two parent
+# oracles compose verbatim.
+C2_SQL = f"""
+SELECT c1.doc_id, c1.pred_lang, c1.n_tokens,
+       CASE WHEN c1.verdict != 'keep' THEN c1.verdict
+            WHEN d9.kept = 0 THEN 'semdup'
+            ELSE 'keep' END AS verdict
+FROM ({C1_SQL}) c1 JOIN ({D9_SQL}) d9 ON d9.vec_id = c1.doc_id
+"""
+
+
 # --- T4: rolling-hash document fingerprint -------------------------------------
 
 def t4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,4 +901,7 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
               "composed curation pipeline: language ID + quality + "
               "exact-dup keeper -> verdict per doc"),
+    QuerySpec("c2_curation_with_semdedup", c2_curation_with_semdedup, C2_SQL,
+              "full curation funnel: c1 text cascade + SemDeDup "
+              "semantic stage for survivors"),
 ]
