@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     "t5_winnowing",
     "d9_semdedup",
     "c2_curation_with_semdedup",
+    "p12_pivot",
+    "o6_stratified_sample",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

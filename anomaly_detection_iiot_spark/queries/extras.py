@@ -152,6 +152,78 @@ FROM events GROUP BY 1
 """
 
 
+# --- P12: pivot / wide reshape ------------------------------------------------
+
+_P12_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def p12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: per-user mean value pivoted across event types.
+    The pivot value list is EXPLICIT — with it, Spark skips the extra
+    distinct-scan job and the output schema is deterministic (the same
+    discipline a 100 TB pivot needs: never let the engine discover
+    columns from the data). Users missing a type get NULL in both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _P12_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+P12_SQL = """
+SELECT user_id,
+       round(avg(value) FILTER (event_type = 'click'), 6) AS click,
+       round(avg(value) FILTER (event_type = 'error'), 6) AS error,
+       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+       round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
+       round(avg(value) FILTER (event_type = 'view'), 6) AS view
+FROM events GROUP BY user_id
+"""
+
+
+# --- O6: deterministic stratified sampling (data mixing) ----------------------
+
+# per-language keep cutoffs on the first md5 byte (hex-string compare:
+# rate = int(cutoff,16)/256) — the mixture-reweighting knob of a
+# training-data pipeline
+_O6_CUTOFFS = {"de": "80", "en": "28", "es": "c0", "fr": "40", "zh": "08"}
+
+
+def o6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff the
+    first byte of md5(doc_id) falls under its language's cutoff.
+    Hash-based (not rand()) so the sample is reproducible across
+    retries/engines, per-stratum rates are exact in expectation, and
+    membership is a pure projection — no shuffle, no state, works
+    identically on a stream. This is the data-mixing primitive: set
+    cutoffs per source/language to hit a target mixture."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    cutoff = F.lit("00")
+    for lang, c in _O6_CUTOFFS.items():
+        cutoff = F.when(F.col("lang") == lang, c).otherwise(cutoff)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < cutoff, 1).otherwise(0).alias("kept"),
+    )
+
+
+_O6_CASE = " ".join(
+    f"WHEN '{lang}' THEN '{c}'" for lang, c in _O6_CUTOFFS.items()
+)
+
+O6_SQL = f"""
+SELECT doc_id, lang,
+       CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                      CASE lang {_O6_CASE} ELSE '00' END
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("o3_loss_ranking", o3_loss_ranking, O3_SQL,
               "O3 metric ranking sort (logger.py:35)"),
@@ -164,4 +236,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a13_exact_distinct_quantiles", a13_exact_distinct_quantiles,
               A13_SQL, "exact distinct + median (the oracle-checkable half "
               "of a12)"),
+    QuerySpec("p12_pivot", p12_pivot, P12_SQL,
+              "P12 pivot/wide reshape with explicit value list"),
+    QuerySpec("o6_stratified_sample", o6_stratified_sample, O6_SQL,
+              "O6 deterministic hash-based stratified sampling "
+              "(per-language mixture quotas)"),
 ]
