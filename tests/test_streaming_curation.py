@@ -1,0 +1,126 @@
+"""Streaming curation pipeline (streaming/curation_stream.py): the
+stateless cascade must equal batch row-for-row, and content dedup must
+keep exactly one first-arrival row per hash with bounded state."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.streaming import curation_stream
+
+
+def _md5_2(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:2]
+
+
+# doc_ids whose md5 first byte falls under the 'en' cutoff '28' (o6
+# sampling keeps them) and some that don't — computed, not guessed
+_EN_IN = [i for i in range(200) if _md5_2(str(i)) < "28"][:4]
+_EN_OUT = [i for i in range(200) if _md5_2(str(i)) >= "28"][:2]
+
+_GOOD = "the cat sat on the mat and the dog is in the house of cards"
+_DUP = "a tale of two tokens and the story is told again in the end"
+
+
+def _write_chunks(tmp_path) -> str:
+    """Three single-file parquet chunks with staggered mtimes so
+    maxFilesPerTrigger=1 processes them in order."""
+    out = str(tmp_path / "docs_stream")
+    os.makedirs(out)
+    chunks = [
+        # chunk 0: two sampled keepers (one is the dup original) + lowq
+        pd.DataFrame(
+            {
+                "doc_id": [_EN_IN[0], _EN_IN[1], _EN_OUT[0]],
+                "lang": ["en", "en", "en"],
+                "text": [_GOOD, _DUP, _GOOD],
+            }
+        ),
+        # chunk 1: re-delivery of _DUP content under a NEW doc_id
+        # (sampled) + a short doc + an unknown-language doc
+        pd.DataFrame(
+            {
+                "doc_id": [_EN_IN[2], _EN_IN[3], _EN_OUT[1]],
+                "lang": ["en", "en", "en"],
+                "text": [_DUP, "a tiny doc", "zzz qqq xxx www yyy vvv"],
+            }
+        ),
+    ]
+    now = time.time()
+    for i, pdf in enumerate(chunks):
+        p = os.path.join(out, f"chunk_{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (now - 60 + i, now - 60 + i))
+    return out
+
+
+def _schema():
+    return "doc_id bigint, lang string, text string"
+
+
+def test_stateless_cascade_stream_equals_batch(spark, tmp_path):
+    src = _write_chunks(tmp_path)
+    batch = curation_stream.curation_verdict_columns(
+        spark.read.schema(_schema()).parquet(src)
+    )
+    sdf = curation_stream.curation_verdict_columns(
+        spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("cur_stateless")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("cur_stateless")
+    assert got.count() == batch.count() == 6
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_keeps_first_arrival_once(spark, tmp_path):
+    src = _write_chunks(tmp_path)
+    sdf = curation_stream.curated_document_stream(
+        spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("cur_full")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("cur_full").collect()
+    by_verdict: dict[str, list] = {}
+    for r in rows:
+        by_verdict.setdefault(r.verdict, []).append(r)
+
+    # keepers: _GOOD once (only one sampled instance) and _DUP exactly
+    # ONCE despite arriving in two micro-batches — first arrival wins
+    keeps = by_verdict["keep"]
+    assert len(keeps) == 2
+    dup_hash = hashlib.md5(_DUP.encode()).hexdigest()
+    dup_keeps = [r for r in keeps if r.content_hash == dup_hash]
+    assert len(dup_keeps) == 1
+    assert dup_keeps[0].doc_id == _EN_IN[1]  # chunk-0 arrival, not chunk-1
+
+    # audit passthrough: every non-keep verdict present exactly once
+    # (the second _DUP arrival is silently dropped by dedup — it is
+    # not audit output; the und-language doc hits 'lang' before the
+    # sampler can see it, so 'unsampled' is only the _GOOD copy)
+    assert len(by_verdict["unsampled"]) == 1
+    assert len(by_verdict["short"]) == 1
+    assert len(by_verdict["lang"]) == 1
+    assert len(rows) == 5
