@@ -41,10 +41,14 @@ HEADLINE = [
     "d4_lsh_candidates",
     "d8_dup_clusters",  # transitive-closure loop: rounds x O(|edges|) shuffle
     "d6_simhash",
+    "d9_semdedup",  # IVF-cell-scoped semantic dedup (r5)
     "s1_cosine_topk",
     "s2_ivf_ann",
     "t3_language_id",
+    "t5_winnowing",  # MOSS fingerprints: explode + single-shuffle window (r5)
+    "o6_stratified_sample",  # hash-quota mixing: pure projection (r5)
     "c1_corpus_curation",  # composed lang-ID + quality + dedup keeper path
+    "c2_curation_with_semdedup",  # c1 cascade + semantic stage (r5)
     "m6_reconstruction_error",
     "m7_fft_mag",
     # source round-trip: write reference's CSV layout, read through real reader
