@@ -1,0 +1,256 @@
+"""100x scale probe for the dedup family (d3/d4/d8).
+
+Turns the "bucketed, not all-pairs" scaling claim into a measured
+curve: runs each query at 1x / 10x / 100x of the sf0.1 `documents`
+corpus and reports wall time plus PER-STAGE SHUFFLE BYTES parsed from
+Spark's own event log (`sources/resource_log.task_metrics_from_event_log`
+— the durable SparkListener bus, equivalent to the UI REST API but
+replayable).
+
+Inflation semantics matter for dedup: a naive union of shifted-id
+copies keeps the TEXT identical, so every duplicate group grows by the
+copy factor and true near-dup pairs grow QUADRATICALLY — that measures
+a pathological corpus, not scale. Each copy instead SUFFIXES every
+token with the copy id (`regexp_replace(text, '(\\S+)', '$1·c<i>')`) —
+a bijection on the vocabulary, so the within-copy shingle-match
+structure mirrors the original corpus exactly while cross-copy overlap
+is zero. (An earlier interleaving scheme — salt tokens BETWEEN words —
+was wrong in an instructive way: it manufactured `salt word salt`
+trigrams, so any two docs sharing one word shared a shingle and the
+candidate graph densified toward all-pairs, OOMing the pair
+aggregation. Probe inflation must preserve match-graph sparsity, not
+just byte volume.) The result is a corpus N_x bigger with the SAME
+duplicate density — the honest 100 TB analogue.
+
+Each (query, scale) runs in its own subprocess so its event log is one
+complete per-app file (event-log conf is static per JVM); the parent
+parses the logs and prints a markdown table for README.
+
+Usage:
+    python tools/scale_probe.py [--scales 1,10,100] [--queries d3,d4,d8]
+    python tools/scale_probe.py --run-one <query> <sf_dir> <eventlog_dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DATA = os.path.join(REPO, ".bench_data")
+QUERY_NAMES = {
+    "d3": "d3_minhash_signatures",
+    "d4": "d4_lsh_candidates",
+    "d8": "d8_dup_clusters",
+}
+
+
+def inflate_documents(src_dir: str, factor: int) -> str:
+    """Materialize an inflated documents.parquet under .bench_data.
+
+    Copy i shifts doc_id by i*stride and salts the text (see module
+    docstring); multi-file output so downstream scans split properly.
+    """
+    out = os.path.join(BENCH_DATA, f"probe_docs_{factor}x")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.session import get_spark
+
+    spark = get_spark("probe-inflate")
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", rf"$1c{i}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    open(os.path.join(tmp, ".complete"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def run_one(query_key: str, sf_dir: str, eventlog_dir: str) -> None:
+    """Child-process entry.
+
+    Two modes (this host shows bursty hypervisor CPU steal, so a single
+    wall time is unreliable — see bench.py):
+
+    - ``eventlog_dir != '-'``: ONE query execution with event logging
+      on → exact per-execution shuffle bytes (includes any cache-build
+      cost, i.e. the cold profile a fresh cluster job pays).
+    - ``eventlog_dir == '-'``: min-of-3 timed runs, no event log → the
+      steady-state wall number, same semantics as bench.py.
+    """
+    from anomaly_detection_iiot_spark.queries import REGISTRY
+    from anomaly_detection_iiot_spark.session import get_spark
+
+    metrics_mode = eventlog_dir != "-"
+    conf = {}
+    if metrics_mode:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file://" + eventlog_dir,
+        }
+    spark = get_spark(f"probe-{query_key}", extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    # generic warmup (JVM, codegen, Arrow worker pool) so wall time is
+    # the query, not cold-start; adds ~0 shuffle to the event log
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    fn = REGISTRY[QUERY_NAMES[query_key]].fn
+    runs = []
+    for _ in range(1 if metrics_mode else 3):
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs.append(time.time() - t0)
+    spark.stop()  # flushes + finalizes the event log
+    print(json.dumps({"wall_sec": round(min(runs), 2)}))
+
+
+def parse_eventlog(spark, eventlog_dir: str) -> dict:
+    """Total + top-stage shuffle bytes from the single app log in dir."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.sources import resource_log as rl
+
+    logs = [
+        p
+        for p in glob.glob(os.path.join(eventlog_dir, "*"))
+        if not p.endswith(".crc")
+    ]
+    assert len(logs) == 1, f"expected one app log in {eventlog_dir}: {logs}"
+    tm = rl.task_metrics_from_event_log(spark, logs[0])
+    stages = rl.stage_metrics_summary(tm)
+    tot = stages.agg(
+        F.sum("shuffle_read_bytes").alias("r"),
+        F.sum("shuffle_write_bytes").alias("w"),
+        F.count(F.lit(1)).alias("n_stages"),
+        F.sum("n_tasks").alias("n_tasks"),
+    ).collect()[0]
+    top = (
+        stages.orderBy(F.desc("shuffle_write_bytes")).limit(3).collect()
+    )
+    return {
+        "shuffle_read_mb": round((tot.r or 0) / 1e6, 2),
+        "shuffle_write_mb": round((tot.w or 0) / 1e6, 2),
+        "n_stages": tot.n_stages,
+        "n_tasks": tot.n_tasks,
+        "top_stages": [
+            {
+                "stage": s.stage_id,
+                "write_mb": round((s.shuffle_write_bytes or 0) / 1e6, 2),
+                "tasks": s.n_tasks,
+            }
+            for s in top
+        ],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10,100")
+    ap.add_argument("--queries", default="d3,d4,d8")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--run-one", nargs=3, metavar=("QUERY", "SF_DIR", "LOG_DIR"))
+    args = ap.parse_args()
+
+    if args.run_one:
+        run_one(*args.run_one)
+        return
+
+    scales = [int(s) for s in args.scales.split(",")]
+    queries = args.queries.split(",")
+
+    dirs: dict[int, str] = {}
+    for n in scales:
+        dirs[n] = args.sf_dir if n == 1 else inflate_documents(args.sf_dir, n)
+
+    def _child(q: str, n: int, logdir: str) -> dict | None:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one", q, dirs[n], logdir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(f"FAIL {q} {n}x:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            return None
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    results: dict[str, dict[int, dict]] = {}
+    for q in queries:
+        results[q] = {}
+        for n in scales:
+            logdir = os.path.join(BENCH_DATA, "probe_eventlogs", f"{q}_{n}x")
+            shutil.rmtree(logdir, ignore_errors=True)
+            metrics = _child(q, n, logdir)  # 1 logged run: shuffle bytes
+            timing = _child(q, n, "-")      # min-of-3: steady-state wall
+            if metrics is None or timing is None:
+                continue
+            results[q][n] = {"wall_sec": timing["wall_sec"]}
+            print(f"ran {q} {n}x: {timing['wall_sec']}s", file=sys.stderr)
+
+    # one parsing session for all logs
+    from anomaly_detection_iiot_spark.session import get_spark
+
+    spark = get_spark("probe-parse")
+    spark.sparkContext.setLogLevel("ERROR")
+    for q in queries:
+        for n in scales:
+            if n in results[q]:
+                logdir = os.path.join(BENCH_DATA, "probe_eventlogs", f"{q}_{n}x")
+                results[q][n].update(parse_eventlog(spark, logdir))
+
+    print(json.dumps(results, indent=1))
+    # markdown table for README
+    print("\n| query | scale | docs | wall | shuffle write | shuffle read | tasks |")
+    print("|---|---|---|---|---|---|---|")
+    base_docs = 5000
+    for q in queries:
+        for n in scales:
+            r = results[q].get(n)
+            if r:
+                print(
+                    f"| {QUERY_NAMES[q]} | {n}x | {base_docs * n:,} "
+                    f"| {r['wall_sec']}s | {r['shuffle_write_mb']} MB "
+                    f"| {r['shuffle_read_mb']} MB | {r['n_tasks']} |"
+                )
+
+
+if __name__ == "__main__":
+    main()
