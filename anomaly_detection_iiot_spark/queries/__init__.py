@@ -69,6 +69,10 @@ _DRIVER_PRIORITY = [
     "c2_curation_with_semdedup",
     "p12_pivot",
     "o6_stratified_sample",
+    # changed in round 5: ivf_assign rewritten as a literal-centroid
+    # projection (operators/similarity.py) — all its consumers
+    "s2_ivf_ann",
+    "s3_ivf_nprobe",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

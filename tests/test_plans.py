@@ -184,13 +184,14 @@ def test_t5_winnowing_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_d9_assignment_broadcasts_centroids(spark, sf_dir):
-    """SemDeDup's IVF assignment must broadcast the centroid side (a
-    shuffle join on a cross of |corpus| x |centroids| would be the
-    scale-killer); the within-cluster gram stage is the only
-    applyInPandas."""
+def test_d9_assignment_is_projection(spark, sf_dir):
+    """SemDeDup's IVF assignment inlines the collected centroids as
+    literals, so the plan must contain NO nested-loop join and NO
+    argmax window — assignment is a narrow projection (the earlier
+    join+window form materialized |corpus|x|centroids| rows and paid
+    an exchange; see operators/similarity.py::ivf_assign)."""
     plan = _plan(spark, sf_dir, "d9_semdedup", mode="executed")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # blocked_neardup_pairs = union of the small-block gram branch and
     # the oversized-tile branch -> exactly two grouped-pandas stages
     assert plan.count("FlatMapGroupsInPandas") == 2
