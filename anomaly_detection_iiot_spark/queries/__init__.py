@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     # projection (operators/similarity.py) — all its consumers
     "s2_ivf_ann",
     "s3_ivf_nprobe",
+    "mm3_audio_roundtrip",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

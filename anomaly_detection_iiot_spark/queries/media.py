@@ -51,9 +51,75 @@ WHERE doc_id % 3 = 2
 """
 
 
+def mm3_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio decode path proven end-to-end with an oracle:
+    per-user PCM16 mono WAV blobs are synthesized from integer event
+    ids (sample_i = event_id % 65536 - 32768 — pure integer math, so
+    no float-quantization ambiguity between engines), decoded back
+    through ``decode_media(codec='real')``'s stdlib-wave path inside
+    ``mapInPandas``, and reduced to per-blob sample statistics. The
+    oracle recomputes the same statistics from ``events`` directly: a
+    value-hash match proves WAV framing, int16 decode, the /2^15
+    normalization, and the (n, channels) shape contract. KB-scale
+    driver-side synthesis at construction time, like s1/k1 (filenames
+    and blobs carry semantics Spark sinks can't express)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    rows = ev.select("user_id", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.event_id)
+    blobs = []
+    for uid, eids in sorted(series.items()):
+        samples = np.array(
+            [(e % 65536) - 32768 for e in eids], dtype=np.int16
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        blobs.append((uid, "audio", bytearray(buf.getvalue())))
+    media = spark.createDataFrame(
+        blobs, "media_id bigint, kind string, data binary"
+    )
+    decoded = multimodal.decode_media(media, codec="real", kinds=("audio",))
+    px = F.col("pixels")
+    n = F.size(px)
+    sum_sq = F.aggregate(px, F.lit(0.0), lambda a, x: a + x * x)
+    sum_v = F.aggregate(px, F.lit(0.0), lambda a, x: a + x)
+    return decoded.select(
+        "media_id",
+        F.element_at("shape", 1).cast("bigint").alias("n_samples"),
+        F.round(F.sqrt(sum_sq / n), 6).alias("rms"),
+        F.round(sum_v / n, 6).alias("mean_v"),
+    )
+
+
+MM3_SQL = """
+WITH s AS (
+  SELECT user_id, ((event_id % 65536) - 32768) / 32768.0 AS v
+  FROM events WHERE user_id < 8
+)
+SELECT user_id AS media_id,
+       count(*) AS n_samples,
+       round(sqrt(sum(v * v) / count(*)), 6) AS rms,
+       round(sum(v) / count(*), 6) AS mean_v
+FROM s GROUP BY 1
+"""
+
+
 MEDIA_QUERIES: list[QuerySpec] = [
     QuerySpec("mm1_media_manifest", mm1_media_manifest, MM1_SQL,
               "binary media manifest: per-kind blob/meta statistics"),
     QuerySpec("mm2_frame_sample", mm2_frame_sample, MM2_SQL,
               "video frame sampling as JVM sequence/explode"),
+    QuerySpec("mm3_audio_roundtrip", mm3_audio_roundtrip, MM3_SQL,
+              "real PCM16 WAV decode round-trip: wave framing + int16 "
+              "normalization vs integer-exact oracle"),
 ]
