@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "s2_ivf_ann",
     "s3_ivf_nprobe",
     "mm3_audio_roundtrip",
+    "t6_tfidf",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

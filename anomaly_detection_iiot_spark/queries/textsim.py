@@ -860,6 +860,74 @@ FROM win WHERE rn >= 4 OR rn = ng
 """
 
 
+# --- T6: TF-IDF top terms -----------------------------------------------------
+
+def t6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf-idf (tf x ln(N/df), the classic
+    smoothing-free form). Shuffle shape at scale: one hash agg for
+    (doc, term) tf, one |vocab|-row doc-frequency agg that BROADCASTS
+    back to the term stream (vocab << corpus), N as a broadcast scalar,
+    and a per-doc window for the top-k — no |docs|x|vocab| join
+    materializes anywhere."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    terms = toked.select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_per_term = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = toked.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "doc_id", "term", "tf", "df",
+            "tfidf", F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+T6_SQL = rf"""
+WITH {_TOKS}, terms AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) DESC,
+                    tf.term
+         ) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rk <= 5
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -898,6 +966,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("t5_winnowing", t5_winnowing, T5_SQL,
               "winnowing fingerprints (MOSS): min-hash per sliding "
               "gram window"),
+    QuerySpec("t6_tfidf", t6_tfidf, T6_SQL,
+              "TF-IDF top-5 terms per doc (broadcast vocab stats, "
+              "windowed top-k)"),
     QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
               "composed curation pipeline: language ID + quality + "
               "exact-dup keeper -> verdict per doc"),
