@@ -56,3 +56,27 @@ def test_partitioned_write_one_file_set_per_partition(spark, tmp_path, sf_dir):
     for d in glob.glob(os.path.join(path, "lang=*")):
         files = glob.glob(os.path.join(d, "*.parquet"))
         assert len(files) <= 2, f"{d} exploded into {len(files)} files"
+
+
+def test_ivf_corpus_at_rest_prunes_probed_cells(spark, tmp_path, sf_dir):
+    """The similarity docstring's scale claim, proven: an IVF-assigned
+    corpus written partitioned by bucket lets a probe read ONLY its
+    cell's partition (PartitionFilters on bucket), so ANN candidate
+    fetch is directory pruning, not a corpus scan."""
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids)
+    path = str(tmp_path / "ivf_at_rest")
+    partitioned.write_partitioned(assigned, path, ["bucket"])
+
+    back = partitioned.read_partitioned(spark, path)
+    probe = back.filter(F.col("bucket") == 3)
+    pf = partitioned.partition_filters(probe)
+    assert "bucket" in pf and "3" in pf, f"probe not pruned: {pf!r}"
+    assert probe.count() == assigned.filter(F.col("bucket") == 3).count()
