@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "s3_ivf_nprobe",
     "mm3_audio_roundtrip",
     "t6_tfidf",
+    "t7_repetition",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

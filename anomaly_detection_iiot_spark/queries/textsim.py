@@ -928,6 +928,60 @@ SELECT doc_id, term, tf, df, tfidf, rk FROM (
 """
 
 
+# --- T7: repetition ratio (degenerate-text quality signal) --------------------
+
+def t7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection: the share of a document's word bigrams
+    taken by its single most frequent bigram — the standard degenerate-
+    text signal (boilerplate, keyword stuffing, decode loops score near
+    1.0; natural prose near 1/n_grams). Same two-hash-agg shuffle shape
+    as t6; docs with fewer than 2 tokens have no bigrams and are
+    excluded in both engines."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tokens") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tokens"), i + 1, 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_gram_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+T7_SQL = rf"""
+WITH {_TOKS}, pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), grams AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM grams WHERE gram IS NOT NULL GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       max(c) AS max_gram_count,
+       round(max(c) * 1.0 / sum(c), 6) AS rep_ratio
+FROM per_gram GROUP BY 1
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -969,6 +1023,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("t6_tfidf", t6_tfidf, T6_SQL,
               "TF-IDF top-5 terms per doc (broadcast vocab stats, "
               "windowed top-k)"),
+    QuerySpec("t7_repetition", t7_repetition, T7_SQL,
+              "repetition ratio: max-bigram share (degenerate-text "
+              "quality signal)"),
     QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
               "composed curation pipeline: language ID + quality + "
               "exact-dup keeper -> verdict per doc"),

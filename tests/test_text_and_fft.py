@@ -214,3 +214,35 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
     )
     short_fp = winnowing_fingerprints(dedup.tokenize(short), n=3, window=4)
     assert short_fp.count() == 1
+
+
+def test_winnowing_every_window_is_covered(spark):
+    """The winnowing density guarantee: for every window of 4
+    consecutive gram hashes, at least one hash in that window is in
+    the selected fingerprint set (this is what makes the fingerprint
+    detect ANY sufficiently long overlap, not just lucky ones).
+    Checked against an independent pure-Python reimplementation."""
+    import hashlib
+
+    from anomaly_detection_iiot_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    words = [f"w{(i * 7) % 23}" for i in range(60)]  # cyclic, many ties
+    text = " ".join(words)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    got = {
+        r.fingerprint
+        for r in winnowing_fingerprints(
+            dedup.tokenize(df), n=3, window=4
+        ).collect()
+    }
+
+    grams = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    hashes = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    expected = {
+        min(hashes[i - 3 : i + 1]) for i in range(3, len(hashes))
+    }
+    assert got == expected
+    for i in range(3, len(hashes)):
+        assert got & set(hashes[i - 3 : i + 1]), f"window {i} uncovered"
