@@ -192,6 +192,85 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def _banded(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """One row per (id, band_id, band_key): the signature split into
+    bands JVM-side (array-of-structs explode, no shuffle)."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def band_index(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The at-rest LSH index of a (deduplicated) corpus: persist this
+    (partitioned/bucketed by ``band_key``) and daily ingest joins
+    against it instead of re-banding the whole corpus — see
+    ``incremental_lsh_candidates``."""
+    return _banded(signatures, id_col, num_hashes, band_size)
+
+
+def incremental_lsh_candidates(
+    new_signatures: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_expand: int = 64,
+) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL batch against an existing
+    deduplicated corpus: (new x corpus) via an equi-join of the new
+    batch's bands against the stored ``band_index``, plus (new x new)
+    via the standard bucketed expansion. Deliberately NO corpus x
+    corpus work — the at-rest corpus is already deduplicated, so daily
+    cost scales with the batch size, not the corpus size (the property
+    that makes LSH dedup sustainable at a 100 TB corpus with TB-scale
+    daily ingest).
+
+    Output columns ``(doc_a, doc_b)`` with doc_a < doc_b, doc_b always
+    the new-batch side for cross pairs. The band equi-join is
+    AQE-skew-splittable; a hot band key in the corpus index shuffles
+    only its id list, same order as the pair output."""
+    new_banded = _banded(new_signatures, id_col, num_hashes, band_size)
+    cross = (
+        new_banded.alias("n")
+        .join(
+            corpus_index.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col(f"n.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("doc_b"),
+        )
+    )
+    within = lsh_candidate_pairs(
+        new_signatures, id_col, num_hashes, band_size, max_bucket_expand
+    )
+    return cross.unionByName(within).distinct()
+
+
 def _lsh_pair_branches(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -221,21 +300,7 @@ def _lsh_pair_branches(
     cluster. Results are identical to the unguarded path (asserted in
     tests/test_lsh_skew.py); the repartition shuffle moves O(K²/2) id
     strings — the same order as the pair output itself."""
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = signatures.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = _banded(signatures, id_col, num_hashes, band_size)
     buckets = (
         banded.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))

@@ -246,3 +246,40 @@ def test_winnowing_every_window_is_covered(spark):
     assert got == expected
     for i in range(3, len(hashes)):
         assert got & set(hashes[i - 3 : i + 1]), f"window {i} uncovered"
+
+
+def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
+    """Incremental LSH (new batch vs stored band index + new x new)
+    must produce exactly the full-corpus candidate set restricted to
+    pairs touching the new batch — no corpus x corpus work, no lost
+    pairs."""
+    import os
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    split = 400
+
+    def sigs(df):
+        return dedup.minhash_signature_arrays(
+            dedup.shingle_array(dedup.tokenize(df), n=3), num_hashes=4
+        )
+
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    assert batch.count() > 0 and corpus.count() > 0
+
+    idx = dedup.band_index(sigs(corpus), num_hashes=4, band_size=2)
+    inc = dedup.incremental_lsh_candidates(
+        sigs(batch), idx, num_hashes=4, band_size=2
+    )
+    got = {(r.doc_a, r.doc_b) for r in inc.collect()}
+
+    full = dedup.lsh_candidate_pairs(sigs(docs), num_hashes=4, band_size=2)
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in full.collect()
+        if r.doc_a >= split or r.doc_b >= split
+    }
+    assert got == expected and expected, "incremental != restricted full"
