@@ -50,6 +50,7 @@ QUERY_NAMES = {
     "d3": "d3_minhash_signatures",
     "d4": "d4_lsh_candidates",
     "d8": "d8_dup_clusters",
+    "d9": "d9_semdedup",
 }
 
 
@@ -59,7 +60,8 @@ def inflate_documents(src_dir: str, factor: int) -> str:
     Copy i shifts doc_id by i*stride and salts the text (see module
     docstring); multi-file output so downstream scans split properly.
     """
-    out = os.path.join(BENCH_DATA, f"probe_docs_{factor}x")
+    # v2: also carries embeddings.parquet (rotated copies)
+    out = os.path.join(BENCH_DATA, f"probe_tables_{factor}x_v2")
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
         return out
@@ -88,6 +90,34 @@ def inflate_documents(src_dir: str, factor: int) -> str:
         df = df.unionByName(c)
     df.repartition(max(4, factor)).write.mode("overwrite").parquet(
         os.path.join(tmp, "documents.parquet")
+    )
+    # embeddings: copy i shifts vec_id and CYCLICALLY ROTATES the 64
+    # dims by i — a per-copy isometry, so intra-copy geometry (and thus
+    # duplicate/near-dup density) is exactly preserved while cross-copy
+    # cosines decorrelate; labels keep their values so label/bucket
+    # blocks grow with scale, exercising the tiled gram guard.
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    estride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    ecopies = []
+    for i in range(factor):
+        rot = i % dim
+        rotated = F.concat(
+            F.slice("embedding", rot + 1, dim - rot),
+            F.slice("embedding", 1, rot),
+        )
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * estride)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    edf = ecopies[0]
+    for c in ecopies[1:]:
+        edf = edf.unionByName(c)
+    edf.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
     )
     open(os.path.join(tmp, ".complete"), "w").close()
     shutil.rmtree(out, ignore_errors=True)
@@ -238,15 +268,16 @@ def main() -> None:
 
     print(json.dumps(results, indent=1))
     # markdown table for README
-    print("\n| query | scale | docs | wall | shuffle write | shuffle read | tasks |")
+    print("\n| query | scale | rows | wall | shuffle write | shuffle read | tasks |")
     print("|---|---|---|---|---|---|---|")
-    base_docs = 5000
+    # sf0.1 base row counts of the table each query family scans
+    base_rows = {"d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000}
     for q in queries:
         for n in scales:
             r = results[q].get(n)
             if r:
                 print(
-                    f"| {QUERY_NAMES[q]} | {n}x | {base_docs * n:,} "
+                    f"| {QUERY_NAMES[q]} | {n}x | {base_rows[q] * n:,} "
                     f"| {r['wall_sec']}s | {r['shuffle_write_mb']} MB "
                     f"| {r['shuffle_read_mb']} MB | {r['n_tasks']} |"
                 )
