@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     "mm3_audio_roundtrip",
     "t6_tfidf",
     "t7_repetition",
+    "a14_cohort_retention",
+    "o7_funnel",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

@@ -152,6 +152,95 @@ FROM events GROUP BY 1
 """
 
 
+# --- A14: cohort retention ----------------------------------------------------
+
+def a14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort analysis: users grouped by first-activity week,
+    tracked by distinct-user counts at each week offset. Shuffle shape:
+    one agg for cohorts (|users| rows), one broadcast join back onto
+    the event stream, one final (cohort, offset) agg — no window over
+    the full event table."""
+    ev = t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_timestamp(wk) - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+A14_SQL = """
+WITH cohorts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST(floor(date_diff('day', c.cohort_week,
+                            date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --- O7: conversion funnel ----------------------------------------------------
+
+def o7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, first signup, then first
+    purchase strictly AFTER that signup; rolled up to funnel-stage
+    counts. Two conditional aggs over one scan + a broadcast join —
+    the min-over-filtered-events idiom instead of a per-user sort."""
+    ev = t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchase = (
+        ev.join(F.broadcast(signup), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("signup_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    funnel = signup.join(purchase, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("signed_up"),
+        F.count("purchase_ts").alias("converted"),
+        F.round(F.count("purchase_ts") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+O7_SQL = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), purchase AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN signup s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+  GROUP BY 1
+)
+SELECT count(*) AS signed_up,
+       count(purchase_ts) AS converted,
+       round(count(purchase_ts) * 1.0 / count(*), 6) AS conversion_rate
+FROM signup LEFT JOIN purchase USING (user_id)
+"""
+
+
 # --- P12: pivot / wide reshape ------------------------------------------------
 
 _P12_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -238,6 +327,11 @@ EXTRA_QUERIES: list[QuerySpec] = [
               "of a12)"),
     QuerySpec("p12_pivot", p12_pivot, P12_SQL,
               "P12 pivot/wide reshape with explicit value list"),
+    QuerySpec("a14_cohort_retention", a14_cohort_retention, A14_SQL,
+              "A14 cohort retention: first-activity week x week-offset "
+              "distinct users"),
+    QuerySpec("o7_funnel", o7_funnel, O7_SQL,
+              "O7 ordered conversion funnel (signup -> later purchase)"),
     QuerySpec("o6_stratified_sample", o6_stratified_sample, O6_SQL,
               "O6 deterministic hash-based stratified sampling "
               "(per-language mixture quotas)"),
