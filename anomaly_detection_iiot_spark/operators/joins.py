@@ -68,3 +68,58 @@ def asof_join(
     else:
         res = res.drop("__ts")
     return res
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: float,
+) -> DataFrame:
+    """All (left, right) row pairs whose CLOSED intervals overlap
+    (start_a <= end_b AND start_b <= end_a), via bin bucketing.
+
+    A naive theta-join is a nested-loop over |L| x |R|. Instead each
+    interval explodes to the fixed-width bins it spans and pairs meet
+    through an EQUI-join on bin — shuffle volume is sum(span)/bin_width
+    rows, tunable to the data's interval lengths. A pair sharing many
+    bins would match once per shared bin; rather than a distinct, each
+    pair is emitted only in its FIRST shared bin
+    (bin == max(floor(start_a/W), floor(start_b/W))) — constant-memory
+    dedup inside the join filter, no extra shuffle.
+
+    Returns all left columns + all right columns (caller ensures
+    disjoint names). Intervals are numeric (cast timestamps to epoch
+    seconds first).
+    """
+    w = float(bin_width)
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / w), F.floor(F.col(l_end) / w)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / w), F.floor(F.col(r_end) / w)
+            )
+        ),
+    )
+    joined = lb.join(rb, "__bin").filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            F.col("__bin")
+            == F.greatest(
+                F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
+            )
+        )
+    )
+    return joined.drop("__bin")

@@ -241,6 +241,63 @@ FROM signup LEFT JOIN purchase USING (user_id)
 """
 
 
+# --- J7: interval overlap join ------------------------------------------------
+
+def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/joins.py::
+    interval_overlap_join): which user activity windows overlap, via
+    bin bucketing — an equi-join on day-width bins with first-shared-
+    bin dedup, never a nested-loop theta join. The oracle is the naive
+    theta join, so a hash match proves the binned formulation exact."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("s"),
+        F.max(F.unix_timestamp("ts")).alias("e"),
+    )
+    a = spans.filter(F.col("user_id") < 20).select(
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("a_start"),
+        F.col("e").alias("a_end"),
+    )
+    b = spans.filter(F.col("user_id").between(20, 59)).select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("b_start"),
+        F.col("e").alias("b_end"),
+    )
+    joined = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bin_width=86400.0
+    )
+    return joined.select(
+        "user_a",
+        "user_b",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).alias("overlap_sec"),
+    )
+
+
+J7_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), agg AS (
+  SELECT user_id, min(es) AS s, max(es) AS e FROM spans GROUP BY 1
+), a AS (
+  SELECT user_id AS user_a, s AS a_start, e AS a_end
+  FROM agg WHERE user_id < 20
+), b AS (
+  SELECT user_id AS user_b, s AS b_start, e AS b_end
+  FROM agg WHERE user_id BETWEEN 20 AND 59
+)
+SELECT user_a, user_b,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_sec
+FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+"""
+
+
 # --- P12: pivot / wide reshape ------------------------------------------------
 
 _P12_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -332,6 +389,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
               "distinct users"),
     QuerySpec("o7_funnel", o7_funnel, O7_SQL,
               "O7 ordered conversion funnel (signup -> later purchase)"),
+    QuerySpec("j7_interval_overlap", j7_interval_overlap, J7_SQL,
+              "J7 interval overlap join via bin bucketing "
+              "(first-shared-bin dedup)"),
     QuerySpec("o6_stratified_sample", o6_stratified_sample, O6_SQL,
               "O6 deterministic hash-based stratified sampling "
               "(per-language mixture quotas)"),

@@ -146,3 +146,53 @@ def test_fedavg_mean_of_identical_clients_is_identity(spark):
     for (Wa, ba), (Wb, bb) in zip(averaged, local):
         np.testing.assert_allclose(Wa, Wb, rtol=1e-12)
         np.testing.assert_allclose(ba, bb, rtol=1e-12)
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    """Binned overlap join == naive theta join on a mix of disjoint,
+    touching, nested, and multi-bin-spanning intervals (bin width 10
+    so several intervals span many bins — the exactly-once emission
+    path — and several share no bin at all)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "la": [1, 2, 3, 4, 5],
+                "a_start": [0.0, 35.0, 100.0, 7.0, 200.0],
+                "a_end": [12.0, 36.0, 150.0, 7.0, 201.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rb": [10, 20, 30, 40],
+                "b_start": [11.0, 36.0, 90.0, 300.0],
+                "b_end": [40.0, 36.0, 160.0, 310.0],
+            }
+        )
+    )
+    got = {
+        (r.la, r.rb)
+        for r in interval_overlap_join(
+            left, right, "a_start", "a_end", "b_start", "b_end", 10.0
+        ).collect()
+    }
+    naive = {
+        (r.la, r.rb)
+        for r in left.crossJoin(right)
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .collect()
+    }
+    assert got == naive
+    assert (5, 40) not in got  # disjoint intervals rejected
+    assert (2, 20) in got  # point-touching closed intervals match
