@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "a14_cohort_retention",
     "o7_funnel",
     "j7_interval_overlap",
+    "q5_local_supplier_volume",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

@@ -526,6 +526,63 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+# --- Q5-shape: local supplier volume (6-table join) --------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: revenue by nation where customer and supplier
+    share the nation, region-filtered, one order year. Declared as six
+    plain inner joins with no hints — the point IS that Catalyst does
+    the physical planning: region/nation broadcast (tiny dims),
+    customer/supplier broadcast at this SF, the selective region and
+    date filters push below every join, and AQE reorders/resizes at
+    runtime. The plan this produces on a cluster is the one a hand
+    optimizer would write."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -561,4 +618,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
               "hierarchical rollup with grouping flags"),
     QuerySpec("a11_cube", a11_cube, A11_SQL,
               "full cube with grouping flags"),
+    QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
+              "TPC-H Q5 shape: 6-table join, Catalyst-planned "
+              "broadcasts + pushdown"),
 ]

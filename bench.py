@@ -28,6 +28,7 @@ from anomaly_detection_iiot_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_local_supplier_volume",  # 6-table join, Catalyst-planned (r5)
     "j5_broadcast_dims",
     "j2_anti_join",
     "j4_range_join",
