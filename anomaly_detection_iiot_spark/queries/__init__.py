@@ -95,10 +95,8 @@ _DRIVER_PRIORITY = [
     "p5_multiformat_parse",   # ts parsing output
     "q1_pricing_summary",     # l_shipdate filter
     "a1_resample_mean",       # events ts windows
-    # changed in round 4: oracle cast / operator refactors (mm1 + a13
-    # got green r4 rows; keep d-family fresh one more round)
-    "mm1_media_manifest",
-    "a13_exact_distinct_quantiles",
+    # changed in round 5: _banded factored out of the LSH pair path
+    # (mm1/a13 dropped — green r4 rows, unchanged since)
     "d8_dup_clusters",
     "d4_lsh_candidates",
 ]
