@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "o7_funnel",
     "j7_interval_overlap",
     "q5_local_supplier_volume",
+    "m14_calibration",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

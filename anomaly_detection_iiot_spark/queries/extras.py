@@ -241,6 +241,46 @@ FROM signup LEFT JOIN purchase USING (user_id)
 """
 
 
+# --- M14: calibration / reliability bins --------------------------------------
+
+def m14_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data: scores binned into deciles, each bin
+    reporting mean predicted probability vs observed positive rate —
+    the calibration companion to m13's discrimination metrics. One
+    hash aggregate over the scored stream; score = logistic(value),
+    label = purchase/signup events (deterministic from the table)."""
+    ev = t(spark, sf_dir, "events")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))
+    label = F.col("event_type").isin("purchase", "signup").cast("int")
+    binned = ev.select(
+        F.least(F.floor(score * 10), F.lit(9)).alias("bin"),
+        score.alias("score"),
+        label.alias("label"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_pred"),
+        F.round(F.avg("label"), 6).alias("pos_rate"),
+    )
+
+
+M14_SQL = """
+WITH scored AS (
+  -- (1/(1+e))*10, NOT 10/(1+e): must match Spark's fp operation order
+  SELECT least(CAST(floor((1.0 / (1.0 + exp(-value))) * 10) AS BIGINT), 9)
+           AS bin,
+         1.0 / (1.0 + exp(-value)) AS score,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS label
+  FROM events
+)
+SELECT bin, count(*) AS n,
+       round(avg(score), 6) AS mean_pred,
+       round(avg(label), 6) AS pos_rate
+FROM scored GROUP BY bin
+"""
+
+
 # --- J7: interval overlap join ------------------------------------------------
 
 def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +432,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("j7_interval_overlap", j7_interval_overlap, J7_SQL,
               "J7 interval overlap join via bin bucketing "
               "(first-shared-bin dedup)"),
+    QuerySpec("m14_calibration", m14_calibration, M14_SQL,
+              "M14 calibration/reliability bins (mean predicted vs "
+              "observed rate)"),
     QuerySpec("o6_stratified_sample", o6_stratified_sample, O6_SQL,
               "O6 deterministic hash-based stratified sampling "
               "(per-language mixture quotas)"),
