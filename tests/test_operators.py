@@ -196,3 +196,86 @@ def test_interval_overlap_join_equals_naive(spark):
     assert got == naive
     assert (5, 40) not in got  # disjoint intervals rejected
     assert (2, 20) in got  # point-touching closed intervals match
+
+
+def test_interval_overlap_join_randomized_widths(spark):
+    """Randomized cross-check: 150x120 seeded random intervals
+    (mixed lengths incl. points), binned join == naive theta join for
+    bin widths spanning tiny (every interval covers many bins) to
+    huge (everything lands in one bin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = np.random.default_rng(4242)
+
+    def mk(n, prefix):
+        start = rng.uniform(0, 1000, n)
+        length = rng.choice([0.0, 0.5, 5.0, 50.0], n) * rng.uniform(0, 2, n)
+        return pd.DataFrame(
+            {
+                f"{prefix}id": np.arange(n),
+                f"{prefix}s": start,
+                f"{prefix}e": start + length,
+            }
+        )
+
+    left = spark.createDataFrame(mk(150, "a"))
+    right = spark.createDataFrame(mk(120, "b"))
+    naive = {
+        (r.aid, r.bid)
+        for r in left.crossJoin(right)
+        .filter((F.col("as") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+        .collect()
+    }
+    assert naive  # non-degenerate fixture
+    for width in (3.0, 40.0, 10000.0):
+        got = {
+            (r.aid, r.bid)
+            for r in interval_overlap_join(
+                left, right, "as", "ae", "bs", "be", width
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_incremental_lsh_randomized_split(spark, sf_dir):
+    """Incremental == restricted-full must hold for any corpus/batch
+    split, not just an id-prefix one: check a seeded hash-based split
+    (interleaved ids on both sides)."""
+    import os
+
+    from anomaly_detection_iiot_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+
+    def sigs(df):
+        return dedup.minhash_signature_arrays(
+            dedup.shingle_array(dedup.tokenize(df), n=3), num_hashes=4
+        )
+
+    is_batch = F.md5(F.col("doc_id").cast("string")).startswith("a")
+    corpus = docs.filter(~is_batch)
+    batch = docs.filter(is_batch)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert batch_ids and corpus.count() > 0
+
+    idx = dedup.band_index(sigs(corpus), num_hashes=4, band_size=2)
+    inc = dedup.incremental_lsh_candidates(
+        sigs(batch), idx, num_hashes=4, band_size=2
+    )
+    got = {(r.doc_a, r.doc_b) for r in inc.collect()}
+    full = dedup.lsh_candidate_pairs(sigs(docs), num_hashes=4, band_size=2)
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in full.collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    assert got == expected
