@@ -180,6 +180,76 @@ def _bearing_stream_runs(spark, snap) -> list:
     return runs
 
 
+def _curation_corpus_dir(sf_dir: str) -> str:
+    """sf documents split into 16 parquet chunk files so the curation
+    stream drains in 4 micro-batches; built once per sf and cached."""
+    tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_data", f"curation_corpus_{tag}",
+    )
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    from anomaly_detection_iiot_spark.session import get_spark
+
+    spark = get_spark("bench-prep")
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "lang", "text")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    open(os.path.join(tmp, ".complete"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def _bench_curation_stream(spark, sf_dir: str) -> float:
+    """Streaming document curation (streaming/curation_stream.py):
+    stateless cascade + watermark-bounded content dedup over a 4-micro-
+    batch drain. State keys = distinct content hashes, so size shuffle
+    partitions to the state like the bearing stream."""
+    import tempfile
+
+    from anomaly_detection_iiot_spark.streaming import curation_stream
+
+    corpus = _curation_corpus_dir(sf_dir)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        runs: list[float] = []
+        for i in range(3):
+            sdf = curation_stream.curated_document_stream(
+                spark.readStream.schema("doc_id bigint, lang string, text string")
+                .option("maxFilesPerTrigger", 4)
+                .parquet(corpus)
+            )
+            ckpt = tempfile.mkdtemp(prefix="curation_ckpt_")
+            name = f"bench_curation_{i}"
+            t0 = time.time()
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            runs.append(time.time() - t0)
+            n = spark.table(name).count()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            assert n > 0, "curation stream produced no rows"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return round(min(runs), 3)
+
+
 def _bench_bearing_pipeline(spark) -> float:
     from anomaly_detection_iiot_spark.ml import autoencoder as ae
     from anomaly_detection_iiot_spark.plans.bearing_pipeline import (
@@ -239,6 +309,8 @@ def main() -> None:
     times["bearing_pipeline"] = _bench_bearing_pipeline(spark)
     # chained two-stateful-operator streaming query, multi-micro-batch
     times["bearing_stream"] = _bench_bearing_stream(spark)
+    # streaming curation: stateless cascade + watermark-bounded dedup
+    times["curation_stream"] = _bench_curation_stream(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
