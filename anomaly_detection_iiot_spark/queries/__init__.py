@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "m14_calibration",
     "w14_ewma",
     "t9_zipf",
+    "a15_histogram",
     # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
     # testdata regeneration writes parquet timestamps with
     # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and

@@ -241,6 +241,49 @@ FROM signup LEFT JOIN purchase USING (user_id)
 """
 
 
+# --- A15: equi-width histogram ------------------------------------------------
+
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of the value column: data-driven
+    range via one tiny min/max aggregate broadcast against the stream
+    (same pattern as the normalize/threshold ops), then a single hash
+    agg on the bin id. The bin arithmetic is mirrored token-for-token
+    in the oracle so fp boundary assignment is identical."""
+    ev = t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.join(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / 20.0)
+            ),
+            F.lit(19),
+        ).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+A15_SQL = """
+WITH rng AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM events
+)
+SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / 20.0))
+                  AS BIGINT), 19) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS bin_min,
+       round(max(value), 6) AS bin_max
+FROM events CROSS JOIN rng
+GROUP BY 1
+"""
+
+
 # --- M14: calibration / reliability bins --------------------------------------
 
 def m14_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +478,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("m14_calibration", m14_calibration, M14_SQL,
               "M14 calibration/reliability bins (mean predicted vs "
               "observed rate)"),
+    QuerySpec("a15_histogram", a15_histogram, A15_SQL,
+              "A15 equi-width histogram, data-driven range via "
+              "broadcast min/max"),
     QuerySpec("o6_stratified_sample", o6_stratified_sample, O6_SQL,
               "O6 deterministic hash-based stratified sampling "
               "(per-language mixture quotas)"),
