@@ -247,8 +247,11 @@ def incremental_lsh_candidates(
     that makes LSH dedup sustainable at a 100 TB corpus with TB-scale
     daily ingest).
 
-    Output columns ``(doc_a, doc_b)`` with doc_a < doc_b, doc_b always
-    the new-batch side for cross pairs. The band equi-join is
+    Output columns ``(doc_a, doc_b)`` ordered by id only (doc_a <
+    doc_b via least/greatest) — for cross pairs EITHER side may be the
+    new-batch doc, so a keep-corpus/drop-new policy must not assume
+    doc_b is new; join back to the batch frame (or tag a side column)
+    when side matters. The band equi-join is
     AQE-skew-splittable; a hot band key in the corpus index shuffles
     only its id list, same order as the pair output."""
     new_banded = _banded(new_signatures, id_col, num_hashes, band_size)

@@ -248,19 +248,26 @@ def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     range via one tiny min/max aggregate broadcast against the stream
     (same pattern as the normalize/threshold ops), then a single hash
     agg on the bin id. The bin arithmetic is mirrored token-for-token
-    in the oracle so fp boundary assignment is identical."""
+    in the oracle so fp boundary assignment is identical. A degenerate
+    (constant-valued) column collapses to one bin 0 via an explicit
+    CASE — without it Spark's non-ANSI x/0 yields NULL while DuckDB's
+    float division yields inf/NaN, an oracle mismatch (ADVICE r5)."""
     ev = t(spark, sf_dir, "events")
     rng = ev.agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     binned = ev.join(F.broadcast(rng)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / ((F.col("vmax") - F.col("vmin")) / 20.0)
-            ),
-            F.lit(19),
-        ).alias("bin"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / 20.0)
+                ),
+                F.lit(19),
+            )
+        )
+        .alias("bin"),
         "value",
     )
     return binned.groupBy("bin").agg(
@@ -274,8 +281,9 @@ A15_SQL = """
 WITH rng AS (
   SELECT min(value) AS vmin, max(value) AS vmax FROM events
 )
-SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / 20.0))
-                  AS BIGINT), 19) AS bin,
+SELECT CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+            ELSE least(CAST(floor((value - vmin) / ((vmax - vmin) / 20.0))
+                       AS BIGINT), 19) END AS bin,
        count(*) AS n,
        round(min(value), 6) AS bin_min,
        round(max(value), 6) AS bin_max

@@ -42,6 +42,25 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def files_read(df: DataFrame) -> int:
+    """Execute ``df`` and return the scan's ``numFiles`` SQL metric —
+    the number of files the pruned scan actually listed for read, the
+    ground truth behind the PartitionFilters string. Counts across all
+    file scans in the plan (sum), so single-table frames get exactly
+    their scan's value."""
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+    leaves = ep.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        if metrics.contains("numFiles"):
+            total += metrics.apply("numFiles").value()
+    return total
+
+
 def partition_filters(df: DataFrame) -> str:
     """The ``PartitionFilters: [...]`` clause of the scan node in the
     executed plan (empty string if the scan has none)."""

@@ -35,15 +35,16 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path, sf_dir):
     expected = docs.filter(F.col("lang") == "en").count()
     assert q.count() == expected
 
-    # numFiles in the formatted plan counts only the pruned-in files
-    formatted = q._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    # file-level pruning, not just a row-count coincidence: the scan's
+    # numFiles metric counts only the pruned-in en-partition files
     en_files = len(glob.glob(os.path.join(path, "lang=en", "*.parquet")))
     all_files = len(glob.glob(os.path.join(path, "lang=*", "*.parquet")))
     assert all_files > en_files  # other partitions exist on disk
+    n_read = partitioned.files_read(q)
+    assert n_read == en_files, (
+        f"scan read {n_read} files, expected only the {en_files} "
+        f"en-partition files (of {all_files} on disk)"
+    )
 
 
 def test_partitioned_write_one_file_set_per_partition(spark, tmp_path, sf_dir):

@@ -11,7 +11,12 @@ Inflation semantics matter for dedup: a naive union of shifted-id
 copies keeps the TEXT identical, so every duplicate group grows by the
 copy factor and true near-dup pairs grow QUADRATICALLY — that measures
 a pathological corpus, not scale. Each copy instead SUFFIXES every
-token with the copy id (`regexp_replace(text, '(\\S+)', '$1·c<i>')`) —
+token with the copy id (`regexp_replace(text, '(\\S+)', '$1c<i>')` —
+a bare suffix, no separator; this is collision-free across copies only
+because copy ids are digit-only and every copy rewrites the SAME source
+vocabulary, so two rewritten tokens `w + "c" + i` and `w' + "c" + j`
+coincide only if the source tokens already differed by a trailing
+`c<digits>` run, which the generator's alphabetic word list rules out) —
 a bijection on the vocabulary, so the within-copy shingle-match
 structure mirrors the original corpus exactly while cross-copy overlap
 is zero. (An earlier interleaving scheme — salt tokens BETWEEN words —
