@@ -166,6 +166,40 @@ FROM banded a JOIN banded b
 """
 
 
+# --- D10: incremental LSH against an at-rest band index ----------------------
+
+def d10_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup shape: docs with ``doc_id % 10 == 0`` play the
+    NEW batch, the rest the already-deduplicated at-rest corpus whose
+    ``band_index`` is persisted. Candidates = (new x corpus) via the
+    index equi-join + (new x new) via standard bucketed expansion —
+    deliberately no corpus x corpus work, so daily cost scales with the
+    batch, not the 100 TB corpus (operators/dedup.py:233). The oracle
+    computes the full-corpus band join and keeps pairs with >=1 new
+    side — identical by construction since the corpus side is banded
+    with the same signature scheme."""
+    sig = _signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) == 0
+    index = dedup.band_index(sig.filter(~is_new), num_hashes=4, band_size=2)
+    return dedup.incremental_lsh_candidates(
+        sig.filter(is_new), index, num_hashes=4, band_size=2
+    )
+
+
+D10_SQL = f"""
+WITH {_SIG}, banded AS (
+  SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, h2 || '|' || h3 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+"""
+
+
 # --- D5: exact n-gram Jaccard verification -----------------------------------
 
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,6 +1069,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "minwise signatures over 3-gram shingles (md5-simulated perms)"),
     QuerySpec("d4_lsh_candidates", d4_lsh_candidates, D4_SQL,
               "MinHash-LSH banding -> candidate-pair bucket join"),
+    QuerySpec("d10_incremental_lsh", d10_incremental_lsh, D10_SQL,
+              "incremental LSH: new batch vs at-rest band index "
+              "(new x corpus + new x new, no corpus x corpus)"),
     QuerySpec("d5_ngram_jaccard", d5_ngram_jaccard, D5_SQL,
               "exact n-gram Jaccard verification join"),
     QuerySpec("d8_dup_clusters", d8_dup_clusters, D8_SQL,
