@@ -21,6 +21,11 @@ The codec boundary is explicit:
   deterministically: the blob bytes are interpreted as uint8 and
   reshaped per the meta struct — schema, batch shape, and everything
   downstream (resize, features) is REAL numpy and fully tested.
+- ``codec="png"`` is a REAL image codec with zero dependencies: a
+  stdlib (``zlib`` + ``struct``) 8-bit-grayscale PNG encoder/decoder
+  (``encode_png``/``decode_png``) with all five PNG scanline filters,
+  so real image decode is oracle-provable in containers without
+  Pillow — the image sibling of mm3's stdlib-``wave`` audio path.
 """
 
 from __future__ import annotations
@@ -84,11 +89,17 @@ FEATURE_SCHEMA = StructType(
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", codec: str = "raw") -> DataFrame:
     """Deterministic media table from any text corpus: blob = utf-8
     bytes, kind round-robins image/audio/video, meta derived from the
     blob length. Pure column ops — used by tests and the oracle-checked
-    manifest/frame-sample queries."""
+    manifest/frame-sample queries.
+
+    ``codec="png"`` additionally REAL-encodes each image-kind row's
+    bytes as an 8-bit grayscale PNG (``encode_png``) of shape
+    (n_bytes // width, width) — tail bytes past the last full row are
+    dropped, meta.height/format updated — via Arrow-batched
+    ``mapInPandas``, so the encode runs distributed on executors."""
     n_bytes = F.octet_length(F.encode(F.col(text_col), "utf-8"))
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -102,12 +113,166 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
         (n_bytes % 50 + 10).cast("int").alias("n_frames"),
         F.lit("raw").alias("format"),
     )
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
         F.encode(F.col(text_col), "utf-8").alias("data"),
         meta.alias("meta"),
     )
+    if codec == "raw":
+        return out
+    if codec != "png":
+        raise ValueError(f"synthesize_media codec must be raw|png, got {codec!r}")
+
+    def png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            for i in pdf.index:
+                if pdf.at[i, "kind"] != "image":
+                    continue
+                raw = np.frombuffer(bytes(pdf.at[i, "data"]), dtype=np.uint8)
+                m = dict(pdf.at[i, "meta"])
+                w = int(m["width"])
+                h = len(raw) // w
+                pdf.at[i, "data"] = bytearray(
+                    encode_png(raw[: h * w].reshape(h, w))
+                )
+                m["height"], m["format"] = h, "png"
+                pdf.at[i, "meta"] = m
+            yield pdf
+
+    return out.mapInPandas(png_batches, MEDIA_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized: pick whichever
+    of left/up/up-left is closest to a + b - c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as an 8-bit grayscale PNG (stdlib
+    only). Scanline filter types cycle 0..4 by row — None/Sub/Up/
+    Average/Paeth — so any consumer must implement real unfiltering,
+    not just strip a zero byte; filters are computed per the PNG spec
+    from the raw (reconstructed) neighbor bytes."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"encode_png wants a 2-D grayscale array, got {a.shape}")
+    h, w = a.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for i in range(h):
+        row = a[i].astype(np.int32)
+        left = np.concatenate(([0], row[:-1]))
+        up_left = np.concatenate(([0], prev[:-1]))
+        ft = i % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row - left) % 256
+        elif ft == 2:
+            filt = (row - prev) % 256
+        elif ft == 3:
+            filt = (row - (left + prev) // 2) % 256
+        else:
+            filt = (row - _paeth(left, prev, up_left)) % 256
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale non-interlaced PNG to a (h, w) uint8
+    array (stdlib only): chunk walk with CRC verification, IDAT
+    concatenation + zlib inflate, and full five-filter scanline
+    reconstruction. Sub/Average/Paeth rows reconstruct left-to-right
+    (the spec's left-neighbor dependency is inherently sequential);
+    None/Up rows are vectorized."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i, n = 8, len(blob)
+    idat = bytearray()
+    w = h = None
+    while i + 12 <= n:
+        ln = int.from_bytes(blob[i : i + 4], "big")
+        tag = blob[i + 4 : i + 8]
+        payload = blob[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(blob[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "decode_png supports 8-bit grayscale non-interlaced only "
+                    f"(got depth={depth} color={color} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise ValueError(f"PNG data length {len(raw)} != {h}x{stride}")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        ft = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                a = int(rec[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                if ft == 1:
+                    rec[x] = (cur[x] + a) % 256
+                elif ft == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
 
 
 def pil_available() -> bool:
@@ -200,8 +365,37 @@ def decode_media(
       markers (``split_mjpeg_frames``), each frame decoded via the
       same Pillow path, stacked to a (n_frames, h, w[, c]) tensor.
 
+    codec="png" decodes image-kind blobs with the stdlib PNG decoder
+    (``decode_png`` — zlib inflate + five-filter reconstruction, no
+    Pillow), normalizing to [0,1] like the Pillow path; non-image rows
+    are dropped. This is the dependency-free REAL image path, provable
+    in-container (mm4_image_roundtrip).
+
     codec="fake" (deterministic uint8 reinterpretation) exercises the
     identical Spark plumbing with no codec dependency."""
+    if codec == "png":
+        df = df.filter(F.col("kind") == "image")
+
+        def png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out_cols = [f.name for f in DECODED_SCHEMA]
+            for pdf in it:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    arr = decode_png(bytes(r.data))
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "kind": r.kind,
+                            "pixels": (arr.astype(np.float64) / 255.0)
+                            .ravel()
+                            .tolist(),
+                            "shape": list(arr.shape),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=out_cols)
+
+        return df.mapInPandas(png_batches, DECODED_SCHEMA)
+
     if codec == "real":
         needs_pil = {"image", "video"} & set(kinds)
         if needs_pil and not pil_available():

@@ -114,6 +114,73 @@ FROM s GROUP BY 1
 """
 
 
+def mm4_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decode path proven end-to-end with an oracle —
+    the PNG sibling of mm3's WAV path. Per-user 8-px-wide grayscale
+    PNGs are synthesized from integer event ids (pixel = event_id %
+    256, ids sorted, tail past the last full row dropped — all
+    integer-exact), encoded with ``encode_png`` (filter types cycling
+    None/Sub/Up/Average/Paeth by row), decoded back through
+    ``decode_media(codec='png')``'s stdlib zlib+unfilter path inside
+    ``mapInPandas``, and reduced to per-image pixel statistics. The
+    oracle recomputes the same statistics from ``events`` directly: a
+    value-hash match proves chunk framing, CRCs, inflate, all five
+    filter reconstructions, the /255 normalization, and the (h, w)
+    shape contract. KB-scale driver-side synthesis at construction
+    time, like mm3."""
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    rows = ev.select("user_id", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.event_id)
+    blobs = []
+    for uid, eids in sorted(series.items()):
+        eids.sort()
+        h = len(eids) // 8
+        if h == 0:
+            continue
+        arr = np.array(
+            [e % 256 for e in eids[: h * 8]], dtype=np.uint8
+        ).reshape(h, 8)
+        blobs.append((uid, "image", bytearray(multimodal.encode_png(arr))))
+    media = spark.createDataFrame(
+        blobs, "media_id bigint, kind string, data binary"
+    )
+    decoded = multimodal.decode_media(media, codec="png")
+    px = F.col("pixels")
+    n = F.size(px)
+    sum_sq = F.aggregate(px, F.lit(0.0), lambda a, x: a + x * x)
+    sum_v = F.aggregate(px, F.lit(0.0), lambda a, x: a + x)
+    return decoded.select(
+        "media_id",
+        F.element_at("shape", 1).cast("bigint").alias("height"),
+        n.cast("bigint").alias("n_px"),
+        F.round(sum_v / n, 6).alias("mean_px"),
+        F.round(F.sqrt(sum_sq / n), 6).alias("rms"),
+    )
+
+
+MM4_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 8
+), px AS (
+  SELECT user_id, (event_id % 256) / 255.0 AS v
+  FROM ranked WHERE rn <= (n // 8) * 8
+)
+SELECT user_id AS media_id,
+       count(*) // 8 AS height,
+       count(*) AS n_px,
+       round(sum(v) / count(*), 6) AS mean_px,
+       round(sqrt(sum(v * v) / count(*)), 6) AS rms
+FROM px GROUP BY 1
+"""
+
+
 MEDIA_QUERIES: list[QuerySpec] = [
     QuerySpec("mm1_media_manifest", mm1_media_manifest, MM1_SQL,
               "binary media manifest: per-kind blob/meta statistics"),
@@ -122,4 +189,7 @@ MEDIA_QUERIES: list[QuerySpec] = [
     QuerySpec("mm3_audio_roundtrip", mm3_audio_roundtrip, MM3_SQL,
               "real PCM16 WAV decode round-trip: wave framing + int16 "
               "normalization vs integer-exact oracle"),
+    QuerySpec("mm4_image_roundtrip", mm4_image_roundtrip, MM4_SQL,
+              "real PNG decode round-trip: stdlib zlib inflate + "
+              "five-filter reconstruction vs integer-exact oracle"),
 ]

@@ -245,3 +245,99 @@ def test_real_codec_decodes_mjpeg_video(spark):
     got = np.asarray(rows[0].pixels).reshape(3, 6, 8)
     for k, lv in enumerate(levels):
         np.testing.assert_allclose(got[k], lv / 255.0, atol=0.02)
+
+
+# --- stdlib PNG codec (encode_png/decode_png, codec="png") -------------------
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-bytes property test: encode cycles filter types 0-4 by row,
+    so any image with >=5 rows exercises every PNG filter's encode AND
+    decode path; shapes include degenerate single-column/row/empty."""
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (5, 8), (13, 32), (100, 3), (0, 8), (7, 1)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = multimodal.decode_png(multimodal.encode_png(a))
+        assert b.shape == a.shape
+        assert (b == a).all()
+    grad = np.tile(np.arange(64, dtype=np.uint8), (11, 1))
+    assert (multimodal.decode_png(multimodal.encode_png(grad)) == grad).all()
+
+
+def test_png_crc_detects_corruption():
+    blob = bytearray(
+        multimodal.encode_png(np.arange(40, dtype=np.uint8).reshape(5, 8))
+    )
+    blob[40] ^= 0xFF  # flip a byte inside IDAT payload
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(blob))
+
+
+def test_png_rejects_unsupported_depth():
+    import struct
+    import zlib
+
+    blob = bytearray(multimodal.encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    # IHDR payload starts at offset 16; depth byte is at 16 + 8
+    blob[24] = 16
+    payload = bytes(blob[16:29])
+    blob[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + payload) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="8-bit grayscale"):
+        multimodal.decode_png(bytes(blob))
+
+
+def test_pil_cross_decodes_our_png():
+    """Spec-compliance cross-check against an independent decoder —
+    runs wherever Pillow exists (skips here; the mm4 oracle covers
+    value correctness in-container)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(9, 17), dtype=np.uint8)
+    via_pil = np.asarray(PIL.open(io.BytesIO(multimodal.encode_png(a))))
+    assert (via_pil == a).all()
+
+
+def test_synthesize_png_decode_distributed(spark, media):
+    """codec='png' plumbing end-to-end on executors: synthesize_media
+    PNG-encodes image rows via mapInPandas, decode_media(codec='png')
+    inflates+unfilters them back; pixels must equal the raw utf-8 bytes
+    truncated to the last full row, and non-image rows are untouched by
+    synthesis / dropped by decode."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [f"payload-{i} " * (i + 1) for i in range(6)],
+            }
+        )
+    )
+    png_media = multimodal.synthesize_media(docs, codec="png")
+    src = {r.media_id: r for r in media.collect()}
+    rows = {r.media_id: r for r in png_media.collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        if r.kind != "image":
+            assert bytes(r.data) == bytes(src[mid].data)
+            assert r.meta.format == "raw"
+        else:
+            assert bytes(r.data)[:8] == b"\x89PNG\r\n\x1a\n"
+            assert r.meta.format == "png"
+
+    decoded = {
+        r.media_id: r
+        for r in multimodal.decode_media(png_media, codec="png").collect()
+    }
+    img_ids = {mid for mid, r in rows.items() if r.kind == "image"}
+    assert set(decoded) == img_ids
+    for mid in img_ids:
+        raw = np.frombuffer(bytes(src[mid].data), dtype=np.uint8)
+        w = src[mid].meta.width
+        h = len(raw) // w
+        assert decoded[mid].shape == [h, w]
+        np.testing.assert_allclose(
+            decoded[mid].pixels, raw[: h * w] / 255.0, rtol=1e-12
+        )
