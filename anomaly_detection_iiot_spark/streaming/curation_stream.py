@@ -17,9 +17,11 @@ Why this shape holds at 100 TB/day of crawl output:
   first-arrival-wins and the state table is the only memory cost).
 - Semantic dedup (d9) intentionally stays batch: centroid assignment
   is stream-safe (broadcast projection) but the within-cluster pair
-  stage needs the cluster's accumulated population, which is what the
-  periodic compaction run is for. The streaming stage emits the
-  survivors the batch stage then refines.
+  stage needs the cluster's accumulated population, which is what
+  ``semdedup_compaction`` is for — the periodic batch run over the
+  stream's accumulated keepers that re-verdicts semantic near-dups
+  (streaming-then-compaction equals the pure-batch pipeline; asserted
+  in tests/test_streaming_curation.py).
 """
 
 from __future__ import annotations
@@ -81,3 +83,60 @@ def curated_document_stream(
     )
     audit = verdicts.filter(F.col("verdict") != "keep")
     return keepers.unionByName(audit).drop("ingest_ts")
+
+
+def semdedup_compaction(
+    keepers: DataFrame,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.3,
+) -> DataFrame:
+    """The periodic compaction run promised in the module docstring:
+    batch-refine the stream's ACCUMULATED keepers with semantic dedup
+    (the d9 shape — queries/textsim.py:372). Run this on a schedule
+    (nightly, or from a ``foreachBatch`` hook every N micro-batches)
+    over the keeper sink; it sees the cluster populations the
+    per-micro-batch stream never can.
+
+    ``keepers``: the stream's ``verdict == 'keep'`` rows (any columns,
+    must include ``doc_id``). ``embeddings``: corpus embeddings keyed
+    by ``vec_id == doc_id``. ``centroids``: ``(centroid_id, cvec)`` —
+    the coarse quantizer is an input, not derived here, so successive
+    compaction runs use the SAME cells and verdicts are stable across
+    runs. Output: the keeper rows with ``verdict`` re-written to
+    ``semdup`` for any doc with a lower-id neighbor at cosine >= tau
+    in its cell (min-id keeper, d1's policy), else ``keep``.
+
+    Scale shape: one |keepers|-row equi-join to fetch vectors, the
+    zero-shuffle broadcast-literal centroid assignment, then
+    cluster-bounded tiled gram pairs — compaction cost scales with the
+    accumulated KEEPER set (already text-filtered and content-deduped),
+    never the raw stream volume."""
+    from ..operators import similarity
+
+    vecs = (
+        keepers.select("doc_id")
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    assigned = similarity.ivf_assign(vecs, centroids)
+    dropped = (
+        similarity.blocked_neardup_pairs(
+            assigned, block_col="bucket", min_cosine=tau
+        )
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_semdup", F.lit(1))
+    )
+    keep_cols = [c for c in keepers.columns if c != "verdict"]
+    return keepers.join(dropped, "doc_id", "left").select(
+        *keep_cols,
+        F.when(F.col("_semdup").isNull(), "keep")
+        .otherwise("semdup")
+        .alias("verdict"),
+    )

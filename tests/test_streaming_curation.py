@@ -124,3 +124,110 @@ def test_streaming_dedup_keeps_first_arrival_once(spark, tmp_path):
     assert len(by_verdict["short"]) == 1
     assert len(by_verdict["lang"]) == 1
     assert len(rows) == 5
+
+
+def test_semdedup_compaction_stream_then_batch_equals_pure_batch(
+    spark, tmp_path
+):
+    """The periodic compaction promised by the module docstring
+    (curation_stream.py:19-25): streaming curation -> accumulated
+    keepers -> semdedup_compaction must equal running the same
+    cascade + content dedup + semantic dedup as one pure batch.
+    Files arrive in doc_id order, so the stream's first-arrival
+    content keeper coincides with batch's min-id keeper."""
+    # 8 sampled-en doc ids (o6 keeps them), ascending
+    en_in = [i for i in range(500) if _md5_2(str(i)) < "28"][:8]
+    texts = [f"{_GOOD} extra{i}" for i in range(7)] + [f"{_GOOD} extra0"]
+    # embeddings: ids 0-3 -> cluster A (pairwise cos ~1, min-id keeps),
+    # ids 4-6 -> cluster B (pairwise cos < tau, all keep); id 7 is the
+    # content-dup of id 0 and never reaches the semantic stage
+    vecs = {
+        en_in[0]: [1.0, 0.001, 0.0, 0.0],
+        en_in[1]: [1.0, 0.002, 0.0, 0.0],
+        en_in[2]: [1.0, 0.003, 0.0, 0.0],
+        en_in[3]: [1.0, 0.004, 0.0, 0.0],
+        en_in[4]: [0.0, 1.0, 0.0, 0.0],
+        en_in[5]: [0.0, 0.28, 0.96, 0.0],
+        en_in[6]: [0.0, 0.28, 0.0, 0.96],
+        en_in[7]: [1.0, 0.005, 0.0, 0.0],
+    }
+    src = str(tmp_path / "docs_stream2")
+    os.makedirs(src)
+    chunks = [
+        pd.DataFrame(
+            {
+                "doc_id": en_in[:4],
+                "lang": ["en"] * 4,
+                "text": texts[:4],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "doc_id": en_in[4:],
+                "lang": ["en"] * 4,
+                "text": texts[4:],
+            }
+        ),
+    ]
+    now = time.time()
+    for i, pdf in enumerate(chunks):
+        p = os.path.join(src, f"chunk_{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (now - 60 + i, now - 60 + i))
+
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id bigint, cvec array<double>",
+    )
+
+    sdf = curation_stream.curated_document_stream(
+        spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("cur_compact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_keepers = spark.table("cur_compact").filter(
+        F.col("verdict") == "keep"
+    )
+    assert stream_keepers.count() == 7  # content dup already dropped
+    stream_final = curation_stream.semdedup_compaction(
+        stream_keepers, emb, cents
+    )
+
+    # pure-batch reference: same cascade, min-id content dedup, then
+    # the same semantic stage over the batch keeper set
+    from pyspark.sql import Window
+
+    batch = curation_stream.curation_verdict_columns(
+        spark.read.schema(_schema()).parquet(src)
+    )
+    w = Window.partitionBy("content_hash")
+    batch_keepers = (
+        batch.filter(F.col("verdict") == "keep")
+        .withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    batch_final = curation_stream.semdedup_compaction(
+        batch_keepers, emb, cents
+    )
+
+    assert stream_final.exceptAll(batch_final).count() == 0
+    assert batch_final.exceptAll(stream_final).count() == 0
+
+    verdicts = {r.doc_id: r.verdict for r in stream_final.collect()}
+    assert [verdicts[i] for i in en_in[:7]] == [
+        "keep", "semdup", "semdup", "semdup", "keep", "keep", "keep"
+    ]
+    assert en_in[7] not in verdicts
