@@ -80,18 +80,62 @@ def test_event_log_metrics_table(spark, tmp_path):
     assert summary[1].shuffle_read_bytes == 300
 
 
-def test_event_log_real_session_smoke(spark, tmp_path):
-    """End-to-end: if THIS session has event logging on, parse its own
-    log; otherwise prove the reader tolerates a rotated/compact dir by
-    skipping. Local sessions here run without eventLog (static conf),
-    so the synthetic-line test above carries the parser contract and
-    tools/scale_probe.py exercises the real thing per-probe."""
-    enabled = spark.conf.get("spark.eventLog.enabled", "false") == "true"
-    if not enabled:
-        import pytest
+_EVENTLOG_JOB = """
+import sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("eventlog-probe")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.dir", sys.argv[1])
+    .config("spark.eventLog.rolling.enabled", "false")
+    .config("spark.eventLog.compress", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+# a job with a real shuffle so TaskEnd lines carry shuffle metrics
+spark.range(0, 10000).selectExpr("id % 7 AS k", "id AS v").groupBy(
+    "k"
+).sum("v").collect()
+print("APPID", spark.sparkContext.applicationId)
+spark.stop()
+"""
 
-        pytest.skip("session runs without event logging (static conf)")
-    log_dir = spark.conf.get("spark.eventLog.dir")
-    app_id = spark.sparkContext.applicationId
+
+def test_event_log_metrics_from_real_session(spark, tmp_path):
+    """S10's task/stage metrics table against a REAL event log, not
+    synthetic lines: event logging is a static conf, so a dedicated
+    session runs in a subprocess (one SparkContext per JVM — same
+    isolation scale_probe uses), writes its log to a tmpdir, and the
+    shared session parses it back through the same reader the 100x
+    probe uses (sources/resource_log.py)."""
+    import subprocess
+    import sys
+
+    log_dir = str(tmp_path / "eventlog")
+    os.makedirs(log_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", _EVENTLOG_JOB, log_dir],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    app_id = next(
+        line.split()[1]
+        for line in proc.stdout.splitlines()
+        if line.startswith("APPID ")
+    )
+
     tm = rl.task_metrics_from_event_log(spark, os.path.join(log_dir, app_id))
-    assert tm.count() > 0
+    rows = tm.collect()
+    assert len(rows) > 0
+    # the groupBy job shuffled: some task wrote and some task read bytes
+    assert sum(r.shuffle_write_bytes for r in rows) > 0
+    assert sum(r.shuffle_read_bytes for r in rows) > 0
+    assert all(r.run_time_ms >= 0 for r in rows)
+
+    summary = rl.stage_metrics_summary(tm).collect()
+    assert len(summary) >= 2  # map + reduce stages at minimum
+    assert sum(s.n_tasks for s in summary) == len(rows)
