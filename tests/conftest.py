@@ -13,7 +13,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: long-running scale rehearsals, skipped unless RUN_SLOW=1",
+        "slow: scale rehearsals, on by default (SKIP_SLOW=1 opts out)",
     )
 
 

@@ -4,8 +4,9 @@ key. Asserts the property the skew guard exists for — no expansion task
 processes more than 2x the median pairs — plus end-to-end cluster
 correctness for the hot group.
 
-Slow by design (sf0.1 corpus + ~300k synthetic hot pairs); skipped
-unless RUN_SLOW=1 so the default suite stays fast.
+These ARE the 100x-credibility tests (r5 verdict item 4), so they run
+in the default suite every round (~45 s for all three); set SKIP_SLOW=1
+to opt out during fast local iteration.
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ def hot_signatures(spark):
 
 
 @pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 to run"
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
 )
 def test_hot_band_expansion_is_balanced(spark, hot_signatures):
     """Pairs-per-task of the big-bucket expansion stage: max <= 2x
@@ -73,7 +74,7 @@ def test_hot_band_expansion_is_balanced(spark, hot_signatures):
 
 
 @pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 to run"
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
 )
 def test_hot_cluster_closes_transitively(spark, hot_signatures):
     """d4 -> d8 end-to-end at sf0.1: the synthetic hot group must come
@@ -90,7 +91,7 @@ def test_hot_cluster_closes_transitively(spark, hot_signatures):
 
 
 @pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 to run"
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
 )
 def test_long_diameter_chain_flat_per_round_cost(spark):
     """VERDICT r3 item 5: a diameter-24 chain graph at sf0.1-scale node
