@@ -115,8 +115,20 @@ def ivf_assign(
     # three literals + ONE lambda body: unrolling a fold expression per
     # centroid instead compiles k x dim codegen units (~0.9s per plan
     # at 8x64); this form loops over centroids at runtime with a single
-    # compiled fold, same element order
-    cvecs, cnorms, cids = F.lit(vecs), F.lit(norms), F.lit(ids)
+    # compiled fold, same element order.
+    # Each literal is ONE F.expr over a SQL array string, not
+    # F.lit(nested_list): pyspark expands a nested-list lit into one
+    # blocking py4j call PER ELEMENT (8x64 = 512 round-trips, ~4.5 s of
+    # driver time per construction, measured r6); the SQL text parses
+    # JVM-side in one call. CAST('<repr>' AS DOUBLE) round-trips every
+    # IEEE-754 double exactly (shortest-repr parse), so values are
+    # bit-identical to the lit form.
+    def _darr(values):
+        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+
+    cvecs = F.expr("array(" + ",".join(_darr(vv) for vv in vecs) + ")")
+    cnorms = F.expr(_darr(norms))
+    cids = F.expr("array(" + ",".join(f"{i}L" for i in ids) + ")")
     v = as_double(F.col(vec_col))
     vnorm = norm(v)
     entries = F.transform(

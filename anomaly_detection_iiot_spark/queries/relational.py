@@ -583,6 +583,87 @@ GROUP BY n_name
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: a line is LATE when it ships >90 days after its order
+    date (the testdata carries no receipt/commit dates). For finished
+    ('F') orders, count per supplier the late lines where ANOTHER
+    supplier participated in the order (EXISTS -> left-semi) but no
+    OTHER supplier was late on it (NOT EXISTS -> left-anti) — the
+    sole-blame semantics of Q21.
+
+    This is the semi/anti stress headline for the relational side (r5
+    verdict item 8): two self-joins of lineitem on l_orderkey — the
+    fact-fact join AQE must handle — then tiny supplier/nation
+    broadcasts. Late-line derivation joins lineitem to orders once and
+    is reused for both the blame set and the anti side; the order-date
+    filter pushes to the scan; count ordering has the unique s_name
+    tie-break so LIMIT is deterministic."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    l1 = late.filter(F.col("o_orderstatus") == "F").select(
+        "l_orderkey", "l_suppkey"
+    )
+    has_other_supplier = l1.alias("a").join(
+        li.select("l_orderkey", "l_suppkey").alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_blame = has_other_supplier.alias("a").join(
+        late.select("l_orderkey", "l_suppkey").alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        sole_blame.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey, o_orderstatus
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.o_orderstatus = 'F'
+  AND n_name = 'NATION_7'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -621,4 +702,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
               "TPC-H Q5 shape: 6-table join, Catalyst-planned "
               "broadcasts + pushdown"),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
+              "TPC-H Q21 shape: exists/not-exists lineitem self-joins "
+              "(semi + anti), sole-blame late suppliers"),
 ]
