@@ -62,47 +62,77 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 5: first driver rows needed
-    "s10_resource_roundtrip",
-    "t5_winnowing",
-    "d9_semdedup",
-    "c2_curation_with_semdedup",
-    "p12_pivot",
-    "o6_stratified_sample",
-    # changed in round 5: ivf_assign rewritten as a literal-centroid
-    # projection (operators/similarity.py) — all its consumers
+    # NEW in round 6: first driver rows needed
+    "d10_incremental_lsh",
+    "mm4_image_roundtrip",
+    "q21_waiting_suppliers",
+    # changed in round 6: ivf_assign centroid literals rebuilt as
+    # single-expr SQL arrays (operators/similarity.py) — every
+    # consumer needs a row against the shipped expression; a15's bin
+    # arithmetic grew the degenerate-range CASE
     "s2_ivf_ann",
     "s3_ivf_nprobe",
-    "mm3_audio_roundtrip",
-    "t6_tfidf",
-    "t7_repetition",
-    "a14_cohort_retention",
-    "o7_funnel",
-    "j7_interval_overlap",
-    "q5_local_supplier_volume",
-    "m14_calibration",
-    "w14_ewma",
-    "t9_zipf",
+    "d9_semdedup",
+    "c2_curation_with_semdedup",
     "a15_histogram",
-    # changed in round 5 (this round): TIMESTAMP_NTZ handling — the r5
-    # testdata regeneration writes parquet timestamps with
-    # isAdjustedToUTC=false, so base.t() now normalizes NTZ->LTZ and
-    # sessionize computes epochs via an explicit timestamp cast. Every
-    # timestamp-consuming query is affected; front-load the ones whose
-    # operators changed plus the heaviest ts users.
-    "w10_sessionize",         # sessionize.py _epoch_seconds rewrite
-    "w11_gap_audit",          # same operator
-    "w10_islands",            # same module
-    "j6_asof_join",           # ts-ordered as-of semantics
-    "o1_time_sort",           # raw ts passthrough ordering
-    "p4_ts_truncate",         # ts truncation output
-    "p5_multiformat_parse",   # ts parsing output
-    "q1_pricing_summary",     # l_shipdate filter
-    "a1_resample_mean",       # events ts windows
-    # changed in round 5: _banded factored out of the LSH pair path
-    # (mm1/a13 dropped — green r4 rows, unchanged since)
-    "d8_dup_clusters",
-    "d4_lsh_candidates",
+    # freshness rotation (r5 verdict item 1): queries whose last driver
+    # row is r2-r4 — ts consumers first, since the r5 base.t() NTZ->LTZ
+    # normalization touched every timestamp path and these were last
+    # driver-checked before it
+    "q3_top_revenue_orders",
+    "k1_kbm_roundtrip",
+    "j4_range_join",
+    "o2_threshold_grid",
+    "s5_csv_roundtrip",
+    "a7_resource_aggs",
+    "j1_semi_join",
+    "j2_anti_join",
+    "j3_union_tagged",
+    "m12_confusion",
+    "m13_auc",
+    "m13_best_f1",
+    # r2 stragglers — oldest rows in the registry
+    "a10_rollup",
+    "a11_cube",
+    "s1_cosine_topk",
+    # remaining r3 rows
+    "s1_snapshot_roundtrip",
+    "s6_json_roundtrip",
+    "s11_log_scan",
+    "p2_positional_select",
+    "a5_fedavg_mean",
+    "a6_summary_stats",
+    "w4_last_timestep",
+    "o3_loss_ranking",
+    "m5_lr_decay",
+    "m6_reconstruction_error",
+    "m7_fft_mag",
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_rolling_fingerprint",
+    "c1_corpus_curation",
+    "mm2_frame_sample",
+    # remaining r4 rows
+    "j5_broadcast_dims",
+    "o4_top1_per_user",
+    "o5_head_slice",
+    "d1_exact_dedup",
+    "d2_fingerprint_dedup",
+    "d3_minhash_signatures",
+    "d5_ngram_jaccard",
+    "d6_simhash",
+    "d7_embedding_neardup",
+    "mm1_media_manifest",
+    "a13_exact_distinct_quantiles",
+    # stale rows-only entries last (weakest check, lowest priority)
+    "m2_lstm_train_loss",
+    "m3_ae_train_loss",
+    "m6_lstm_scores",
+    "m8_random_search",
+    "m9_fedavg_weights",
+    "m10_transfer_loss",
+    "a12_approx_aggregates",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

@@ -29,6 +29,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",  # 6-table join, Catalyst-planned (r5)
+    "q21_waiting_suppliers",  # semi+anti lineitem self-joins (r6)
     "j5_broadcast_dims",
     "j2_anti_join",
     "j4_range_join",
@@ -40,6 +41,7 @@ HEADLINE = [
     "o4_top1_per_user",
     # text / dedup / similarity / ML families
     "d4_lsh_candidates",
+    "d10_incremental_lsh",  # batch vs at-rest band index (r6)
     "d8_dup_clusters",  # transitive-closure loop: rounds x O(|edges|) shuffle
     "d6_simhash",
     "d9_semdedup",  # IVF-cell-scoped semantic dedup (r5)
@@ -290,6 +292,21 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # fixed-work host-speed calibration (r5 verdict item 2): a pure-JVM
+    # codegen loop over range() — no I/O, no Python, no shuffle — whose
+    # time tracks ONLY how fast this host is running today. Cross-round
+    # query deltas can be normalized against it before being read as
+    # regressions (this box shows bursty hypervisor CPU steal that has
+    # inflated whole rounds ~40-90%).
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 500_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        cal_runs.append(time.time() - t0)
+    calibration = round(min(cal_runs), 3)
+
     # min of 3 runs per query: run 1 often pays query-shape-specific
     # warmup (codegen, exchange reuse), and this host shows bursty
     # hypervisor CPU steal (cumulative steal in /proc/stat) that can
@@ -321,6 +338,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration_sec": calibration,
             }
         )
     )
