@@ -66,6 +66,8 @@ _DRIVER_PRIORITY = [
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",
+    "d11_passage_dedup",
+    "t10_decontamination",
     # changed in round 6: ivf_assign centroid literals rebuilt as
     # single-expr SQL arrays (operators/similarity.py) — every
     # consumer needs a row against the shipped expression; a15's bin

@@ -200,6 +200,142 @@ WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
 """
 
 
+# --- D11: passage-level exact dedup ------------------------------------------
+
+def d11_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2021, arXiv:2107.06499,
+    'Deduplicating Training Data Makes Language Models Better'): docs
+    are chunked into NON-overlapping 10-token passages, and a passage
+    is duplicated when the identical token span occurs in any OTHER
+    document. Per doc: passage count, cross-doc-duplicated passage
+    count, and the dup fraction — the signal train-data pipelines use
+    to drop boilerplate-heavy pages whole or to cut the repeated spans.
+
+    Scale shape: chunking is a per-row projection (no explode-to-
+    groupBy round trip for the hash — md5 per chunk, one shuffle on
+    the 16-byte chunk hash for the occurrence count, one shuffle back
+    on doc_id). Docs shorter than one passage produce no rows, exactly
+    like the oracle's empty generate_series."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    nc = F.floor(F.size("tokens") / 10).cast("int")
+    chunk_hashes = F.when(
+        nc >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i * 10 + 1, 10))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = toked.select(
+        "doc_id", F.explode(chunk_hashes).alias("chash")
+    )
+    occ = chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(occ, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
+    )
+
+
+D11_SQL = rf"""
+WITH {_TOKS}, nchunks AS (
+  SELECT doc_id, tokens, CAST(len(tokens) // 10 AS INT) AS nc FROM toks
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tokens, i * 10 + 1, i * 10 + 10), ' '))
+           AS chash
+  FROM nchunks, unnest(generate_series(0, nc - 1)) AS t(i)
+), occ AS (
+  SELECT chash, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_fraction
+FROM chunks JOIN occ USING (chash)
+GROUP BY 1
+"""
+
+
+# --- T10: eval-set decontamination --------------------------------------------
+
+def t10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Dolma): docs whose
+    text shares any exact 4-gram with a held-out eval set must be
+    flagged before training (GPT-3 used 13-grams; 4 fits this synthetic
+    vocabulary's collision rate). Eval set = docs with ``doc_id % 97 ==
+    0`` (deterministic stand-in for the benchmark corpus); output =
+    every NON-eval doc with its count of overlapping 4-grams and a
+    contamination flag.
+
+    Scale shape: the eval side collapses to DISTINCT shingles and is
+    broadcast (an eval corpus is MBs against a 100 TB train corpus), so
+    the check is a broadcast left-semi per shingle + one doc_id count —
+    no fact-fact shuffle. The left join back to the doc list keeps
+    zero-hit docs in the output (the all-clear audit row)."""
+    docs = _spread_docs(spark, sf_dir)
+    sh = dedup.word_shingles(dedup.tokenize(docs), n=4)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    corpus_docs = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return corpus_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+T10_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w
+           AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN eval_sh e USING (shingle)
+  WHERE s.doc_id % 97 != 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 != 0
+"""
+
+
 # --- D5: exact n-gram Jaccard verification -----------------------------------
 
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1208,12 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d10_incremental_lsh", d10_incremental_lsh, D10_SQL,
               "incremental LSH: new batch vs at-rest band index "
               "(new x corpus + new x new, no corpus x corpus)"),
+    QuerySpec("d11_passage_dedup", d11_passage_dedup, D11_SQL,
+              "passage-level exact dedup: non-overlapping 10-token "
+              "spans, cross-doc dup fraction (arXiv:2107.06499)"),
+    QuerySpec("t10_decontamination", t10_decontamination, T10_SQL,
+              "eval-set decontamination: broadcast 5-gram overlap "
+              "flag vs held-out docs"),
     QuerySpec("d5_ngram_jaccard", d5_ngram_jaccard, D5_SQL,
               "exact n-gram Jaccard verification join"),
     QuerySpec("d8_dup_clusters", d8_dup_clusters, D8_SQL,
