@@ -157,3 +157,52 @@ def winnowing_fingerprints(
         .select(id_col, F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+# --- PII detection / redaction ------------------------------------------------
+
+# Patterns restricted to constructs Java regex (Spark) and RE2 (DuckDB
+# oracle) interpret identically: ASCII classes, bounded repetition,
+# ASCII-\w word boundaries. No lookarounds (RE2 has none), no \p{...}.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# replacement order matters (email first so its digits are gone before
+# the phone/ip scans); the oracle applies the same order with the 'g'
+# flag (DuckDB regexp_replace is first-match-only by default).
+PII_RULES: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+]
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-row PII inventory + redaction — the compliance pass every
+    training-data pipeline runs before anything else touches the text.
+
+    Adds ``n_emails / n_phones / n_ipv4`` (match counts) and
+    ``redacted`` (all three classes replaced by typed tags, email
+    first). Pure JVM regexps over one projection: no shuffle, no
+    Python, stream-safe — on 100 TB this is scan-bound, and the narrow
+    shape lets it fuse with whatever filter runs next.
+    """
+    out = df
+    for pat, col in [
+        (PII_EMAIL_RE, "n_emails"),
+        (PII_PHONE_RE, "n_phones"),
+        (PII_IPV4_RE, "n_ipv4"),
+    ]:
+        out = out.withColumn(
+            col,
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(
+                "bigint"
+            ),
+        )
+    red = F.col(text_col)
+    for pat, tag in PII_RULES:
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)

@@ -1196,6 +1196,241 @@ WHERE rank <= 20
 """
 
 
+# --- T11: PII scan + redaction -----------------------------------------------
+
+# The synthetic corpus is PII-free, so the query plants deterministic
+# PII spans derived from doc_id (mirrored verbatim in the oracle): the
+# detector is then exercised on known-positive rows AND proven quiet on
+# the rest. doc_id % 7 rows gain an email + US phone, % 11 rows an
+# IPv4; 7 and 11 are coprime so some rows (77, 154, ...) carry both.
+_T11_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' reach user', doc_id,"
+    "   '@example.com or call 555-867-5309') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN ' origin host 192.168.1.42 logged'"
+    " ELSE '' END)"
+)
+
+
+def t11_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII inventory + redaction (operators/textstats.py::pii_scan):
+    email / US-phone / IPv4 match counts and a typed-tag redacted text
+    per document. One narrow JVM-regexp projection — scan-bound at
+    100 TB, stream-safe, fuses with the downstream quality cascade.
+    The redacted text itself is folded to ``red_hash`` (md5 prefix) +
+    ``red_len`` so the oracle compares the full redaction output
+    without shipping megabyte strings through the hash gate."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_T11_AUG_SPARK).alias("text")
+    )
+    scanned = textstats.pii_scan(docs)
+    return scanned.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        F.substring(F.md5("redacted"), 1, 8).alias("red_hash"),
+        F.length("redacted").cast("bigint").alias("red_len"),
+    )
+
+
+T11_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || doc_id ||
+                      '@example.com or call 555-867-5309'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' origin host 192.168.1.42 logged'
+                 ELSE '' END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{textstats.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{textstats.PII_IPV4_RE}', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_IPV4_RE}')) AS BIGINT)
+         AS n_ipv4,
+       substr(md5(redacted), 1, 8) AS red_hash,
+       CAST(length(redacted) AS BIGINT) AS red_len
+FROM red
+"""
+
+
+# --- C3: model-based quality filter ------------------------------------------
+
+# fastText-style linear quality classifier: fixed published-style
+# weights over the cheap t2 features. The *shape* is what matters at
+# scale — model-based filtering as one whole-stage-codegen projection,
+# no Python, no shuffle. Weights are literals on both engines; the
+# linear term is written in the same left-to-right order so fp64
+# results are bit-identical before the sigmoid.
+_C3_W = {"bias": -3.0, "n_tokens": 0.05, "avg_token_len": 0.2,
+         "punct_ratio": -6.0, "stopword_ratio": 10.0}
+
+
+def c3_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based document filtering (the CCNet / fastText-filter
+    stage of LLM data pipelines): sigmoid of a fixed linear model over
+    length / token-shape / punctuation / stopword features, keep at
+    p >= 0.5. Pure projection over the t2 feature pass — at 100 TB this
+    runs fused with the scan, and swapping in trained weights is a
+    literal change, not a plan change."""
+    feats = textstats.quality_scores(_docs(spark, sf_dir))
+    w = _C3_W
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tokens"]) * F.col("n_tokens").cast("double")
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_p"),
+        (score >= 0.5).cast("int").alias("kept"),
+    )
+
+
+C3_SQL = rf"""
+WITH {_TOKS}, q AS (
+  SELECT d.doc_id,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         length(d.text) AS text_len,
+         length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
+         len(list_filter(t.tokens,
+             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           AS stop_hits
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+), f AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0
+              THEN (text_len - (n_tokens - 1)) / n_tokens
+              ELSE 0.0 END AS avg_token_len,
+         (text_len - nopunct_len) / greatest(text_len, 1) AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+              ELSE 0.0 END AS stopword_ratio,
+         n_tokens
+  FROM q
+), z AS (
+  SELECT doc_id,
+         {_C3_W["bias"]} + {_C3_W["n_tokens"]} * CAST(n_tokens AS DOUBLE)
+           + {_C3_W["avg_token_len"]} * avg_token_len
+           + {_C3_W["punct_ratio"]} * punct_ratio
+           + {_C3_W["stopword_ratio"]} * stopword_ratio AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_p,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM z
+"""
+
+
+# --- T12: corpus bigram-LM fluency score -------------------------------------
+
+def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style fluency scoring with the corpus as its own training
+    set: build word-unigram and word-bigram count tables, then score
+    every document by its mean add-one-smoothed bigram log-probability
+    ``avg(ln((c(w1 w2)+1) / (c(w1)+V)))``. Low scores flag
+    disfluent/boilerplate text — the perplexity-filter stage of LLM
+    data pipelines, minus the external LM.
+
+    Spark shape: bigram construction is array-native (``zip_with`` over
+    two ``slice``s — no per-token explode-and-window), so the token
+    stream is exploded exactly once for each count table and once for
+    scoring. The count tables are corpus-global aggregates joined back
+    by key; at 100 TB both are Zipf-small relative to the corpus and
+    AQE broadcast-joins them. Docs with <2 tokens score 0 with
+    n_bigrams=0 (left join + coalesce)."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    n = F.size("tokens")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tokens", 1, n - 1),
+            F.slice("tokens", 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toked.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    uni = (
+        toked.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
+    scored = (
+        occ.join(bi, "bigram")
+        .join(uni, occ["w1"] == uni["tok"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg(lp).alias("score"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round(F.coalesce("score", F.lit(0.0)), 6).alias("lm_score"),
+    )
+
+
+T12_SQL = rf"""
+WITH {_TOKS}, pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), bg AS (
+  SELECT doc_id, tok AS w1,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+           AS bigram
+  FROM pos
+), occ AS (
+  SELECT doc_id, w1, bigram FROM bg WHERE bigram IS NOT NULL
+), uni AS (
+  SELECT tok, count(*) AS c1 FROM pos GROUP BY 1
+), bi AS (
+  SELECT bigram, count(*) AS c2 FROM occ GROUP BY 1
+), v AS (
+  SELECT count(*) AS vocab FROM uni
+), sc AS (
+  SELECT occ.doc_id,
+         ln((bi.c2 + 1.0) / (uni.c1 + v.vocab)) AS lp
+  FROM occ JOIN bi USING (bigram)
+  JOIN uni ON uni.tok = occ.w1
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, count(*) AS nb, avg(lp) AS score FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(agg.score, 0.0), 6) AS lm_score
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -1258,4 +1493,13 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("c2_curation_with_semdedup", c2_curation_with_semdedup, C2_SQL,
               "full curation funnel: c1 text cascade + SemDeDup "
               "semantic stage for survivors"),
+    QuerySpec("t12_bigram_lm", t12_bigram_lm, T12_SQL,
+              "corpus bigram-LM fluency score: mean add-one-smoothed "
+              "bigram log-prob per doc"),
+    QuerySpec("c3_quality_classifier", c3_quality_classifier, C3_SQL,
+              "fastText-style linear quality classifier: sigmoid over "
+              "t2 features, keep at p >= 0.5"),
+    QuerySpec("t11_pii_scan", t11_pii_scan, T11_SQL,
+              "PII inventory + typed-tag redaction (email/phone/IPv4) "
+              "over planted deterministic spans"),
 ]

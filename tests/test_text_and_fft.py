@@ -283,3 +283,43 @@ def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
         if r.doc_a >= split or r.doc_b >= split
     }
     assert got == expected and expected, "incremental != restricted full"
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    from anomaly_detection_iiot_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-867-5309 or visit 10.0.0.1 today"),
+            (3, "nothing sensitive here 12345"),
+        ],
+        "id int, text string",
+    )
+    rows = {r["id"]: r for r in textstats.pii_scan(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4"]) == (1, 0, 0)
+    assert rows[1]["redacted"] == "mail <EMAIL> now"
+    assert (rows[2]["n_phones"], rows[2]["n_ipv4"]) == (1, 1)
+    assert rows[2]["redacted"] == "call <PHONE> or visit <IP> today"
+    assert rows[3]["redacted"] == rows[3]["text"]
+    assert rows[3]["n_emails"] == rows[3]["n_phones"] == rows[3]["n_ipv4"] == 0
+
+
+def test_bigram_lm_scores_repeated_text_higher(spark):
+    # the duplicated phrase's bigrams are corpus-frequent, so the doc
+    # repeating them scores a higher (less negative) mean log-prob than
+    # the doc of unique-once bigrams
+    from anomaly_detection_iiot_spark.queries.textsim import t12_bigram_lm
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox", "en", "t", 19) for i in range(4)]
+            + [(9, "zeta omega kappa lambda", "en", "t", 23)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in t12_bigram_lm(spark, d).collect()}
+        assert out[0]["n_bigrams"] == 3
+        assert out[0]["lm_score"] > out[9]["lm_score"]
