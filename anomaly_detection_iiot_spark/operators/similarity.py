@@ -343,3 +343,101 @@ def blocked_neardup_pairs(
         tile_gram, out_schema
     )
     return small_pairs.unionByName(big_pairs)
+
+
+# --- random-hyperplane (sign) LSH for cosine ANN ------------------------------
+
+def hyperplane_coeffs(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in {-3..3}:
+    ((t*53 + i*31 + j*17) mod 7) - 3. Integer-exact, so the Spark
+    expression and the DuckDB oracle build bit-identical hyperplanes
+    without sharing any state."""
+    return [float(((table * 53 + plane * 31 + j * 17) % 7) - 3) for j in range(dim)]
+
+
+def hyperplane_signature(
+    vec: Column, table: int, n_planes: int, dim: int
+) -> Column:
+    """Sign-LSH signature (Charikar 2002): one bit per hyperplane —
+    '1' iff dot(vec, h_i) >= 0 — concatenated into an ``n_planes``-char
+    bucket key. Vectors with small angular distance agree on most
+    bits, so exact-match bucketing on the signature is a cosine LSH.
+
+    One fold per plane inside a single projection: no shuffle, no
+    Python, whole-stage codegen. The fold accumulates fp64 in element
+    order, matching the oracle's sequential list_sum."""
+    bits = []
+    for i in range(n_planes):
+        coeffs = F.array(*[F.lit(c) for c in hyperplane_coeffs(table, i, dim)])
+        d = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_ann_top1(
+    vectors: DataFrame,
+    n_tables: int = 2,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbor via L sign-LSH tables: candidates
+    are pairs sharing a bucket in ANY table (union-distinct), re-ranked
+    by exact cosine; emit each vector's top-1 candidate plus how many
+    candidates were examined.
+
+    Scale shape: L narrow projections + L bucket-key equi-joins (AQE
+    skew-splittable; bucket population is controlled by n_planes — add
+    bits to shrink buckets) + one |candidates| window. The exact-cosine
+    rerank never sees more than the bucket mates, so total cost is
+    sum(bucket²) per table, not |corpus|² — same contract as the
+    minhash-LSH verify stage (dedup.py), re-used for dense vectors.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    sigs = v.select(
+        "vid",
+        "v",
+        *[
+            hyperplane_signature(F.col("v"), t, n_planes, dim).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    pairs = None
+    for tbl in range(n_tables):
+        a = sigs.select(F.col("vid").alias("qid"), F.col(f"b{tbl}").alias("bk"))
+        b = sigs.select(F.col("vid").alias("cid"), F.col(f"b{tbl}").alias("bk"))
+        p = a.join(b, "bk").filter(F.col("qid") != F.col("cid")).select("qid", "cid")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    qv = sigs.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
+    cv = sigs.select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(qv, "qid")
+        .join(cv, "cid")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid")
+    wrk = w.orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.select(
+            "qid",
+            "cid",
+            "cos",
+            F.row_number().over(wrk).alias("rk"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_cand"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("cid").alias("nn_id"),
+            F.round("cos", 6).alias("cosine"),
+            "n_cand",
+        )
+    )

@@ -1431,6 +1431,175 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+# --- O8: exact-quota stratified sampling -------------------------------------
+
+# per-language document quotas — the "take exactly N per stratum" form
+# of data mixing (o6 is the rate-based form). Selection is the first
+# `quota` docs per language in md5(doc_id) order: deterministic,
+# engine-independent, and uniform because the hash order is unrelated
+# to any data attribute.
+_O8_QUOTAS = {"de": 40, "en": 60, "es": 40, "fr": 40, "zh": 30}
+
+
+def o8_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: rank documents within each
+    language by md5(doc_id) (doc_id tie-break) and keep ranks up to the
+    language's quota. One hash-partition shuffle on ``lang`` for the
+    rank window; at 100 TB strata are few and big, so AQE's skew
+    handling applies, or substitute the rate-based o6 when exact counts
+    aren't required (rates need no shuffle at all)."""
+    docs = t(spark, sf_dir, "documents")
+    quota = F.lit(0)
+    for lang, q in _O8_QUOTAS.items():
+        quota = F.when(F.col("lang") == lang, q).otherwise(quota)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("bigint").alias("stratum_rank"),
+        quota.alias("q"),
+    ).select(
+        "doc_id",
+        "lang",
+        "stratum_rank",
+        (F.col("stratum_rank") <= F.col("q")).cast("int").alias("kept"),
+    )
+
+
+_O8_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _O8_QUOTAS.items())
+
+O8_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS stratum_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank,
+       CAST(CASE WHEN stratum_rank <= CASE lang {_O8_CASE} ELSE 0 END
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r
+"""
+
+
+# --- W15: sequence packing (context-window chunk assignment) -----------------
+
+_W15_BUDGET = 512  # tokens per training sequence
+
+
+def w15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: stream documents per
+    language in doc_id order, accumulate BPE token counts, and assign
+    each document to the context-window bin its first token lands in
+    (``pack_id = floor(preceding_cumsum / budget)``). This is the
+    "pack short docs into fixed-length training sequences" step that
+    turns a curated corpus into LLM training batches.
+
+    One running-sum window per language — the same shuffle the ordered
+    write would need anyway. Docs longer than the budget span bins;
+    the assignment records where they start (standard offset-chunking
+    semantics, not bin-capacity packing, which is inherently
+    sequential)."""
+    docs = textstats.bpe_token_count(t(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_bpe_tokens").over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_bpe_tokens",
+        F.floor((cum - F.col("n_bpe_tokens")) / F.lit(_W15_BUDGET))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+W15_SQL = rf"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(
+                regexp_extract_all(text,
+                  '{_BPE_RE_SQL}'),
+                p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_bpe_tokens,
+       CAST(floor(
+         (sum(n_bpe_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_bpe_tokens) / {_W15_BUDGET}) AS BIGINT) AS pack_id
+FROM b
+"""
+
+
+# --- S4: random-hyperplane LSH ANN -------------------------------------------
+
+def s4_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate nearest neighbor (Charikar 2002; see
+    operators/similarity.py::hyperplane_ann_top1): 2 hash tables x 6
+    deterministic hyperplane bits bucket the corpus, candidates are
+    bucket-mates in either table, exact cosine re-ranks, top-1 per
+    vector. The LSH-bucketed complement to IVF (s2/s3): no training
+    step, recall tuned by table count, bucket size by bit count."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.hyperplane_ann_top1(e, n_tables=2, n_planes=6, dim=64)
+
+
+def _s4_bits_sql(table: int, n_planes: int = 6, dim: int = 64) -> str:
+    bits = []
+    for i in range(n_planes):
+        arr = (
+            "["
+            + ", ".join(str(c) for c in similarity.hyperplane_coeffs(table, i, dim))
+            + "]::DOUBLE[]"
+        )
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> v[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+S4_SQL = f"""
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vid, v,
+         {_s4_bits_sql(0)} AS b0,
+         {_s4_bits_sql(1)} AS b1
+  FROM e
+), cand AS (
+  SELECT a.vid AS qid, b.vid AS cid
+  FROM s a JOIN s b ON a.b0 = b.b0 AND a.vid != b.vid
+  UNION
+  SELECT a.vid AS qid, b.vid AS cid
+  FROM s a JOIN s b ON a.b1 = b.b1 AND a.vid != b.vid
+), scored AS (
+  SELECT c.qid, c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.v[i] * t.v[i]))
+         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+  FROM cand c JOIN s q ON q.vid = c.qid JOIN s t ON t.vid = c.cid
+)
+SELECT qid AS vec_id, cid AS nn_id, round(cos, 6) AS cosine,
+       CAST(n_cand AS BIGINT) AS n_cand
+FROM (SELECT *,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rk,
+             count(*) OVER (PARTITION BY qid) AS n_cand
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
@@ -1493,6 +1662,15 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("c2_curation_with_semdedup", c2_curation_with_semdedup, C2_SQL,
               "full curation funnel: c1 text cascade + SemDeDup "
               "semantic stage for survivors"),
+    QuerySpec("s4_hyperplane_ann", s4_hyperplane_ann, S4_SQL,
+              "sign-LSH ANN: 2x6-bit hyperplane tables, exact-cosine "
+              "rerank, top-1 per vector"),
+    QuerySpec("o8_quota_sample", o8_quota_sample, O8_SQL,
+              "exact-quota stratified sampling: first N per language "
+              "in md5(doc_id) order"),
+    QuerySpec("w15_sequence_packing", w15_sequence_packing, W15_SQL,
+              "sequence packing: per-language cumulative BPE tokens -> "
+              "context-window bin assignment"),
     QuerySpec("t12_bigram_lm", t12_bigram_lm, T12_SQL,
               "corpus bigram-LM fluency score: mean add-one-smoothed "
               "bigram log-prob per doc"),

@@ -323,3 +323,31 @@ def test_bigram_lm_scores_repeated_text_higher(spark):
         out = {r["doc_id"]: r for r in t12_bigram_lm(spark, d).collect()}
         assert out[0]["n_bigrams"] == 3
         assert out[0]["lm_score"] > out[9]["lm_score"]
+
+
+def test_hyperplane_ann_finds_cluster_neighbors(spark):
+    # tight clusters -> near-identical sign signatures -> each vector's
+    # ANN top-1 lands in its own cluster, examining far fewer
+    # candidates than brute force would
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in range(3):
+        base = rng.randn(64)
+        for k in range(4):
+            v = base + 0.01 * rng.randn(64)
+            rows.append((c * 10 + k, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.hyperplane_ann_top1(df, n_tables=2, n_planes=6, dim=64)
+    got = {r["vec_id"]: r for r in out.collect()}
+    # a boundary-straddling vector can land in singleton buckets in
+    # every table and miss entirely — that's the LSH recall trade-off;
+    # require near-full coverage, and correctness for every hit
+    assert len(got) >= 10
+    for vid, r in got.items():
+        assert vid // 10 == r["nn_id"] // 10, (vid, r["nn_id"])
+        assert r["cosine"] > 0.99
+        assert r["n_cand"] < 11  # never degenerates to all-pairs
