@@ -363,19 +363,35 @@ def hyperplane_signature(
     bucket key. Vectors with small angular distance agree on most
     bits, so exact-match bucketing on the signature is a cosine LSH.
 
-    One fold per plane inside a single projection: no shuffle, no
-    Python, whole-stage codegen. The fold accumulates fp64 in element
-    order, matching the oracle's sequential list_sum."""
-    bits = []
-    for i in range(n_planes):
-        coeffs = F.array(*[F.lit(c) for c in hyperplane_coeffs(table, i, dim)])
-        d = F.aggregate(
-            F.zip_with(vec, coeffs, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    One projection, ONE compiled lambda: the hyperplane matrix is a
+    single nested SQL-array literal (the ivf_assign construction — a
+    per-plane ``F.lit`` loop costs n_planes x dim blocking py4j calls,
+    ~4 s of driver time at 12x64, measured r6) and the per-plane dot is
+    a runtime ``transform`` over it. The fold accumulates fp64 in
+    element order, matching the oracle's sequential list_sum."""
+    harr = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST({c:.1f} AS DOUBLE)" for c in hyperplane_coeffs(table, i, dim))
+            + ")"
+            for i in range(n_planes)
         )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        + ")"
+    )
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(n_planes)),
+        lambda i: F.when(
+            F.aggregate(
+                F.zip_with(vec, F.element_at(harr, i), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def hyperplane_ann_top1(

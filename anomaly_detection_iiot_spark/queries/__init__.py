@@ -63,6 +63,12 @@ except ImportError:
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
     # NEW in round 6: first driver rows needed
+    "t11_pii_scan",
+    "c3_quality_classifier",
+    "t12_bigram_lm",
+    "s4_hyperplane_ann",
+    "o8_quota_sample",
+    "w15_sequence_packing",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -47,7 +47,10 @@ HEADLINE = [
     "d9_semdedup",  # IVF-cell-scoped semantic dedup (r5)
     "s1_cosine_topk",
     "s2_ivf_ann",
+    "s4_hyperplane_ann",  # sign-LSH tables + exact rerank (r6)
     "t3_language_id",
+    "t11_pii_scan",  # regex PII inventory + redaction (r6)
+    "t12_bigram_lm",  # corpus bigram-LM fluency scoring (r6)
     "t5_winnowing",  # MOSS fingerprints: explode + single-shuffle window (r5)
     "o6_stratified_sample",  # hash-quota mixing: pure projection (r5)
     "c1_corpus_curation",  # composed lang-ID + quality + dedup keeper path
