@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "s4_hyperplane_ann",
     "o8_quota_sample",
     "w15_sequence_packing",
+    "p13_zorder_key",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

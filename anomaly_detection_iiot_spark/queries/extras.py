@@ -461,7 +461,47 @@ FROM documents
 """
 
 
+# --- P13: Morton (Z-order) clustering key ------------------------------------
+
+def p13_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key computation for the 2-D clustered layout
+    (sources/zorder.py): bucket ``user_id`` (already 8-bit) and
+    ``value`` (range-scaled to 8 bits over [0, 512)), interleave into
+    one long. This is the projection an ``OPTIMIZE ZORDER BY (user_id,
+    value)`` maintenance job computes before the range-partitioned
+    rewrite; file-skipping proof lives in tests/test_zorder.py."""
+    from ..sources import zorder
+
+    ev = t(spark, sf_dir, "events")
+    ub = F.col("user_id").cast("long")
+    vb = zorder.bucketize(F.col("value"), 0.0, 512.0, 8)
+    return ev.select(
+        "event_id", ub.alias("ub"), vb.alias("vb")
+    ).withColumn("zkey", zorder.zorder_key([F.col("ub"), F.col("vb")]))
+
+
+def _p13_sql() -> str:
+    from ..sources.zorder import zorder_sql
+
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) AS ub,
+         CAST(least(255, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 512.0 * 256)
+                AS BIGINT))) AS BIGINT) AS vb
+  FROM events
+)
+SELECT event_id, ub, vb,
+       CAST({zorder_sql(["ub", "vb"])} AS BIGINT) AS zkey
+FROM b
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("p13_zorder_key", p13_zorder_key, _p13_sql(),
+              "Morton/Z-order clustering key: 2x8-bit interleave of "
+              "user and value buckets"),
     QuerySpec("o3_loss_ranking", o3_loss_ranking, O3_SQL,
               "O3 metric ranking sort (logger.py:35)"),
     QuerySpec("w4_last_timestep", w4_last_timestep, W4_SQL,
