@@ -70,6 +70,8 @@ _DRIVER_PRIORITY = [
     "o8_quota_sample",
     "w15_sequence_packing",
     "p13_zorder_key",
+    "d12_containment",
+    "a16_label_centroids",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -1030,6 +1030,151 @@ FROM win WHERE rn >= 4 OR rn = ng
 """
 
 
+# --- D12: containment detection via fingerprint overlap ----------------------
+
+_D12_MAX_DF = 100   # drop boilerplate fingerprints shared by > max_df docs
+_D12_MIN_CONTAIN = 0.5
+
+
+def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment detection (the 'doc A is mostly inside
+    doc B' case Jaccard under-scores when |B| >> |A|): containment =
+    |FP(A) ∩ FP(B)| / |FP(A)| over winnowing fingerprints (t5), emit
+    (doc_a contained-in doc_b) pairs at >= 0.5. The quote/boilerplate
+    -expansion detector of dedup pipelines — symmetric near-dup (d4/d5)
+    misses these.
+
+    Scale shape: an inverted-index self-join on ``fingerprint`` — the
+    d4 band-join contract. Stop-fingerprint pruning first (document
+    frequency > max_df dropped) bounds every postings list, so the
+    pair blow-up is sum(df²) with df <= max_df, AQE-skew-splittable;
+    then one pair-count agg and a broadcast of the |docs|-row
+    fingerprint-size table."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    fp = textstats.winnowing_fingerprints(toked, n=3, window=4)
+    df_counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("nd"))
+    fpk = (
+        fp.join(df_counts, "fingerprint")
+        .filter(F.col("nd") <= _D12_MAX_DF)
+        .select("doc_id", "fingerprint")
+    )
+    sizes = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("fpn"))
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    contain = F.col("shared") / F.col("fpn")
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     "fpn")),
+            "doc_a",
+        )
+        .filter(contain >= _D12_MIN_CONTAIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("fpn").cast("bigint").alias("fp_a"),
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
+D12_SQL = rf"""
+WITH {_TOKS}, pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p
+  FROM toks
+), grams AS (
+  SELECT doc_id, p,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), g2 AS (
+  SELECT doc_id, p, substr(md5(shingle), 1, 8) AS h
+  FROM grams WHERE shingle IS NOT NULL
+), win AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g2
+), fp AS (
+  SELECT DISTINCT doc_id, wmin AS fingerprint
+  FROM win WHERE rn >= 4 OR rn = ng
+), dfreq AS (
+  SELECT fingerprint, count(*) AS nd FROM fp GROUP BY 1
+), fpk AS (
+  SELECT fp.doc_id, fp.fingerprint
+  FROM fp JOIN dfreq USING (fingerprint)
+  WHERE dfreq.nd <= {_D12_MAX_DF}
+), sizes AS (
+  SELECT doc_id, count(*) AS fpn FROM fpk GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM fpk a JOIN fpk b
+    ON a.fingerprint = b.fingerprint AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, CAST(s.shared AS BIGINT) AS shared,
+       CAST(z.fpn AS BIGINT) AS fp_a,
+       round(s.shared * 1.0 / z.fpn, 6) AS containment
+FROM shared s JOIN sizes z ON z.doc_id = s.doc_a
+WHERE s.shared * 1.0 / z.fpn >= {_D12_MIN_CONTAIN}
+"""
+
+
+# --- A16: per-label embedding centroids --------------------------------------
+
+def a16_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the centroid-update step
+    of k-means/IVF training and the class-prototype computation of
+    few-shot pipelines, emitted long-form (label, dim, value).
+
+    Scale shape: the posexplode creates |vecs| x dim rows, but
+    hash-aggregation runs map-side FIRST (partial avg per partition),
+    so the shuffle carries only |labels| x dim partial sums per task —
+    the explode never hits the wire. dim is 1-based to match the
+    oracle's generate_subscripts."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(similarity.as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            "c",
+            "n_vecs",
+        )
+    )
+
+
+A16_SQL = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(v), 6) AS c, CAST(count(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY label, dim
+"""
+
+
 # --- T6: TF-IDF top terms -----------------------------------------------------
 
 def t6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,6 +1807,12 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("c2_curation_with_semdedup", c2_curation_with_semdedup, C2_SQL,
               "full curation funnel: c1 text cascade + SemDeDup "
               "semantic stage for survivors"),
+    QuerySpec("a16_label_centroids", a16_label_centroids, A16_SQL,
+              "per-label element-wise mean embedding (k-means/IVF "
+              "centroid-update step), long-form"),
+    QuerySpec("d12_containment", d12_containment, D12_SQL,
+              "directional containment via winnowing-fingerprint "
+              "overlap with stop-fingerprint pruning"),
     QuerySpec("s4_hyperplane_ann", s4_hyperplane_ann, S4_SQL,
               "sign-LSH ANN: 2x6-bit hyperplane tables, exact-cosine "
               "rerank, top-1 per vector"),
