@@ -33,6 +33,27 @@ from ..operators import textstats
 from ..queries.extras import _O6_CUTOFFS
 
 
+def redaction_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing FIRST — the compliance ordering: raw text must
+    never reach any sink, including the dedup state store (whose
+    content hash would otherwise fingerprint un-redacted text). Swaps
+    ``text`` for its redacted form and carries ``n_pii`` (total spans
+    scrubbed) for the audit log. Pure projection
+    (operators/textstats.py::pii_scan), so prepending it to the
+    cascade still composes into ONE stateless codegen stage — batch
+    and stream identical by construction, asserted in
+    tests/test_streaming_curation.py."""
+    scanned = textstats.pii_scan(docs, text_col=text_col)
+    n_pii = (
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")
+    ).cast("bigint")
+    return (
+        scanned.withColumn("n_pii", n_pii)
+        .withColumn(text_col, F.col("redacted"))
+        .drop("redacted", "n_emails", "n_phones", "n_ipv4")
+    )
+
+
 def curation_verdict_columns(docs: DataFrame) -> DataFrame:
     """Stateless cascade: lang + quality + o6 sampling flag, usable on
     a batch frame or a stream unchanged. Both textstats helpers are
@@ -52,11 +73,13 @@ def curation_verdict_columns(docs: DataFrame) -> DataFrame:
         .when(h >= cutoff, "unsampled")
         .otherwise("keep")
     )
+    extras = ["n_pii"] if "n_pii" in df.columns else []
     return df.select(
         "doc_id", "lang", "pred_lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.md5("text").alias("content_hash"),
         verdict.alias("verdict"),
+        *extras,
     )
 
 

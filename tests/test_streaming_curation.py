@@ -231,3 +231,58 @@ def test_semdedup_compaction_stream_then_batch_equals_pure_batch(
         "keep", "semdup", "semdup", "semdup", "keep", "keep", "keep"
     ]
     assert en_in[7] not in verdicts
+
+
+def test_redaction_stage_stream_equals_batch_and_scrubs_state_hash(
+    spark, tmp_path
+):
+    # PII before persistence: the streamed cascade and the batch
+    # cascade produce identical rows, the kept text is redacted, and
+    # the content hash is computed over the REDACTED text (the raw
+    # form never enters the dedup state)
+    out = str(tmp_path / "pii_stream")
+    os.makedirs(out)
+    pii_text = (
+        "the cat sat on the mat and the dog is in the house, "
+        "mail me at alice@example.com or call 555-867-5309"
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [_EN_IN[0], _EN_IN[1]],
+            "lang": ["en", "en"],
+            "text": [pii_text, _GOOD],
+        }
+    ).to_parquet(os.path.join(out, "chunk0.parquet"))
+
+    def cascade(df):
+        return curation_stream.curation_verdict_columns(
+            curation_stream.redaction_stage(df)
+        )
+
+    batch = cascade(spark.read.parquet(out)).orderBy("doc_id").collect()
+    stream_df = cascade(
+        spark.readStream.schema(_schema()).parquet(out)
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("pii_redact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql(
+        "SELECT * FROM pii_redact ORDER BY doc_id"
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in batch]
+    import hashlib
+
+    redacted = pii_text.replace("alice@example.com", "<EMAIL>").replace(
+        "555-867-5309", "<PHONE>"
+    )
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[_EN_IN[0]]["content_hash"] == hashlib.md5(
+        redacted.encode()
+    ).hexdigest()
+    assert by_id[_EN_IN[0]]["n_pii"] == 2  # audit column survives the cascade
+    assert by_id[_EN_IN[1]]["n_pii"] == 0

@@ -56,6 +56,7 @@ QUERY_NAMES = {
     "d4": "d4_lsh_candidates",
     "d8": "d8_dup_clusters",
     "d9": "d9_semdedup",
+    "d12": "d12_containment",
 }
 
 
@@ -276,7 +277,7 @@ def main() -> None:
     print("\n| query | scale | rows | wall | shuffle write | shuffle read | tasks |")
     print("|---|---|---|---|---|---|---|")
     # sf0.1 base row counts of the table each query family scans
-    base_rows = {"d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000}
+    base_rows = {"d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000, "d12": 5000}
     for q in queries:
         for n in scales:
             r = results[q].get(n)
