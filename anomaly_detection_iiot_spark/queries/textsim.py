@@ -1497,12 +1497,19 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pipelines, minus the external LM.
 
     Spark shape: bigram construction is array-native (``zip_with`` over
-    two ``slice``s — no per-token explode-and-window), so the token
-    stream is exploded exactly once for each count table and once for
-    scoring. The count tables are corpus-global aggregates joined back
-    by key; at 100 TB both are Zipf-small relative to the corpus and
-    AQE broadcast-joins them. Docs with <2 tokens score 0 with
-    n_bigrams=0 (left join + coalesce)."""
+    two ``slice``s — no per-token explode-and-window). The count tables
+    are corpus-global aggregates PERSISTED once (they are Zipf-small —
+    vocab-sized, not corpus-sized, so caching them is cheap and the
+    scale-correct choice) and joined back by key; without the persist,
+    every consumer branch re-scanned the corpus and re-ran the explode
+    (10 parquet scans in the r6 plan — the vocab row-count alone
+    recomputed the whole unigram aggregation). With it the corpus is
+    scanned 4x (uni build, bi build, scoring, final doc join) and
+    nothing corpus-sized is ever cached. AQE broadcast-joins the count
+    tables. Docs with <2 tokens score 0 with n_bigrams=0 (left join +
+    coalesce)."""
+    from ..operators.cache import replace_owned_cache
+
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
     n = F.size("tokens")
     bigrams = F.when(
@@ -1516,12 +1523,15 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = toked.select(
         "doc_id", F.explode(bigrams).alias("bigram")
     ).withColumn("w1", F.substring_index("bigram", " ", 1))
-    uni = (
+    uni = replace_owned_cache(
+        "t12_uni",
         toked.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.count(F.lit(1)).alias("c1")),
     )
-    bi = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    bi = replace_owned_cache(
+        "t12_bi", occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    )
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
     lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
     scored = (
