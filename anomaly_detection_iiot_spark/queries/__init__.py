@@ -72,6 +72,8 @@ _DRIVER_PRIORITY = [
     "p13_zorder_key",
     "d12_containment",
     "a16_label_centroids",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -664,6 +664,101 @@ LIMIT 100
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (this schema has no p_container; brand + size
+    band stand in): revenue lost to small-quantity line items of a
+    part family. The classic correlated scalar subquery —
+    ``l_quantity < 0.2 * (SELECT avg(l_quantity) ... same part)`` —
+    is written as its decorrelated form: a per-part average aggregate
+    joined back to the line items, which is exactly what Catalyst and
+    DuckDB both rewrite the subquery into. The filtered part dim
+    broadcasts; the avg table is |parts|-sized, so AQE broadcasts it
+    too — no corpus-sized shuffle survives."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    family = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = family.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    ).select(F.col("l_partkey").alias("ak"), "qty_cut")
+    small = family.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak")
+    ).filter(F.col("l_quantity") < F.col("qty_cut"))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+Q17_SQL = """
+WITH family AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_size < 15
+), cut AS (
+  SELECT l_partkey AS ak, avg(l_quantity) * 0.2 AS qty_cut
+  FROM family GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM family JOIN cut ON l_partkey = ak
+WHERE l_quantity < qty_cut
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers who placed orders totalling more than 300
+    units. The HAVING-filtered order aggregate is computed FIRST (one
+    |orders|-sized shuffle that shrinks to the few qualifying keys),
+    then semi-joins back — orders/customer only pay joins for
+    qualifying orderkeys, the planner's build side collapses to the
+    tiny qualifying set, and the final per-order quantity sum reuses
+    the already-aggregated value instead of re-scanning lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -705,4 +800,12 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
               "TPC-H Q21 shape: exists/not-exists lineitem self-joins "
               "(semi + anti), sole-blame late suppliers"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL,
+              "TPC-H Q17 shape: decorrelated scalar subquery "
+              "(per-part avg joined back)"),
+    QuerySpec("q18_large_volume_customers", q18_large_volume_customers,
+              Q18_SQL,
+              "TPC-H Q18 shape: HAVING-filtered order agg semi-joined "
+              "to orders/customer"),
 ]

@@ -30,6 +30,8 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",  # 6-table join, Catalyst-planned (r5)
     "q21_waiting_suppliers",  # semi+anti lineitem self-joins (r6)
+    "q17_small_quantity_revenue",  # decorrelated scalar subquery (r6)
+    "q18_large_volume_customers",  # HAVING agg semi-join (r6)
     "j5_broadcast_dims",
     "j2_anti_join",
     "j4_range_join",
