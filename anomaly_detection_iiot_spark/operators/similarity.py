@@ -457,3 +457,94 @@ def hyperplane_ann_top1(
             "n_cand",
         )
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cb_id: str = "code_id",
+    cb_vec: str = "cvec",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): split
+    each vector into ``m`` contiguous subvectors and replace each with
+    the id of its nearest codebook entry's matching subvector (argmin
+    squared L2, tie-break code id asc). A 64-dim fp32 vector becomes
+    ``m`` small codes — the memory layout every billion-scale ANN
+    index (IVF-PQ) stores instead of raw vectors.
+
+    Long-form output (vec_id, sub, code, err): err is the subspace
+    quantization error, whose sum estimates reconstruction MSE.
+
+    Scale shape: the codebook is tiny BY DEFINITION (k entries x dim),
+    so like ivf_assign it is collected once and inlined as ONE nested
+    SQL-array literal; encoding is a single narrow projection (a
+    ``transform`` over subspaces, a fold per code) followed by one
+    posexplode — zero shuffle, zero joins, whole-stage codegen, and
+    stream-safe. fp64 accumulation is sequential in element order so
+    the DuckDB oracle reproduces distances bit-for-bit."""
+    crows = sorted(
+        codebook.select(cb_id, cb_vec).collect(), key=lambda r: r[cb_id]
+    )
+    k = len(crows)
+    dim = len(crows[0][cb_vec])
+    sub = dim // m
+
+    def _darr(values):
+        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+
+    # cb literal: [code][subspace][dim/m] — one py4j call total
+    cb = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                _darr([float(x) for x in r[cb_vec]][s * sub:(s + 1) * sub])
+                for s in range(m)
+            )
+            + ")"
+            for r in crows
+        )
+        + ")"
+    )
+    cids = F.expr("array(" + ",".join(str(int(r[cb_id])) + "L" for r in crows) + ")")
+    v = as_double(F.col(vec_col))
+
+    def _sub_entry(s):
+        sv = F.slice(v, (s - 1) * sub + 1, sub)
+        entries = F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.element_at(F.element_at(cb, c), s),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("err"),
+                F.element_at(cids, c).alias("code"),
+            ),
+        )
+        best = F.array_min(entries)
+        return F.struct(
+            F.lit(s).cast("long").alias("sub"),
+            best["code"].alias("code"),
+            F.round(best["err"], 6).alias("err"),
+        )
+
+    encoded = vectors.select(
+        F.col(id_col),
+        F.explode(F.array(*[_sub_entry(s + 1) for s in range(m)])).alias("e"),
+    )
+    return encoded.select(
+        id_col,
+        F.col("e.sub").alias("sub"),
+        F.col("e.code").alias("code"),
+        F.col("e.err").alias("err"),
+    )

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "a16_label_centroids",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "s5_pq_codes",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -1586,6 +1586,45 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+# --- S5: product-quantization codes ------------------------------------------
+
+def s5_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/similarity.py::pq_encode): 64-dim
+    vectors -> 8 subspace codes against a 16-entry codebook (the first
+    16 vectors, the same deterministic-codebook convention s2 uses for
+    centroids). Long-form (vec_id, sub, code, err); summing err per
+    vec_id gives reconstruction MSE. Zero-shuffle narrow projection —
+    the memory-compression half of IVF-PQ, composing with s2's cell
+    assignment."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cvec")
+    )
+    return similarity.pq_encode(e, cb, m=8)
+
+
+S5_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
+dist AS (
+  SELECT e.vec_id, s.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (e.v[(s.sub - 1) * 8 + i] - cb.cv[(s.sub - 1) * 8 + i])
+              * (e.v[(s.sub - 1) * 8 + i] - cb.cv[(s.sub - 1) * 8 + i])))
+           AS err
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS sub) s
+  CROSS JOIN cb
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+       CAST(code_id AS BIGINT) AS code, round(err, 6) AS err
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY err, code_id) AS rk
+      FROM dist)
+WHERE rk = 1
+"""
+
+
 # --- O8: exact-quota stratified sampling -------------------------------------
 
 # per-language document quotas — the "take exactly N per stratum" form
@@ -1820,6 +1859,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("a16_label_centroids", a16_label_centroids, A16_SQL,
               "per-label element-wise mean embedding (k-means/IVF "
               "centroid-update step), long-form"),
+    QuerySpec("s5_pq_codes", s5_pq_codes, S5_SQL,
+              "product-quantization encoding: 8 subspace codes vs a "
+              "16-entry codebook, zero-shuffle projection"),
     QuerySpec("d12_containment", d12_containment, D12_SQL,
               "directional containment via winnowing-fingerprint "
               "overlap with stop-fingerprint pruning"),

@@ -351,3 +351,21 @@ def test_hyperplane_ann_finds_cluster_neighbors(spark):
         assert vid // 10 == r["nn_id"] // 10, (vid, r["nn_id"])
         assert r["cosine"] > 0.99
         assert r["n_cand"] < 11  # never degenerates to all-pairs
+
+
+def test_pq_encodes_codebook_vectors_to_themselves(spark):
+    # a vector that IS a codebook entry quantizes to its own code with
+    # zero error in every subspace
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(64)]) for i in range(16)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cb = df.selectExpr("vec_id AS code_id", "embedding AS cvec")
+    out = similarity.pq_encode(df, cb, m=8).collect()
+    assert len(out) == 16 * 8
+    for r in out:
+        assert r["code"] == r["vec_id"]
+        assert r["err"] == 0.0
