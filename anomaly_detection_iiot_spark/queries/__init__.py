@@ -75,6 +75,8 @@ _DRIVER_PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "s5_pq_codes",
+    "s6_ivfpq_ann",
+    "t13_passage_chunks",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -1586,6 +1586,71 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+# --- T13: overlapping passage chunking ----------------------------------------
+
+_T13_CHUNK = 64    # tokens per passage
+_T13_STRIDE = 48   # start-to-start distance => 16-token overlap
+
+
+def t13_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (the RAG-indexing / long-doc
+    training prep step): split each document into 64-token chunks every
+    48 tokens (16-token overlap so no boundary-spanning context is
+    lost), keyed (doc_id, chunk_id) with the chunk's token count and
+    content hash.
+
+    Array-native: chunk starts are a ``sequence`` over the token array,
+    each chunk one ``slice`` — a single narrow projection + posexplode,
+    no window shuffle, stream-safe. The last chunk may be short; docs
+    shorter than one stride yield exactly one chunk; empty docs none."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    n = F.size("tokens")
+    starts = F.when(
+        n > 0, F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / _T13_STRIDE)),
+            lambda k: k * _T13_STRIDE,
+        )
+    ).otherwise(F.array().cast("array<bigint>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(
+                " ", F.slice("tokens", (s + 1).cast("int"), _T13_CHUNK)
+            ).alias("chunk_text"),
+            F.least(F.lit(_T13_CHUNK), (n - s)).cast("bigint").alias("n_chunk"),
+        ),
+    )
+    ex = toked.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("c.n_chunk").alias("n_chunk_tokens"),
+        F.substring(F.md5(F.col("c.chunk_text")), 1, 8).alias("chunk_hash"),
+    )
+
+
+T13_SQL = rf"""
+WITH {_TOKS}, starts AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(0,
+           CAST(floor((len(tokens) - 1) / {_T13_STRIDE}) AS BIGINT))) AS k
+  FROM toks WHERE len(tokens) > 0
+), ch AS (
+  SELECT doc_id, k AS chunk_id,
+         k * {_T13_STRIDE} AS s,
+         array_to_string(
+           list_slice(tokens, k * {_T13_STRIDE} + 1,
+                      k * {_T13_STRIDE} + {_T13_CHUNK}), ' ') AS chunk_text,
+         least({_T13_CHUNK}, len(tokens) - k * {_T13_STRIDE}) AS n_chunk
+  FROM starts
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(n_chunk AS BIGINT) AS n_chunk_tokens,
+       substr(md5(chunk_text), 1, 8) AS chunk_hash
+FROM ch
+"""
+
+
 # --- S5: product-quantization codes ------------------------------------------
 
 def s5_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,6 +1687,169 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                    ORDER BY err, code_id) AS rk
       FROM dist)
 WHERE rk = 1
+"""
+
+
+# --- S6: IVF-PQ ANN (asymmetric distance computation) ------------------------
+
+def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack: IVF cell assignment (s2's
+    centroids) + PQ codes (s5's codebook) + ADC scoring — each query
+    searches only its own cell, and candidate distances are computed
+    from the candidates' 8 PQ codes against the codebook, never
+    touching the original vectors (Jégou et al. 2011's asymmetric
+    distance: exact query subvector vs quantized candidate). Top-5 by
+    ADC per query, tie-break candidate id.
+
+    Scale shape: assignment and encoding are zero-shuffle projections;
+    codes are ONE groupBy(vec_id) to widen; the probe is an equi-join
+    on ``bucket`` against broadcast queries. On a real deployment the
+    widened code table (8 bytes/vector here vs 256 raw) IS the index
+    — the raw embedding column is never read at query time, which at
+    100 TB of vectors is the difference between scanning 3 TB of codes
+    and 100 TB of floats."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    cb = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids).select("vec_id", "bucket")
+    codes_long = similarity.pq_encode(e, cb, m=8)
+    codes = codes_long.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    cand = assigned.join(codes, "vec_id")
+    queries = e.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qassigned = similarity.ivf_assign(
+        queries, centroids, id_col="qid", vec_col="qvec"
+    ).select("qid", "qvec", F.col("bucket").alias("qbucket"))
+
+    crows = sorted(
+        cb.collect(), key=lambda r: r["code_id"]
+    )
+
+    def _darr(values):
+        return (
+            "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+        )
+
+    cbl = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                _darr([float(x) for x in r["cvec"]][s * 8:(s + 1) * 8])
+                for s in range(8)
+            )
+            + ")"
+            for r in crows
+        )
+        + ")"
+    )
+    qv = similarity.as_double(F.col("qvec"))
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda s: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, (s - 1).cast("int") * 8 + 1, 8),
+                    F.element_at(
+                        F.element_at(
+                            cbl,
+                            (F.element_at(F.col("codes"), s.cast("int")) + 1)
+                            .cast("int"),
+                        ),
+                        s.cast("int"),
+                    ),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.join(
+        F.broadcast(qassigned),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).withColumn("adc", adc)
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round("adc", 6).alias("adc"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+S6_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
+ascore AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS ark
+        FROM ascore)
+  WHERE ark = 1
+), dist AS (
+  SELECT e.vec_id, s.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (e.v[(s.sub - 1) * 8 + i] - cb.cv[(s.sub - 1) * 8 + i])
+              * (e.v[(s.sub - 1) * 8 + i] - cb.cv[(s.sub - 1) * 8 + i])))
+           AS err
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS sub) s
+  CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, sub, code_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY err, code_id) AS rk
+        FROM dist)
+  WHERE rk = 1
+), q AS (
+  SELECT a.vec_id AS qid, a.v AS qv, a.bucket AS qbucket
+  FROM assigned a WHERE a.vec_id BETWEEN 100 AND 104
+), adc_parts AS (
+  SELECT q.qid, a.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (q.qv[(k.sub - 1) * 8 + i] - cb.cv[(k.sub - 1) * 8 + i])
+              * (q.qv[(k.sub - 1) * 8 + i] - cb.cv[(k.sub - 1) * 8 + i])))
+           AS part
+  FROM q
+  JOIN assigned a ON a.bucket = q.qbucket AND a.vec_id != q.qid
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN cb ON cb.code_id = k.code_id
+), adc AS (
+  SELECT qid, cid, sum(part) AS adc FROM adc_parts GROUP BY 1, 2
+)
+SELECT qid, cid, round(adc, 6) AS adc, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc, cid) AS rk
+      FROM adc)
+WHERE rk <= 5
 """
 
 
@@ -1859,6 +2087,12 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("a16_label_centroids", a16_label_centroids, A16_SQL,
               "per-label element-wise mean embedding (k-means/IVF "
               "centroid-update step), long-form"),
+    QuerySpec("s6_ivfpq_ann", s6_ivfpq_ann, S6_SQL,
+              "IVF-PQ ANN: cell-probed candidates scored by asymmetric "
+              "distance over PQ codes only"),
+    QuerySpec("t13_passage_chunks", t13_passage_chunks, T13_SQL,
+              "overlapping passage chunking: 64-token windows every "
+              "48 tokens, array-native"),
     QuerySpec("s5_pq_codes", s5_pq_codes, S5_SQL,
               "product-quantization encoding: 8 subspace codes vs a "
               "16-entry codebook, zero-shuffle projection"),
