@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = [
     "s5_pq_codes",
     "s6_ivfpq_ann",
     "t13_passage_chunks",
+    "a17_dedup_report",
+    "o9_heavy_keys",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -461,6 +461,50 @@ FROM documents
 """
 
 
+# --- O9: heavy-key skew diagnosis ---------------------------------------------
+
+def o9_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the top-10 join/agg keys by row count
+    with their share of the table and skew factor (count / mean count
+    per key). This is the query you run BEFORE deciding to salt
+    (operators/skew.py) or rely on AQE's skew-join split — the key
+    histogram is one map-side-combinable agg, the global mean a
+    broadcast one-row frame."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.avg("n").alias("mean_n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.join(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 6).alias("skew_factor"),
+        )
+    )
+
+
+O9_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS total, avg(n) AS mean_n FROM counts
+)
+SELECT CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS share,
+       round(n / mean_n, 6) AS skew_factor
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM counts CROSS JOIN tot)
+WHERE rk <= 10
+"""
+
+
 # --- P13: Morton (Z-order) clustering key ------------------------------------
 
 def p13_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +543,9 @@ FROM b
 
 
 EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("o9_heavy_keys", o9_heavy_keys, O9_SQL,
+              "heavy-key skew diagnosis: top-10 keys with share and "
+              "skew factor"),
     QuerySpec("p13_zorder_key", p13_zorder_key, _p13_sql(),
               "Morton/Z-order clustering key: 2x8-bit interleave of "
               "user and value buckets"),

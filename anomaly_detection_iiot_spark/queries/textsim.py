@@ -1853,6 +1853,48 @@ WHERE rk <= 5
 """
 
 
+# --- A17: deduplication report by source -------------------------------------
+
+def a17_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup accounting every pipeline run emits: per source,
+    document count, exact-unique count (distinct content hash),
+    duplication rate, and the bytes the keeper policy drops. One
+    hash-partition agg on (source, content-hash) then a source rollup —
+    both map-side-combinable, nothing corpus-sized crosses the wire
+    twice."""
+    docs = _docs(spark, sf_dir)
+    per_hash = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("n_chars").alias("keeper_chars"),
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("n"), 6).alias(
+            "dup_rate"
+        ),
+        (F.sum("chars") - F.sum("keeper_chars")).cast("bigint").alias(
+            "chars_dropped"
+        ),
+    )
+
+
+A17_SQL = """
+WITH per_hash AS (
+  SELECT source, md5(text) AS h, count(*) AS n,
+         sum(n_chars) AS chars, min(n_chars) AS keeper_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round(1.0 - count(*) * 1.0 / sum(n), 6) AS dup_rate,
+       CAST(sum(chars) - sum(keeper_chars) AS BIGINT) AS chars_dropped
+FROM per_hash GROUP BY 1
+"""
+
+
 # --- O8: exact-quota stratified sampling -------------------------------------
 
 # per-language document quotas — the "take exactly N per stratum" form
@@ -2087,6 +2129,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("a16_label_centroids", a16_label_centroids, A16_SQL,
               "per-label element-wise mean embedding (k-means/IVF "
               "centroid-update step), long-form"),
+    QuerySpec("a17_dedup_report", a17_dedup_report, A17_SQL,
+              "per-source dedup accounting: dup rate + chars dropped "
+              "by the keeper policy"),
     QuerySpec("s6_ivfpq_ann", s6_ivfpq_ann, S6_SQL,
               "IVF-PQ ANN: cell-probed candidates scored by asymmetric "
               "distance over PQ codes only"),
