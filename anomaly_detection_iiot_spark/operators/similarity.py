@@ -413,17 +413,28 @@ def hyperplane_ann_top1(
     rerank never sees more than the bucket mates, so total cost is
     sum(bucket²) per table, not |corpus|² — same contract as the
     minhash-LSH verify stage (dedup.py), re-used for dense vectors.
+
+    The (vid, bucket...) signature table is PERSISTED: it is the LSH
+    index itself (a few bytes/vector — at rest you'd write it out,
+    like dedup.py's band_index), and without the persist each of the
+    2L pair-join branches re-ran the 16-fold signature projection over
+    the corpus. The vector payload deliberately stays OUT of the
+    cached index; the rerank re-reads vectors by id from the source.
     """
+    from .cache import replace_owned_cache
+
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    sigs = v.select(
-        "vid",
-        "v",
-        *[
-            hyperplane_signature(F.col("v"), t, n_planes, dim).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
+    sigs = replace_owned_cache(
+        "hyperplane_ann_sigs",
+        v.select(
+            "vid",
+            *[
+                hyperplane_signature(F.col("v"), t, n_planes, dim).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        ),
     )
     pairs = None
     for tbl in range(n_tables):
@@ -432,12 +443,25 @@ def hyperplane_ann_top1(
         p = a.join(b, "bk").filter(F.col("qid") != F.col("cid")).select("qid", "cid")
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.distinct()
-    qv = sigs.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
-    cv = sigs.select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    # norms once per VECTOR, not once per pair: the rerank joins fetch
+    # (vector, norm) by id, so each pair pays one dot fold instead of
+    # three (the norm sqrt is the same expression the oracle computes,
+    # just evaluated in the earlier projection — fp-identical).
+    qv = v.select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    cv = v.select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+    )
     scored = (
         cand.join(qv, "qid")
         .join(cv, "cid")
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("qid")
     wrk = w.orderBy(F.desc("cos"), F.asc("cid"))

@@ -2008,16 +2008,20 @@ FROM b
 
 def s4_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate nearest neighbor (Charikar 2002; see
-    operators/similarity.py::hyperplane_ann_top1): 2 hash tables x 6
+    operators/similarity.py::hyperplane_ann_top1): 2 hash tables x 8
     deterministic hyperplane bits bucket the corpus, candidates are
     bucket-mates in either table, exact cosine re-ranks, top-1 per
     vector. The LSH-bucketed complement to IVF (s2/s3): no training
-    step, recall tuned by table count, bucket size by bit count."""
+    step, recall tuned by table count, bucket size by bit count —
+    bits are chosen as ~log2(corpus / target_bucket), and the rerank
+    cost is sum(bucket²), so 6 bits at 5k vectors meant ~78-vector
+    buckets and a 4.3 s rerank where 8 bits pays a quarter of that
+    (measured r6; at larger corpora keep scaling bits, not tables)."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return similarity.hyperplane_ann_top1(e, n_tables=2, n_planes=6, dim=64)
+    return similarity.hyperplane_ann_top1(e, n_tables=2, n_planes=8, dim=64)
 
 
-def _s4_bits_sql(table: int, n_planes: int = 6, dim: int = 64) -> str:
+def _s4_bits_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
     bits = []
     for i in range(n_planes):
         arr = (
@@ -2145,7 +2149,7 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "directional containment via winnowing-fingerprint "
               "overlap with stop-fingerprint pruning"),
     QuerySpec("s4_hyperplane_ann", s4_hyperplane_ann, S4_SQL,
-              "sign-LSH ANN: 2x6-bit hyperplane tables, exact-cosine "
+              "sign-LSH ANN: 2x8-bit hyperplane tables, exact-cosine "
               "rerank, top-1 per vector"),
     QuerySpec("o8_quota_sample", o8_quota_sample, O8_SQL,
               "exact-quota stratified sampling: first N per language "
