@@ -1,0 +1,75 @@
+"""Streaming ANN index maintenance: IVF cell assignment at ingest.
+
+The batch index (operators/similarity.py::ivf_assign + the
+Hive-partitioned at-rest layout tests/test_partitioned.py proves
+pruning for) answers queries; THIS keeps it fresh: new embeddings
+stream in, each is assigned its cell by the same broadcast-literal
+centroid projection (stateless — the centroids are the only "model"
+and they travel as plan literals), and ``foreachBatch`` appends the
+assigned rows into the ``bucket=<cell>`` partition layout. Queries
+keep probing with partition pruning while the index grows.
+
+Why this is the right 100 TB shape:
+
+- assignment is a pure projection → stream-safe with no watermark, no
+  state store, arbitrarily shardable;
+- the append writes only the partitions the micro-batch touches;
+- centroid DRIFT is observable from the same stream: per-batch cell
+  population counts (``cell_load``) feed the retrain decision — when
+  load skew crosses a threshold you re-run the batch centroid build
+  (a16's centroid-update aggregate) and rewrite, exactly how IVF
+  indexes are operated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+
+
+def assigned_stream(stream_vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Stateless cell assignment on a stream — identical code path to
+    batch (ivf_assign builds one literal-centroid projection), so
+    stream==batch holds by construction and is pinned by test."""
+    return similarity.ivf_assign(stream_vectors, centroids)
+
+
+def ingest_to_partitioned_index(
+    stream_vectors: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    checkpoint: str,
+):
+    """Append each micro-batch into the bucket-partitioned index dir.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    assigned = assigned_stream(stream_vectors, centroids)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(index_path)
+        )
+
+    return (
+        assigned.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cell_load(index: DataFrame) -> DataFrame:
+    """Cell-population report over the at-rest index: the skew signal
+    that triggers centroid retraining (load imbalance = recall loss on
+    hot cells, wasted probes on cold ones)."""
+    counts = index.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.avg("n").alias("mean_n"))
+    return counts.join(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("mean_n"), 6).alias("load_factor"),
+    )

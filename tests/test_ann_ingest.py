@@ -1,0 +1,77 @@
+"""Streaming ANN index ingest (streaming/ann_ingest.py): streamed cell
+assignment must equal batch, appends must land in bucket partitions
+that still PRUNE, and the load report must read the grown index."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.operators import similarity
+from anomaly_detection_iiot_spark.streaming import ann_ingest
+
+
+def _vecs(ids, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [
+                [float(x) for x in rng.randn(64)] for _ in ids
+            ],
+        }
+    )
+
+
+def test_stream_ingest_equals_batch_and_partitions_prune(spark, tmp_path):
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    chunk0, chunk1 = _vecs(range(0, 40), 11), _vecs(range(40, 80), 12)
+    now = time.time()
+    for i, pdf in enumerate([chunk0, chunk1]):
+        f = os.path.join(src, f"c{i}.parquet")
+        pdf.to_parquet(f)
+        os.utime(f, (now + i, now + i))
+
+    batch_all = spark.createDataFrame(pd.concat([chunk0, chunk1]))
+    centroids = batch_all.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    expected = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.ivf_assign(batch_all, centroids).collect()
+    }
+
+    index = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ann_ingest.ingest_to_partitioned_index(
+        stream, centroids, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    at_rest = spark.read.parquet(index)
+    got = {r["vec_id"]: r["bucket"] for r in at_rest.collect()}
+    assert got == expected  # stream assignment == batch assignment
+
+    # partition pruning still holds on the grown index
+    one_cell = sorted({b for b in expected.values()})[0]
+    probe = at_rest.filter(F.col("bucket") == one_cell)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert probe.count() == sum(1 for b in expected.values() if b == one_cell)
+
+    load = {
+        r["bucket"]: r for r in ann_ingest.cell_load(at_rest).collect()
+    }
+    assert sum(r["n"] for r in load.values()) == len(expected)
+    assert all(r["load_factor"] > 0 for r in load.values())
