@@ -555,3 +555,138 @@ def sample_frames(df: DataFrame, every: int = 7) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# --- RIFF/AVI container (stdlib struct walk) ----------------------------------
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal structurally-valid RIFF/AVI container around raw
+    grayscale frames (the video sibling of ``encode_png``/stdlib wave
+    for mm3/mm4): RIFF('AVI ') → LIST('hdrl') holding a spec-shaped
+    56-byte ``avih`` (real dims + frame count) → LIST('movi') holding
+    one ``00db`` (uncompressed DIB) chunk per frame, word-aligned as
+    RIFF requires. No codec — the point is the CONTAINER: chunk
+    framing, nesting, alignment, and header fields all round-trip
+    through ``parse_avi``."""
+    import struct
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            out += b"\x00"  # RIFF word alignment
+        return out
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        width * height * fps,  # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags (AVIF_HASINDEX clear, interleave hint)
+        len(frames),           # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        width * height,        # dwSuggestedBufferSize
+        width,                 # dwWidth
+        height,                # dwHeight
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(blob: bytes) -> tuple[dict, list[bytes]]:
+    """Walk a RIFF/AVI container: verify the RIFF signature and 'AVI '
+    form type, recurse into LIST chunks honoring word alignment,
+    read (width, height, n_frames) from ``avih``, and collect every
+    ``00db``/``00dc`` payload in stream order. Raises on truncated or
+    mis-framed chunks — corrupt containers must fail loudly, not yield
+    silent partial frames."""
+    import struct
+
+    if blob[:4] != b"RIFF":
+        raise ValueError("not RIFF")
+    (riff_len,) = struct.unpack("<I", blob[4:8])
+    if riff_len + 8 != len(blob):
+        raise ValueError(f"RIFF length {riff_len} != payload {len(blob) - 8}")
+    if blob[8:12] != b"AVI ":
+        raise ValueError("RIFF form type is not 'AVI '")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        i = 0
+        while i + 8 <= len(data):
+            tag = data[i : i + 8][:4]
+            (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
+            payload = data[i + 8 : i + 8 + ln]
+            if len(payload) != ln:
+                raise ValueError(f"truncated chunk {tag!r}")
+            if tag == b"LIST":
+                walk(payload[4:])  # skip the 4-byte list type
+            elif tag == b"avih":
+                fields = struct.unpack("<14I", payload[:56])
+                meta.update(
+                    n_frames=fields[4], width=fields[8], height=fields[9]
+                )
+            elif tag in (b"00db", b"00dc"):
+                frames.append(payload)
+            i += 8 + ln + (ln % 2)
+
+    walk(blob[12:])
+    if meta.get("n_frames") != len(frames):
+        raise ValueError(
+            f"header frame count {meta.get('n_frames')} != "
+            f"{len(frames)} movi chunks"
+        )
+    return meta, frames
+
+
+def decode_avi_frames(df: DataFrame) -> DataFrame:
+    """Arrow-batched container decode: one output row per frame with
+    the header dims and the frame's pixels normalized to [0, 1]. The
+    per-frame explode happens Python-side (frames are already in
+    memory per blob); every downstream statistic stays JVM-side."""
+    import pyarrow  # noqa: F401 — document the Arrow path
+
+    out_schema = (
+        "media_id long, width int, height int, frame_idx int, "
+        "pixels array<double>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta, frames = parse_avi(bytes(r["data"]))
+                for k, f in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "frame_idx": k,
+                            "pixels": (
+                                np.frombuffer(f, dtype=np.uint8).astype(
+                                    np.float64
+                                )
+                                / 255.0
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {
+                    "media_id": pd.Series([], dtype="int64"),
+                    "width": pd.Series([], dtype="int32"),
+                    "height": pd.Series([], dtype="int32"),
+                    "frame_idx": pd.Series([], dtype="int32"),
+                    "pixels": pd.Series([], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)

@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "t13_passage_chunks",
     "a17_dedup_report",
     "o9_heavy_keys",
+    "mm5_video_roundtrip",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -181,7 +181,86 @@ FROM px GROUP BY 1
 """
 
 
+def mm5_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-container path proven end-to-end with an oracle
+    — the RIFF/AVI sibling of mm3 (wave) and mm4 (PNG). Per-user AVI
+    containers are synthesized from integer event ids (4x4 grayscale
+    frames, pixel = event_id % 256, ids sorted, tail past the last
+    full frame dropped), wrapped by ``encode_avi`` (spec-shaped avih +
+    word-aligned 00db movi chunks), re-parsed frame-by-frame through
+    ``decode_avi_frames``'s stdlib struct walker inside
+    ``mapInPandas``, and reduced to per-video statistics JVM-side. A
+    value-hash match against events proves RIFF framing, list
+    recursion, alignment padding, the header/movi frame-count cross
+    check, and the /255 normalization. KB-scale driver-side synthesis
+    at construction, like mm3/mm4."""
+    import numpy as np  # noqa: F401
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    rows = ev.select("user_id", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.event_id)
+    blobs = []
+    for uid, eids in sorted(series.items()):
+        eids.sort()
+        nf = len(eids) // 16
+        if nf == 0:
+            continue
+        frames = [
+            bytes(e % 256 for e in eids[k * 16:(k + 1) * 16])
+            for k in range(nf)
+        ]
+        blobs.append((uid, bytearray(multimodal.encode_avi(frames, 4, 4))))
+    media = spark.createDataFrame(blobs, "media_id bigint, data binary")
+    per_frame = multimodal.decode_avi_frames(media)
+    px = F.col("pixels")
+    fsum = F.aggregate(px, F.lit(0.0), lambda a, x: a + x)
+    fn = F.size(px)
+    stats = per_frame.select(
+        "media_id", "width", "frame_idx", fsum.alias("fsum"), fn.alias("fn")
+    )
+    first = F.col("frame_idx") == 0
+    return stats.groupBy("media_id").agg(
+        F.first("width").cast("bigint").alias("width"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("fn").cast("bigint").alias("n_px"),
+        F.round(F.sum("fsum") / F.sum("fn"), 6).alias("mean_px"),
+        F.round(
+            F.sum(F.when(first, F.col("fsum")))
+            / F.sum(F.when(first, F.col("fn"))),
+            6,
+        ).alias("first_frame_mean"),
+    )
+
+
+MM5_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 8
+), px AS (
+  SELECT user_id, (rn - 1) // 16 AS frame_idx,
+         (event_id % 256) / 255.0 AS v
+  FROM ranked WHERE rn <= (n // 16) * 16
+)
+SELECT user_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(count(DISTINCT frame_idx) AS BIGINT) AS n_frames,
+       count(*) AS n_px,
+       round(sum(v) / count(*), 6) AS mean_px,
+       round(sum(CASE WHEN frame_idx = 0 THEN v END)
+             / sum(CASE WHEN frame_idx = 0 THEN 1 END), 6)
+         AS first_frame_mean
+FROM px GROUP BY 1
+"""
+
+
 MEDIA_QUERIES: list[QuerySpec] = [
+    QuerySpec("mm5_video_roundtrip", mm5_video_roundtrip, MM5_SQL,
+              "real RIFF/AVI container round-trip: stdlib struct "
+              "walker, per-frame stats oracle"),
     QuerySpec("mm1_media_manifest", mm1_media_manifest, MM1_SQL,
               "binary media manifest: per-kind blob/meta statistics"),
     QuerySpec("mm2_frame_sample", mm2_frame_sample, MM2_SQL,

@@ -341,3 +341,46 @@ def test_synthesize_png_decode_distributed(spark, media):
         np.testing.assert_allclose(
             decoded[mid].pixels, raw[: h * w] / 255.0, rtol=1e-12
         )
+
+
+def test_avi_roundtrip_and_corrupt_containers_fail_loudly(spark):
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    frames = [bytes(range(16)), bytes(range(16, 32)), bytes([7] * 15)]
+    blob = m.encode_avi(frames, 4, 4)
+    meta, got = m.parse_avi(blob)
+    assert meta == {"n_frames": 3, "width": 4, "height": 4}
+    assert got == frames  # odd-length frame survives alignment padding
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not RIFF"):
+        m.parse_avi(b"JUNK" + blob[4:])
+    with _pytest.raises(ValueError, match="RIFF length"):
+        m.parse_avi(blob[:-2])  # truncated container
+    # header/movi mismatch: drop one movi chunk but keep the header
+    bad = bytearray(blob)
+    # flip total-frames field in avih (offset: RIFF(12) + LIST hdr(8)
+    # + 'hdrl'(4) + avih hdr(8) + 4 dwords)
+    import struct
+
+    off = 12 + 8 + 4 + 8 + 16
+    bad[off:off + 4] = struct.pack("<I", 99)
+    with _pytest.raises(ValueError, match="header frame count"):
+        m.parse_avi(bytes(bad))
+
+
+def test_decode_avi_frames_mapinpandas(spark):
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    frames = [bytes([10] * 16), bytes([20] * 16)]
+    df = spark.createDataFrame(
+        [(5, bytearray(m.encode_avi(frames, 4, 4)))],
+        "media_id long, data binary",
+    )
+    rows = m.decode_avi_frames(df).orderBy("frame_idx").collect()
+    assert [(r.media_id, r.width, r.height, r.frame_idx) for r in rows] == [
+        (5, 4, 4, 0), (5, 4, 4, 1),
+    ]
+    assert rows[0].pixels[0] == 10 / 255.0
+    assert rows[1].pixels[0] == 20 / 255.0
