@@ -195,3 +195,36 @@ def test_d9_assignment_is_projection(spark, sf_dir):
     # blocked_neardup_pairs = union of the small-block gram branch and
     # the oversized-tile branch -> exactly two grouped-pandas stages
     assert plan.count("FlatMapGroupsInPandas") == 2
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At 100 TB the lineitem⋈filtered-orders join gets a runtime bloom
+    filter on the probe side for free (defaults: creation side < 10 MB,
+    application-side scan > 10 GB). Local test data is below the scan
+    threshold, so the test lowers it to prove the optimizer PATH —
+    an InjectRuntimeFilter bloom_filter_agg on the creation side and a
+    might_contain probe above the big scan."""
+    from pyspark.sql import functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
