@@ -572,3 +572,72 @@ def pq_encode(
         F.col("e.code").alias("code"),
         F.col("e.err").alias("err"),
     )
+
+
+# --- incremental semantic dedup (daily ingest vs at-rest keepers) -------------
+
+def incremental_semdedup(
+    new_vecs: DataFrame,
+    keeper_index: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup for a NEW batch against the at-rest keeper set — the
+    embedding-side twin of dedup.py's incremental LSH: work is
+    new×(cell keepers) + new×new, never keeper×keeper, so daily cost
+    scales with the batch, not the corpus.
+
+    ``keeper_index`` is the surviving-vector table WITH its ``bucket``
+    column (what d9 keeps / streaming/ann_ingest.py appends). A new
+    vector is dropped iff its cell holds a keeper neighbor at
+    cosine >= tau, or a lower-id NEW neighbor (d9's min-id policy
+    within the batch). When keeper ids precede batch ids — the
+    monotone-id ingest convention — this equals running full d9 over
+    (keepers ∪ batch) restricted to the batch, EXACTLY (asserted by
+    test); like any dedup-at-rest, a new vector near only a PREVIOUSLY
+    DROPPED vector (not its keeper) passes — dropped vectors are gone,
+    which is the production contract.
+
+    Scale shape: one broadcast-literal assignment projection for the
+    batch, one equi-join on ``bucket`` against the (bucket-partitioned,
+    pruned) keeper index, and the tiled within-batch near-dup stage.
+    """
+    a_new = ivf_assign(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+    kv = keeper_index.select(
+        F.col("bucket").alias("kb"),
+        as_double(F.col(vec_col)).alias("kvec"),
+        norm(as_double(F.col(vec_col))).alias("kn"),
+    )
+    nv = a_new.select(
+        id_col,
+        "bucket",
+        as_double(F.col(vec_col)).alias("nvec"),
+        norm(as_double(F.col(vec_col))).alias("nn_"),
+    )
+    near_keeper = (
+        nv.join(kv, nv["bucket"] == kv["kb"])
+        .withColumn(
+            "cos",
+            dot(F.col("nvec"), F.col("kvec")) / (F.col("nn_") * F.col("kn")),
+        )
+        .filter(F.col("cos") >= tau)
+        .select(id_col)
+        .distinct()
+    )
+    near_lower_new = blocked_neardup_pairs(
+        a_new, block_col="bucket", min_cosine=tau,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("vec_b").alias(id_col)).distinct()
+    dropped = near_keeper.unionByName(near_lower_new).distinct().withColumn(
+        "_dup", F.lit(1)
+    )
+    return (
+        a_new.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

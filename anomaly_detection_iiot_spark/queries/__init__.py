@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "a17_dedup_report",
     "o9_heavy_keys",
     "mm5_video_roundtrip",
+    "d13_incremental_semdedup",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

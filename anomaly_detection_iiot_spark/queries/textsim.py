@@ -572,6 +572,80 @@ FROM assigned a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+# --- D13: incremental SemDeDup (batch vs at-rest keepers) --------------------
+
+_D13_SPLIT = 250  # vec_id < split = historical corpus; >= split = new batch
+
+
+def d13_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup, the d10 contract for embeddings
+    (operators/similarity.py::incremental_semdedup): the historical
+    half of the corpus is deduped once (d9) and only its KEEPERS stay
+    at rest; the new batch is then verdicted against keepers + itself
+    — new×keeper + new×new work only, daily cost scaling with the
+    batch. With monotone ids this equals full d9 over
+    (keepers ∪ batch) restricted to the batch (randomized equality
+    test in tests/test_text_and_fft.py); the oracle computes exactly
+    that nested form."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    first = e.filter(F.col("vec_id") < _D13_SPLIT)
+    a_first = similarity.ivf_assign(first, centroids)
+    f_dropped = similarity.blocked_neardup_pairs(
+        a_first, block_col="bucket", min_cosine=_D9_TAU
+    ).select(F.col("vec_b").alias("vec_id")).distinct()
+    keepers = a_first.join(f_dropped, "vec_id", "left_anti")
+    batch = e.filter(F.col("vec_id") >= _D13_SPLIT)
+    return similarity.incremental_semdedup(
+        batch, keepers, centroids, tau=_D9_TAU
+    )
+
+
+D13_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, centroid_id) AS rk
+    FROM scored) WHERE rk = 1
+),
+hist AS (SELECT * FROM assigned WHERE vec_id < {_D13_SPLIT}),
+hist_dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM hist a JOIN hist b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+   AND {_D9_COS} >= {_D9_TAU}
+),
+keepers AS (
+  SELECT * FROM hist
+  WHERE vec_id NOT IN (SELECT vec_id FROM hist_dropped)
+),
+batch AS (SELECT * FROM assigned WHERE vec_id >= {_D13_SPLIT}),
+pool AS (SELECT * FROM keepers UNION ALL SELECT * FROM batch),
+batch_dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM pool a JOIN pool b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+   AND b.vec_id >= {_D13_SPLIT}
+   AND {_D9_COS} >= {_D9_TAU}
+)
+SELECT bt.vec_id, CAST(bt.bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM batch bt LEFT JOIN batch_dropped d USING (vec_id)
+"""
+
+
 # --- S1: brute-force cosine top-k --------------------------------------------
 
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2133,6 +2207,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("a16_label_centroids", a16_label_centroids, A16_SQL,
               "per-label element-wise mean embedding (k-means/IVF "
               "centroid-update step), long-form"),
+    QuerySpec("d13_incremental_semdedup", d13_incremental_semdedup, D13_SQL,
+              "incremental SemDeDup: new batch vs at-rest keepers "
+              "(new x keeper + new x new only)"),
     QuerySpec("a17_dedup_report", a17_dedup_report, A17_SQL,
               "per-source dedup accounting: dup rate + chars dropped "
               "by the keeper policy"),

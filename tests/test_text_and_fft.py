@@ -369,3 +369,59 @@ def test_pq_encodes_codebook_vectors_to_themselves(spark):
     for r in out:
         assert r["code"] == r["vec_id"]
         assert r["err"] == 0.0
+
+
+def test_incremental_semdedup_equals_full_over_keepers_plus_batch(spark):
+    """Randomized cross-check (the d10 contract for embeddings):
+    incremental(batch, keepers) verdicts == full SemDeDup over
+    (keepers ∪ batch) restricted to the batch, when keeper ids precede
+    batch ids."""
+    import numpy as np
+
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    rng = np.random.RandomState(42)
+    # clustered corpus so near-dups actually occur at tau=0.85
+    base = rng.randn(6, 64)
+    rows = []
+    for i in range(120):
+        v = base[i % 6] + 0.12 * rng.randn(64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = df.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS centroid_id", "embedding AS cvec"
+    )
+    tau = 0.85
+
+    def full_verdicts(corpus):
+        assigned = similarity.ivf_assign(corpus, centroids)
+        pairs = similarity.blocked_neardup_pairs(
+            assigned, block_col="bucket", min_cosine=tau
+        )
+        dropped = {r["vec_b"] for r in pairs.collect()}
+        return {
+            r["vec_id"]: (0 if r["vec_id"] in dropped else 1, r["bucket"])
+            for r in assigned.select("vec_id", "bucket").collect()
+        }
+
+    first = df.filter(F.col("vec_id") < 60)
+    batch = df.filter(F.col("vec_id") >= 60)
+    v_first = full_verdicts(first)
+    keeper_ids = [i for i, (k, _) in v_first.items() if k == 1]
+    keepers = similarity.ivf_assign(
+        first.filter(F.col("vec_id").isin(keeper_ids)), centroids
+    )
+
+    got = {
+        r["vec_id"]: (r["kept"], r["bucket"])
+        for r in similarity.incremental_semdedup(
+            batch, keepers, centroids, tau=tau
+        ).collect()
+    }
+    keepers_plus_batch = df.filter(
+        F.col("vec_id").isin(keeper_ids) | (F.col("vec_id") >= 60)
+    )
+    expected = {
+        i: kb for i, kb in full_verdicts(keepers_plus_batch).items() if i >= 60
+    }
+    assert got == expected and any(k == 0 for k, _ in got.values())
