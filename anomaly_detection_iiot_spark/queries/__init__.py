@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "o9_heavy_keys",
     "mm5_video_roundtrip",
     "d13_incremental_semdedup",
+    "q7_volume_shipping",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -759,6 +759,67 @@ LIMIT 100
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, BOTH directions
+    (supplier in A shipping to customer in B and vice versa), by year.
+    The interesting planner shape is the disjunctive nation-pair
+    predicate over two different dimension lineages: both nation dims
+    broadcast, the OR-of-ANDs filter sits above the joins, and the
+    year extraction feeds a small (pair x year) aggregate. No hints —
+    Catalyst orders the five joins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -800,6 +861,9 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
               "TPC-H Q21 shape: exists/not-exists lineitem self-joins "
               "(semi + anti), sole-blame late suppliers"),
+    QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL,
+              "TPC-H Q7 shape: bidirectional nation-pair revenue by "
+              "year, disjunctive dim predicate"),
     QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
               Q17_SQL,
               "TPC-H Q17 shape: decorrelated scalar subquery "

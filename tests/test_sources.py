@@ -154,3 +154,32 @@ def test_parse_training_log(spark, tmp_path):
         (2, 0.3, 0.4),
         (3, 0.2, None),
     ]
+
+
+def test_schema_evolution_merge_and_pushdown(spark, tmp_path):
+    """Data-lake schema evolution: v2 files add a column; a mergeSchema
+    read unifies the schema, v1 rows surface NULL for the new column,
+    and filters on BOTH old and new columns still push to the scan."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    os.makedirs(path)
+    pd.DataFrame({"id": [1, 2], "v": [10.0, 20.0]}).to_parquet(
+        os.path.join(path, "v1.parquet")
+    )
+    pd.DataFrame(
+        {"id": [3, 4], "v": [30.0, 40.0], "quality": [0.9, 0.2]}
+    ).to_parquet(os.path.join(path, "v2.parquet"))
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "v", "quality"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["quality"] is None and rows[3]["quality"] == 0.9
+
+    filtered = df.filter((F.col("v") > 15.0) & (F.col("quality") > 0.5))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(v,15.0)" in plan
+    assert [r["id"] for r in filtered.collect()] == [3]
