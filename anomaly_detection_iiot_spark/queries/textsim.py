@@ -1799,7 +1799,14 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["code"],
         ).alias("codes")
     )
-    cand = assigned.join(codes, "vec_id")
+    # (bucket, codes) per vector IS the at-rest IVF-PQ index — persist
+    # it (the s4-signature-index rationale): queries probe the index,
+    # they don't re-encode the corpus
+    from ..operators.cache import replace_owned_cache
+
+    cand = replace_owned_cache(
+        "s6_ivfpq_index", assigned.join(codes, "vec_id")
+    )
     queries = e.filter(F.col("vec_id").between(100, 104)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

@@ -47,9 +47,12 @@ HEADLINE = [
     "d8_dup_clusters",  # transitive-closure loop: rounds x O(|edges|) shuffle
     "d6_simhash",
     "d9_semdedup",  # IVF-cell-scoped semantic dedup (r5)
+    "d12_containment",  # fingerprint inverted-index containment (r6)
+    "d13_incremental_semdedup",  # batch vs at-rest keeper index (r6)
     "s1_cosine_topk",
     "s2_ivf_ann",
     "s4_hyperplane_ann",  # sign-LSH tables + exact rerank (r6)
+    "s6_ivfpq_ann",  # IVF-PQ ADC over codes only (r6)
     "t3_language_id",
     "t11_pii_scan",  # regex PII inventory + redaction (r6)
     "t12_bigram_lm",  # corpus bigram-LM fluency scoring (r6)
