@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "mm5_video_roundtrip",
     "d13_incremental_semdedup",
     "q7_volume_shipping",
+    "t14_script_profile",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -1976,6 +1976,73 @@ FROM per_hash GROUP BY 1
 """
 
 
+# --- T14: script/charset profile ---------------------------------------------
+
+# identical pattern strings on both engines: Java regex and RE2 both
+# accept the \x{...} hex escape inside character classes
+_T14_CJK = r"[\x{4E00}-\x{9FFF}]"
+_T14_ASCII_AL = r"[A-Za-z]"
+_T14_DIGIT = r"[0-9]"
+
+
+def t14_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script/charset profile: CJK, ASCII-letter, and
+    digit character ratios plus a script verdict ('cjk' at >= 20% CJK,
+    else 'latin' at >= 40% letters, else 'other'). The stopword
+    language-ID (t3) is blind to unsegmented scripts — zh documents
+    fall through to 'und' — so this is the codepoint-class detector
+    real pipelines run first. Pure JVM regexp counting, one
+    projection, stream-safe."""
+    docs = _docs(spark, sf_dir)
+
+    def ratio(pat):
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+        ) / F.greatest(F.length("text"), F.lit(1))
+
+    cjk, asc, dig = ratio(_T14_CJK), ratio(_T14_ASCII_AL), ratio(_T14_DIGIT)
+    verdict = (
+        F.when(cjk >= 0.2, "cjk")
+        .when(asc >= 0.4, "latin")
+        .otherwise("other")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(cjk, 6).alias("cjk_ratio"),
+        F.round(asc, 6).alias("ascii_ratio"),
+        F.round(dig, 6).alias("digit_ratio"),
+        verdict.alias("script"),
+        ((F.col("lang") == "zh") == (cjk >= 0.2)).cast("int").alias(
+            "zh_agree"
+        ),
+    )
+
+
+T14_SQL = rf"""
+WITH r AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{_T14_CJK}'))
+           / greatest(length(text), 1) AS cjk,
+         len(regexp_extract_all(text, '{_T14_ASCII_AL}'))
+           / greatest(length(text), 1) AS ascr,
+         len(regexp_extract_all(text, '{_T14_DIGIT}'))
+           / greatest(length(text), 1) AS dig
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(cjk, 6) AS cjk_ratio,
+       round(ascr, 6) AS ascii_ratio,
+       round(dig, 6) AS digit_ratio,
+       CASE WHEN cjk >= 0.2 THEN 'cjk'
+            WHEN ascr >= 0.4 THEN 'latin'
+            ELSE 'other' END AS script,
+       CAST(CASE WHEN (lang = 'zh') = (cjk >= 0.2) THEN 1 ELSE 0 END AS INT)
+         AS zh_agree
+FROM r
+"""
+
+
 # --- O8: exact-quota stratified sampling -------------------------------------
 
 # per-language document quotas — the "take exactly N per stratum" form
@@ -2223,6 +2290,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("s6_ivfpq_ann", s6_ivfpq_ann, S6_SQL,
               "IVF-PQ ANN: cell-probed candidates scored by asymmetric "
               "distance over PQ codes only"),
+    QuerySpec("t14_script_profile", t14_script_profile, T14_SQL,
+              "script/charset profile: CJK/ASCII/digit ratios + "
+              "codepoint-class script verdict"),
     QuerySpec("t13_passage_chunks", t13_passage_chunks, T13_SQL,
               "overlapping passage chunking: 64-token windows every "
               "48 tokens, array-native"),
