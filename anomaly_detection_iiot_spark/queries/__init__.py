@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "d13_incremental_semdedup",
     "q7_volume_shipping",
     "t14_script_profile",
+    "o10_budget_selection",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -1976,6 +1976,97 @@ FROM per_hash GROUP BY 1
 """
 
 
+# --- O10: quality-ranked selection under a token budget ----------------------
+
+_O10_BUDGET = 3000  # BPE tokens per language
+
+
+def o10_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank documents by the c3
+    quality score within each language (doc_id tie-break) and keep
+    documents greedily until the language's BPE-token budget is spent —
+    'train on the best N tokens per language', the final gate of a
+    curation pipeline. A document is kept iff the tokens BEFORE it in
+    quality order fit the budget (standard greedy-prefix rule, so one
+    oversized early doc can't starve everything after it... it can —
+    that's the documented greedy-prefix semantics, identical on both
+    engines).
+
+    One quality-feature projection + one running-sum window per
+    language — the same per-stratum shuffle as o8/w15; per-language
+    budgets keep the windows parallel instead of one global sort."""
+    feats = textstats.quality_scores(_docs(spark, sf_dir))
+    w = _C3_W
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tokens"]) * F.col("n_tokens").cast("double")
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    counted = textstats.bpe_token_count(
+        feats.select("doc_id", "lang", "text", score.alias("quality_p"))
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality_p"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_bpe_tokens").over(win) - F.col("n_bpe_tokens")
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_bpe_tokens",
+        F.round("quality_p", 6).alias("quality_p"),
+        (cum_before <= _O10_BUDGET).cast("int").alias("kept"),
+    )
+
+
+O10_SQL = rf"""
+WITH {_TOKS}, q AS (
+  SELECT d.doc_id, d.lang, d.text,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         length(d.text) AS text_len,
+         length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
+         len(list_filter(t.tokens,
+             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           AS stop_hits
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+), f AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN (text_len - (n_tokens - 1)) / n_tokens
+              ELSE 0.0 END AS avg_token_len,
+         (text_len - nopunct_len) / greatest(text_len, 1) AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+              ELSE 0.0 END AS stopword_ratio
+  FROM q
+), sc AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(
+                regexp_extract_all(text,
+                  '{_BPE_RE_SQL}'),
+                p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
+         1.0 / (1.0 + exp(-({_C3_W["bias"]}
+           + {_C3_W["n_tokens"]} * CAST(n_tokens AS DOUBLE)
+           + {_C3_W["avg_token_len"]} * avg_token_len
+           + {_C3_W["punct_ratio"]} * punct_ratio
+           + {_C3_W["stopword_ratio"]} * stopword_ratio))) AS quality_p
+  FROM f
+)
+SELECT doc_id, lang, n_bpe_tokens,
+       round(quality_p, 6) AS quality_p,
+       CAST(CASE WHEN
+         sum(n_bpe_tokens) OVER (
+           PARTITION BY lang ORDER BY quality_p DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_bpe_tokens <= {_O10_BUDGET}
+         THEN 1 ELSE 0 END AS INT) AS kept
+FROM sc
+"""
+
+
 # --- T14: script/charset profile ---------------------------------------------
 
 # identical pattern strings on both engines: Java regex and RE2 both
@@ -2290,6 +2381,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("s6_ivfpq_ann", s6_ivfpq_ann, S6_SQL,
               "IVF-PQ ANN: cell-probed candidates scored by asymmetric "
               "distance over PQ codes only"),
+    QuerySpec("o10_budget_selection", o10_budget_selection, O10_SQL,
+              "quality-ranked greedy selection under a per-language "
+              "BPE-token budget"),
     QuerySpec("t14_script_profile", t14_script_profile, T14_SQL,
               "script/charset profile: CJK/ASCII/digit ratios + "
               "codepoint-class script verdict"),
