@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "q7_volume_shipping",
     "t14_script_profile",
     "o10_budget_selection",
+    "w16_sliding_windows",
     "d10_incremental_lsh",
     "mm4_image_roundtrip",
     "q21_waiting_suppliers",

@@ -461,6 +461,53 @@ FROM documents
 """
 
 
+# --- W16: sliding event-time windows ------------------------------------------
+
+def w16_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window aggregate (1-hour windows every 30
+    minutes) via ``F.window`` — the batch form of the streaming
+    windowed aggregation (streaming/pipeline.py), oracle-checked:
+    every event lands in exactly two overlapping windows, counts and
+    distinct users per window. Window starts are compared as epoch
+    seconds so the check is timezone-representation-free. Spark
+    assigns windows with a per-row generator (no self-join); the agg
+    shuffles on the window start like any keyed aggregate."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "wstart_epoch"
+            ),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+W16_SQL = """
+WITH assigned AS (
+  SELECT user_id,
+         unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+                 CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)])
+           AS wstart_epoch,
+         epoch(ts) AS es
+  FROM events
+)
+SELECT wstart_epoch,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM assigned
+WHERE es >= wstart_epoch AND es < wstart_epoch + 3600
+GROUP BY 1
+"""
+
+
 # --- O9: heavy-key skew diagnosis ---------------------------------------------
 
 def o9_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +590,9 @@ FROM b
 
 
 EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("w16_sliding_windows", w16_sliding_windows, W16_SQL,
+              "sliding event-time windows (1h every 30min) via "
+              "F.window, epoch-compared"),
     QuerySpec("o9_heavy_keys", o9_heavy_keys, O9_SQL,
               "heavy-key skew diagnosis: top-10 keys with share and "
               "skew factor"),
