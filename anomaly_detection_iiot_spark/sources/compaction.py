@@ -50,3 +50,26 @@ def compacted_view(df: DataFrame, n_files: int) -> DataFrame:
     """In-pipeline variant for sinks: bound output file count of a
     write without a separate job."""
     return df.repartition(n_files)
+
+
+def optimize_zordered(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    zkey_fn,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction + re-clustering in one maintenance pass (the
+    ``OPTIMIZE ... ZORDER BY`` job of lakehouse tables): size the
+    output file count from input bytes like ``compact_dir``, but
+    range-partition and sort on a Morton key (``zkey_fn(df) ->
+    Column``, see sources/zorder.py) instead of round-robin — the
+    rewrite the table needs anyway ALSO restores multi-dimensional
+    footer-stats skipping that incremental appends destroyed. Same
+    cost shape: one read + one range shuffle + one write."""
+    from . import zorder
+
+    n = plan_file_count(dir_bytes(src), target_file_bytes)
+    df = spark.read.parquet(src)
+    zorder.write_zordered(df, dst, zkey_fn(df), n_files=n)
+    return n

@@ -103,3 +103,38 @@ def test_morton_key_bit_interleave_exact(spark):
         morton(0, 255),
         morton(3, 3),
     ]
+
+
+def test_optimize_zordered_compacts_and_restores_skipping(
+    spark, sf_dir, tmp_path
+):
+    """The nightly OPTIMIZE+ZORDER pass: a fragmented unclustered ingest
+    dir becomes few files whose footer stats skip a value band again."""
+    from anomaly_detection_iiot_spark.sources import compaction
+
+    frag = str(tmp_path / "fragmented")
+    ev = t(spark, str(sf_dir), "events").select("event_id", "user_id", "value")
+    # simulate incremental ingest: many tiny files, no clustering
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    n_in = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_in >= 16
+    f_hits, f_total = _files_overlapping(frag)
+    # fragmented ingest: essentially zero skipping (a tiny random
+    # fragment can miss the band by luck, so allow a couple)
+    assert f_hits >= f_total - 2
+
+    opt = str(tmp_path / "optimized")
+
+    def zkey(df):
+        ub = F.col("user_id").cast("long")
+        vb = zorder.bucketize(F.col("value"), 0.0, 512.0, 8)
+        return zorder.zorder_key([ub, vb])
+
+    compaction.optimize_zordered(
+        spark, frag, opt, zkey, target_file_bytes=16 * 1024
+    )
+    n_out = len(glob.glob(os.path.join(opt, "*.parquet")))
+    assert n_out < n_in
+    z_hits, z_total = _files_overlapping(opt)
+    assert z_hits <= z_total // 2  # skipping restored
+    assert spark.read.parquet(opt).count() == ev.count()
