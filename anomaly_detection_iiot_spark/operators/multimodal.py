@@ -583,7 +583,9 @@ def encode_avi(
         1_000_000 // fps,      # dwMicroSecPerFrame
         width * height * fps,  # dwMaxBytesPerSec
         0,                     # dwPaddingGranularity
-        0x10,                  # dwFlags (AVIF_HASINDEX clear, interleave hint)
+        0,                     # dwFlags — no idx1 chunk is written, so
+                               # AVIF_HASINDEX (0x10) MUST be clear; we set no
+                               # interleave hint (AVIF_ISINTERLEAVED=0x100) either
         len(frames),           # dwTotalFrames
         0,                     # dwInitialFrames
         1,                     # dwStreams
@@ -602,7 +604,8 @@ def encode_avi(
 
 def parse_avi(blob: bytes) -> tuple[dict, list[bytes]]:
     """Walk a RIFF/AVI container: verify the RIFF signature and 'AVI '
-    form type, recurse into LIST chunks honoring word alignment,
+    form type, descend into LIST chunks (explicit stack, depth-safe
+    against adversarially nested lists) honoring word alignment,
     read (width, height, n_frames) from ``avih``, and collect every
     ``00db``/``00dc`` payload in stream order. Raises on truncated or
     mis-framed chunks — corrupt containers must fail loudly, not yield
@@ -619,26 +622,48 @@ def parse_avi(blob: bytes) -> tuple[dict, list[bytes]]:
     meta: dict = {}
     frames: list[bytes] = []
 
-    def walk(data: bytes) -> None:
-        i = 0
-        while i + 8 <= len(data):
-            tag = data[i : i + 8][:4]
-            (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
-            payload = data[i + 8 : i + 8 + ln]
-            if len(payload) != ln:
-                raise ValueError(f"truncated chunk {tag!r}")
-            if tag == b"LIST":
-                walk(payload[4:])  # skip the 4-byte list type
-            elif tag == b"avih":
-                fields = struct.unpack("<14I", payload[:56])
-                meta.update(
-                    n_frames=fields[4], width=fields[8], height=fields[9]
-                )
-            elif tag in (b"00db", b"00dc"):
-                frames.append(payload)
-            i += 8 + ln + (ln % 2)
-
-    walk(blob[12:])
+    # Explicit work stack, NOT recursion: an adversarial blob of deeply
+    # nested 8-byte LIST chunks must fail with ValueError (via the
+    # truncation / framing checks), never RecursionError. Each stack
+    # entry is one chunk sequence still to scan.
+    # On LIST we descend immediately (data ← list body) after pushing
+    # the REMAINDER of the current level, so traversal order is
+    # identical to the recursive form — frames inside nested 'rec '
+    # lists still land in stream order.
+    stack: list[bytes] = []
+    data = blob[12:]
+    i = 0
+    while True:
+        if i >= len(data):
+            if not stack:
+                break
+            data, i = stack.pop(), 0
+            continue
+        if i + 8 > len(data):
+            # sub-header trailing bytes inside a chunk body: the
+            # container is mis-framed — fail loudly, don't ignore.
+            raise ValueError(
+                f"{len(data) - i} trailing bytes shorter than a chunk header"
+            )
+        tag = data[i : i + 8][:4]
+        (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
+        payload = data[i + 8 : i + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError(f"truncated chunk {tag!r}")
+        if tag == b"LIST":
+            if ln < 4:
+                raise ValueError("LIST chunk shorter than its form type")
+            stack.append(data[i + 8 + ln + (ln % 2) :])
+            data, i = payload[4:], 0  # descend into the list body
+            continue
+        elif tag == b"avih":
+            fields = struct.unpack("<14I", payload[:56])
+            meta.update(
+                n_frames=fields[4], width=fields[8], height=fields[9]
+            )
+        elif tag in (b"00db", b"00dc"):
+            frames.append(payload)
+        i += 8 + ln + (ln % 2)
     if meta.get("n_frames") != len(frames):
         raise ValueError(
             f"header frame count {meta.get('n_frames')} != "

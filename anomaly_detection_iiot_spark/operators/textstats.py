@@ -169,8 +169,11 @@ PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 # replacement order matters (email first so its digits are gone before
-# the phone/ip scans); the oracle applies the same order with the 'g'
-# flag (DuckDB regexp_replace is first-match-only by default).
+# the phone/ip scans) and COUNTS follow the same staging: each class is
+# counted on the text with earlier classes already replaced, so counts
+# sum to the spans actually scrubbed. The oracle applies the same order
+# with the 'g' flag (DuckDB regexp_replace is first-match-only by
+# default).
 PII_RULES: list[tuple[str, str]] = [
     (PII_EMAIL_RE, "<EMAIL>"),
     (PII_PHONE_RE, "<PHONE>"),
@@ -186,23 +189,22 @@ def pii_scan(
 
     Adds ``n_emails / n_phones / n_ipv4`` (match counts) and
     ``redacted`` (all three classes replaced by typed tags, email
-    first). Pure JVM regexps over one projection: no shuffle, no
-    Python, stream-safe — on 100 TB this is scan-bound, and the narrow
-    shape lets it fuse with whatever filter runs next.
+    first). Each count is taken on the PROGRESSIVELY-redacted text —
+    n_phones counts matches after emails are already scrubbed, n_ipv4
+    after emails+phones — so the three counts sum to exactly the
+    number of spans replaced in ``redacted``: a span like
+    ``user@1.2.3.4`` counts once (as the email that consumed it), never
+    double as email AND IPv4. Pure JVM regexps over one projection: no
+    shuffle, no Python, stream-safe — on 100 TB this is scan-bound, and
+    the narrow shape lets it fuse with whatever filter runs next.
     """
+    count_cols = ["n_emails", "n_phones", "n_ipv4"]
     out = df
-    for pat, col in [
-        (PII_EMAIL_RE, "n_emails"),
-        (PII_PHONE_RE, "n_phones"),
-        (PII_IPV4_RE, "n_ipv4"),
-    ]:
+    stage = F.col(text_col)
+    for (pat, tag), col in zip(PII_RULES, count_cols):
         out = out.withColumn(
             col,
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(
-                "bigint"
-            ),
+            F.size(F.regexp_extract_all(stage, F.lit(pat), 0)).cast("bigint"),
         )
-    red = F.col(text_col)
-    for pat, tag in PII_RULES:
-        red = F.regexp_replace(red, pat, tag)
-    return out.withColumn("redacted", red)
+        stage = F.regexp_replace(stage, pat, tag)
+    return out.withColumn("redacted", stage)

@@ -62,93 +62,55 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 6: first driver rows needed
+    # CHANGED in round 7: pii counts now taken on progressively-
+    # redacted text (operators/textstats.py::pii_scan + mirrored
+    # oracle), AVI header flags + stack-based container walk
+    # (operators/multimodal.py) — need rows against the shipped code
     "t11_pii_scan",
-    "c3_quality_classifier",
-    "t12_bigram_lm",
-    "s4_hyperplane_ann",
-    "o8_quota_sample",
-    "w15_sequence_packing",
-    "p13_zorder_key",
-    "d12_containment",
-    "a16_label_centroids",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "s5_pq_codes",
-    "s6_ivfpq_ann",
-    "t13_passage_chunks",
-    "a17_dedup_report",
-    "o9_heavy_keys",
     "mm5_video_roundtrip",
-    "d13_incremental_semdedup",
-    "q7_volume_shipping",
-    "t14_script_profile",
-    "o10_budget_selection",
-    "w16_sliding_windows",
-    "d10_incremental_lsh",
-    "mm4_image_roundtrip",
-    "q21_waiting_suppliers",
-    "d11_passage_dedup",
-    "t10_decontamination",
-    # changed in round 6: ivf_assign centroid literals rebuilt as
-    # single-expr SQL arrays (operators/similarity.py) — every
-    # consumer needs a row against the shipped expression; a15's bin
-    # arithmetic grew the degenerate-range CASE
-    "s2_ivf_ann",
-    "s3_ivf_nprobe",
-    "d9_semdedup",
-    "c2_curation_with_semdedup",
-    "a15_histogram",
-    # freshness rotation (r5 verdict item 1): queries whose last driver
-    # row is r2-r4 — ts consumers first, since the r5 base.t() NTZ->LTZ
-    # normalization touched every timestamp path and these were last
-    # driver-checked before it
-    "q3_top_revenue_orders",
-    "k1_kbm_roundtrip",
-    "j4_range_join",
-    "o2_threshold_grid",
-    "s5_csv_roundtrip",
-    "a7_resource_aggs",
-    "j1_semi_join",
-    "j2_anti_join",
-    "j3_union_tagged",
-    "m12_confusion",
-    "m13_auc",
-    "m13_best_f1",
-    # r2 stragglers — oldest rows in the registry
-    "a10_rollup",
-    "a11_cube",
-    "s1_cosine_topk",
-    # remaining r3 rows
-    "s1_snapshot_roundtrip",
-    "s6_json_roundtrip",
-    "s11_log_scan",
-    "p2_positional_select",
-    "a5_fedavg_mean",
-    "a6_summary_stats",
-    "w4_last_timestep",
-    "o3_loss_ranking",
-    "m5_lr_decay",
-    "m6_reconstruction_error",
-    "m7_fft_mag",
+    # NEW in round 7 (names appended as they land this round)
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    "mm6_jpeg_roundtrip",
+    # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
+    # all re-proven in-repo every round, but the bar is a driver row
+    # against shipped code — front-load all 25 so CORRECTNESS_r07
+    # refreshes them
+    "d1_exact_dedup",
+    "d2_fingerprint_dedup",
+    "d3_minhash_signatures",
+    "d4_lsh_candidates",
+    "d5_ngram_jaccard",
+    "d6_simhash",
+    "d7_embedding_neardup",
     "t1_token_stats",
     "t2_quality_scores",
     "t3_language_id",
     "t4_rolling_fingerprint",
-    "c1_corpus_curation",
+    "m5_lr_decay",
+    "m6_reconstruction_error",
+    "m7_fft_mag",
+    "mm1_media_manifest",
     "mm2_frame_sample",
-    # remaining r4 rows
-    "j5_broadcast_dims",
+    "o3_loss_ranking",
     "o4_top1_per_user",
     "o5_head_slice",
-    "d1_exact_dedup",
-    "d2_fingerprint_dedup",
-    "d3_minhash_signatures",
-    "d5_ngram_jaccard",
-    "d6_simhash",
-    "d7_embedding_neardup",
-    "mm1_media_manifest",
+    "p2_positional_select",
+    "a5_fedavg_mean",
+    "a6_summary_stats",
     "a13_exact_distinct_quantiles",
+    "j5_broadcast_dims",
+    "c1_corpus_curation",
+    "w4_last_timestep",
+    # next-oldest rows (r2/r3) — fill the remaining sample slots
+    "a10_rollup",
+    "a11_cube",
+    "s1_cosine_topk",
+    "s1_snapshot_roundtrip",
+    "t5_winnowing",
+    "t6_tfidf",
+    "t7_repetition",
+    "t9_zipf",
     # stale rows-only entries last (weakest check, lowest priority)
     "m2_lstm_train_loss",
     "m3_ae_train_loss",

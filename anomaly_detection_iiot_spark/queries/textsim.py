@@ -1466,24 +1466,29 @@ WITH aug AS (
                  ELSE '' END AS text
   FROM documents
 ), red AS (
+  -- progressive stages mirror pii_scan: each count is taken on the
+  -- text with the EARLIER classes already scrubbed, so counts sum to
+  -- the spans actually replaced (no double-count of user@1.2.3.4).
   SELECT doc_id, text,
+         regexp_replace(text,
+           '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') AS after_email,
          regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{textstats.PII_PHONE_RE}', '<PHONE>', 'g'),
-           '{textstats.PII_IPV4_RE}', '<IP>', 'g') AS redacted
+           regexp_replace(text,
+             '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') AS after_phone
   FROM aug
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_PHONE_RE}')) AS BIGINT)
-         AS n_phones,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_IPV4_RE}')) AS BIGINT)
-         AS n_ipv4,
-       substr(md5(redacted), 1, 8) AS red_hash,
-       CAST(length(redacted) AS BIGINT) AS red_len
+       CAST(len(regexp_extract_all(after_email,
+         '{textstats.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(after_phone,
+         '{textstats.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       substr(md5(regexp_replace(after_phone,
+         '{textstats.PII_IPV4_RE}', '<IP>', 'g')), 1, 8) AS red_hash,
+       CAST(length(regexp_replace(after_phone,
+         '{textstats.PII_IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS red_len
 FROM red
 """
 

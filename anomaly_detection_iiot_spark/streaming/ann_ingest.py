@@ -43,15 +43,31 @@ def ingest_to_partitioned_index(
     checkpoint: str,
 ):
     """Append each micro-batch into the bucket-partitioned index dir.
-    Returns the StreamingQuery (caller awaits/stops)."""
+    Returns the StreamingQuery (caller awaits/stops).
+
+    Recovery contract (exactly-once at rest): ``foreachBatch`` is
+    at-least-once — after a crash between the sink write and the
+    checkpoint commit, Structured Streaming REPLAYS the micro-batch
+    with the SAME ``batch_id``. A plain ``mode('append')`` into the
+    shared layout would duplicate every replayed vector. Instead each
+    batch owns its own directory partition ``ingest_batch=<batch_id>``
+    and writes it with ``mode('overwrite')``: a replay rewrites exactly
+    the same directory, so duplicates are structurally impossible — no
+    commit-marker sidecar, no read-repair. Readers just
+    ``spark.read.parquet(index_path)``: partition discovery surfaces
+    ``ingest_batch`` and ``bucket`` as columns, and bucket-level
+    partition pruning is unaffected (pinned by
+    tests/test_ann_ingest.py). At compaction time (OPTIMIZE pass)
+    the ``ingest_batch`` dimension is collapsed away.
+    """
     assigned = assigned_stream(stream_vectors, centroids)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.repartition("bucket")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(index_path)
+            .parquet(f"{index_path}/ingest_batch={batch_id}")
         )
 
     return (

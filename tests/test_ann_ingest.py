@@ -75,3 +75,17 @@ def test_stream_ingest_equals_batch_and_partitions_prune(spark, tmp_path):
     }
     assert sum(r["n"] for r in load.values()) == len(expected)
     assert all(r["load_factor"] > 0 for r in load.values())
+
+    # Redelivery exactly-once: replay the SAME micro-batches (fresh
+    # checkpoint → same deterministic batch ids 0,1 over the same
+    # mtime-ordered files). Per-batch `ingest_batch=<id>` overwrite
+    # must leave the at-rest index byte-identical in row terms — a
+    # plain append sink would double every vector here.
+    q2 = ann_ingest.ingest_to_partitioned_index(
+        stream, centroids, index, str(tmp_path / "ckpt_replay")
+    )
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(index)
+    assert replayed.count() == len(expected)  # no duplicates on replay
+    got2 = {r["vec_id"]: r["bucket"] for r in replayed.collect()}
+    assert got2 == expected

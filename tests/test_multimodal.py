@@ -370,6 +370,60 @@ def test_avi_roundtrip_and_corrupt_containers_fail_loudly(spark):
         m.parse_avi(bytes(bad))
 
 
+def test_avi_adversarial_nesting_and_trailing_garbage():
+    """Depth-safety + strict framing: a deeply nested LIST tower must
+    raise ValueError (never RecursionError), and sub-header trailing
+    bytes inside a chunk body must fail loudly, not be ignored."""
+    import struct
+    import pytest as _pytest
+
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    # 5k nested 8-byte LISTs (5× the default recursion limit):
+    # LIST(len=4, type only) nested via bodies.
+    depth = 5_000
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"recx" + body
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    # never RecursionError; header-count check fires (no avih → None != 0
+    # only if frames... here n_frames missing and 0 frames → None != 0)
+    with _pytest.raises(ValueError):
+        m.parse_avi(blob)
+
+    # LIST shorter than its 4-byte form type
+    tiny = b"LIST" + struct.pack("<I", 2) + b"xx"
+    blob2 = b"RIFF" + struct.pack("<I", 4 + len(tiny)) + b"AVI " + tiny
+    with _pytest.raises(ValueError, match="form type"):
+        m.parse_avi(blob2)
+
+    # trailing sub-header garbage inside the movi body
+    frames = [bytes([1] * 16)]
+    good = m.encode_avi(frames, 4, 4)
+    meta, got = m.parse_avi(good)
+    assert got == frames
+    garbled = bytearray(good)
+    garbled += b"\x00\x00\x00"  # 3 trailing bytes at top level
+    garbled[4:8] = struct.pack("<I", len(garbled) - 8)
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        m.parse_avi(bytes(garbled))
+
+    # in-order frames across nested 'rec ' lists (real AVI interleave)
+    def chunk(tag, payload):
+        out = tag + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    f0, f1, f2 = b"\x01" * 4, b"\x02" * 4, b"\x03" * 4
+    avih = struct.pack("<14I", 0, 0, 0, 0, 3, 0, 1, 4, 2, 2, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    rec = chunk(b"LIST", b"rec " + chunk(b"00db", f0) + chunk(b"00db", f1))
+    movi = chunk(b"LIST", b"movi" + rec + chunk(b"00db", f2))
+    payload = b"AVI " + hdrl + movi
+    nested = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    meta2, frames2 = m.parse_avi(nested)
+    assert frames2 == [f0, f1, f2]  # stream order preserved through rec list
+
+
 def test_decode_avi_frames_mapinpandas(spark):
     from anomaly_detection_iiot_spark.operators import multimodal as m
 
