@@ -88,6 +88,9 @@ def _digest_expr(s, n_digests: int):
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
+_SIG_OBS_SEQ = 0  # see the observe() barrier note in minhash_signature_arrays
+
+
 def minhash_signature_arrays(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,19 +113,23 @@ def minhash_signature_arrays(
     by all num_hashes mins: CollapseProject only inlines cheap/single-use
     aliases, so md5 runs once per shingle, not once per (shingle, hash).
 
-    The no-shingle drop is expressed as ``h0 IS NOT NULL OR _b < -1``
-    where ``_b`` is a materialized ``rand()`` column in the signature
-    projection. The always-false disjunct referencing a nondeterministic
-    projected column makes the filter non-pushable (pushdown through a
-    Project requires every projected field deterministic): otherwise
+    The no-shingle drop (``h0 IS NOT NULL``) sits above an
+    ``observe()`` (CollectMetrics) barrier. Without a barrier,
     PushPredicateThroughNonJoin substitutes the whole tokenize→shingle→
     digest pipeline into the predicate and pushes it below the caller's
     repartition — re-evaluating the pipeline a second time on the
     PRE-shuffle side, i.e. on however few splits the scan has (a small
     corpus file is ONE split: the pushed filter alone then costs more
-    than the whole query, measured 3.3s vs 0.4s at sf0.1). An inline
-    ``rand() < -1`` disjunct does NOT survive: the optimizer reduces the
-    Or to its deterministic branch before pushing."""
+    than the whole query, measured 3.3s vs 0.4s at sf0.1). CollectMetrics
+    is a SUPPORTED barrier whose blocking property is correctness-
+    mandated, not private optimizer behavior: observed metrics must
+    count the rows flowing through the observe point, so no Spark
+    version may legally push a later filter beneath it (pinned by
+    tests/test_plans.py). It replaced an earlier ``rand() < -1``
+    nondeterministic-disjunct trick that depended on the optimizer
+    never learning to fold rand()'s range. Bonus: the metric itself
+    (``n_sig_rows``) is real observability — signature-table row counts
+    per run, free on the same pass."""
     n_digests = (num_hashes + 3) // 4
     digests = F.transform(shingles_col, lambda s: _digest_expr(s, n_digests))
 
@@ -136,11 +143,20 @@ def minhash_signature_arrays(
         F.array_min(F.transform("_digests", _slice(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    # unique observation name per call: two independent signature builds
+    # in ONE query (e.g. corpus + daily batch in d10) must not collide
+    # (CheckAnalysis rejects same-name CollectMetrics with different
+    # aggregate instances; reuse/self-join of one build is fine)
+    global _SIG_OBS_SEQ
+    _SIG_OBS_SEQ += 1
     return (
         df.withColumn("_digests", digests)
-        .select(F.col(id_col), *sigs, F.rand().alias("_b"))
-        .filter(F.col("h0").isNotNull() | (F.col("_b") < -1.0))
-        .drop("_b")
+        .select(F.col(id_col), *sigs)
+        .observe(
+            f"minhash_signatures_{_SIG_OBS_SEQ}",
+            F.count(F.lit(1)).alias("n_sig_rows"),
+        )
+        .filter(F.col("h0").isNotNull())
     )
 
 

@@ -348,11 +348,35 @@ def blocked_neardup_pairs(
 # --- random-hyperplane (sign) LSH for cosine ANN ------------------------------
 
 def hyperplane_coeffs(table: int, plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane components in {-3..3}:
-    ((t*53 + i*31 + j*17) mod 7) - 3. Integer-exact, so the Spark
-    expression and the DuckDB oracle build bit-identical hyperplanes
-    without sharing any state."""
-    return [float(((table * 53 + plane * 31 + j * 17) % 7) - 3) for j in range(dim)]
+    """Deterministic pseudo-random hyperplane components: integer
+    values in [-1000, 1000] from md5(table:plane:j) — integer-exact in
+    fp64, so the Spark expression and the DuckDB oracle build
+    bit-identical hyperplanes without sharing any state (both sides'
+    SQL is generated from THIS function).
+
+    History: the original generator was the linear congruence
+    ((t*53 + i*31 + j*17) mod 7) - 3. Because 53≡4, 31≡3, 17≡3
+    (mod 7), plane i+7 duplicated plane i (3·7≡0) — at n_planes≥7 a
+    table had only 7 distinct hyperplanes — and table 1's plane set was
+    a permutation of table 0's (3i'≡3i+4 solvable ∀i), so the two
+    tables produced IDENTICAL bucketings and the second table added
+    zero recall. Found by the 10× scale probe: occupied cells barely
+    grew with corpus size (119→126 of 4096) while max bucket exploded.
+    md5 has no such lattice structure; scale is irrelevant for sign
+    LSH (only direction matters)."""
+    import hashlib
+
+    return [
+        float(
+            int.from_bytes(
+                hashlib.md5(f"{table}:{plane}:{j}".encode()).digest()[:4],
+                "big",
+            )
+            % 2001
+            - 1000
+        )
+        for j in range(dim)
+    ]
 
 
 def hyperplane_signature(

@@ -820,6 +820,161 @@ GROUP BY 1, 2, 3
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: this schema has
+    no partsupp, so the supply relation is derived from lineitem —
+    unit cost = l_extendedprice / l_quantity per (part, supplier)
+    offer. For small parts (p_size < 10) supplied from EUROPE, return
+    the supplier(s) achieving the MINIMUM unit cost across all
+    EUROPEAN offers of that part.
+
+    This is the classic CORRELATED SCALAR SUBQUERY —
+    ``unit = (SELECT min(unit) ... same part)`` — written in its
+    decorrelated form: a per-part min aggregate joined back, which is
+    what Catalyst's RewriteCorrelatedScalarSubquery produces from the
+    subquery form (the oracle keeps the correlated spelling, so both
+    decorrelation paths are exercised against each other). Planner
+    shape: part/supplier/nation/region dims all broadcast into the
+    lineitem scan, the min-agg table is |parts|-sized so AQE
+    broadcasts the join-back too — the fact is scanned once and no
+    corpus-sized shuffle survives. fp equality on ``unit`` is safe
+    cross-engine: both compute the identical fp64 division and take a
+    min over the identical set."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_type"
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sn = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    offers = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit").alias("min_unit")
+    )
+    return (
+        offers.join(F.broadcast(min_cost), F.col("p_partkey") == F.col("mk"))
+        .filter(F.col("unit") == F.col("min_unit"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit", 4).alias("unit_cost"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_type, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size < 10 AND r_name = 'EUROPE'
+)
+SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_type, round(unit, 4) AS unit_cost
+FROM offers o
+WHERE unit = (SELECT min(unit) FROM offers o2
+              WHERE o2.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: no
+    partsupp/availqty, so 'excess stock' becomes DOMINANT SUPPLIER —
+    a supplier qualifies if, for some promoted part (p_name LIKE
+    'red%'), their 1996 shipped quantity exceeds half of ALL suppliers'
+    1996 shipments of that part. Preserves Q20's double-nested
+    semi-join-with-aggregate: suppkey IN (agg over lineitem WHERE
+    partkey IN (SELECT ... part)).
+
+    Decorrelated Spark form: the promoted-part dim broadcasts into the
+    windowed lineitem scan ONCE; the (supplier, part) and per-part
+    half-total aggregates both come off that single filtered frame
+    (one shuffle each, both shrink to promoted keys); qualification is
+    a broadcast join-back; the final supplier filter is a left-semi
+    against the tiny qualifying-supplier set — the planner shape Q20's
+    nested INs decorrelate to."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    win = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    half = win.groupBy(F.col("l_partkey").alias("hk")).agg(
+        (F.sum("l_quantity") * 0.5).alias("half_qty")
+    )
+    qual = (
+        win.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .join(F.broadcast(half), F.col("l_partkey") == F.col("hk"))
+        .filter(F.col("supp_qty") > F.col("half_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY 1, 2) sp
+  JOIN (SELECT l_partkey, sum(l_quantity) * 0.5 AS half_qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY 1) tot
+  ON sp.l_partkey = tot.l_partkey
+  WHERE sp.supp_qty > tot.half_qty)
+ORDER BY s_name
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -872,4 +1027,10 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
               Q18_SQL,
               "TPC-H Q18 shape: HAVING-filtered order agg semi-joined "
               "to orders/customer"),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
+              "TPC-H Q2 shape: correlated scalar min decorrelated to "
+              "per-part min joined back, all dims broadcast"),
+    QuerySpec("q20_potential_promotion", q20_potential_promotion, Q20_SQL,
+              "TPC-H Q20 shape: double-nested semi-join with "
+              "aggregate (dominant promoted-part suppliers)"),
 ]

@@ -82,20 +82,22 @@ def test_d3_no_shingle_filter_below_shuffle(spark, sf_dir):
     chain re-runs on the scan's (few) splits — a ~8x regression on a
     single-split corpus file (see minhash_signature_arrays).
 
-    SPARK-VERSION PIN: the guard in minhash_signature_arrays is a
-    non-deterministic `rand() < -1` conjunct whose only job is to make
-    the Catalyst rule PushPredicateThroughNonJoin (and its AQE
-    re-optimization pass) classify the filter as non-pushable —
-    deterministic predicates get pushed below RepartitionByExpression
-    by that rule. Verified against Spark 4.1.x (see README "Spark
-    version"). If this assert fires after a Spark upgrade, the
-    optimizer likely started pushing (or folding) the rand() conjunct:
-    re-pin the trick (options: barrier via localCheckpoint, or a
-    python-free non-deterministic expr the new version respects)."""
+    The guard in minhash_signature_arrays is an observe()
+    (CollectMetrics) barrier between the signature projection and the
+    drop filter. Its blocking property is correctness-mandated — the
+    observed metric must count rows at the observe point, so no
+    optimizer version may push a later filter beneath it (this replaced
+    a `rand() < -1` nondeterministic-disjunct trick that relied on the
+    optimizer never folding rand()'s range)."""
     df = REGISTRY["d3_minhash_signatures"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan  # the barrier is present
     below_exchange = plan.split("RepartitionByExpression", 1)[1]
     assert "Filter" not in below_exchange
+    # the filter must also stay above the barrier (observed row count =
+    # pre-drop signature rows)
+    below_barrier = plan.split("CollectMetrics", 1)[1]
+    assert "Filter" not in below_barrier
     # and md5 must be evaluated once, not once per hash slot
     assert plan.count("md5") == 1
 

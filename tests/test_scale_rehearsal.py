@@ -90,6 +90,178 @@ def test_hot_cluster_closes_transitively(spark, hot_signatures):
     assert got[0]["cluster_id"] == 10**9 and got[0]["count"] == N_HOT
 
 
+# --- ANN family (r6 verdict item 1): s4 / s6 / d13 at scale ------------------
+#
+# tools/scale_probe.py measures wall + shuffle bytes at 1x/10x/100x;
+# these tests assert the CANDIDATE-VOLUME laws that make those curves
+# linear, on an inflated corpus built in-test. Inflation = rotated
+# copies (the probe's scheme): a per-copy cyclic rotation is an
+# isometry, so intra-copy geometry — and thus true near-neighbor
+# structure — is preserved while cross-copy cosines decorrelate.
+
+
+def _inflated_embeddings(spark, factor: int):
+    """Rotated-copy inflation of the sf0.1 embeddings (probe scheme)."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = 64
+    stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = []
+    for i in range(factor):
+        rot = i % dim
+        rotated = F.concat(
+            F.slice("embedding", rot + 1, dim - rot),
+            F.slice("embedding", 1, rot),
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
+                rotated.alias("embedding"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out, stride
+
+
+def _bucket_stats(spark, vecs, planes: int):
+    """(sum over buckets of c², max bucket) per LSH table — sum(c²) is
+    the candidate-pair volume the rerank pays; max is the per-task
+    bound."""
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    v = vecs.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    sigs = v.select(
+        *[
+            similarity.hyperplane_signature(F.col("v"), t, planes, 64).alias(
+                f"b{t}"
+            )
+            for t in range(2)
+        ]
+    )
+    stats = []
+    for t in range(2):
+        r = (
+            sigs.groupBy(f"b{t}")
+            .count()
+            .agg(
+                F.sum(F.col("count") * F.col("count")).alias("sumsq"),
+                F.max("count").alias("maxb"),
+            )
+            .collect()[0]
+        )
+        stats.append((r.sumsq, r.maxb))
+    return stats
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
+)
+def test_s4_scaled_bits_candidates_linear_buckets_bounded(spark):
+    """Sign-LSH at 10x corpus with bits scaled per s4's operational
+    contract (bits ≈ log2(N/target_bucket)): candidate-pair volume
+    (sum of bucket² — what the exact rerank pays) must grow ~linearly,
+    and the hottest bucket must stay small. This is the assert that
+    caught the mod-7 hyperplane-lattice bug: with degenerate planes the
+    occupied-cell count stayed flat while max bucket grew 9x and
+    sum(b²) grew 100x for 10x data."""
+    base, _ = _inflated_embeddings(spark, 1)
+    big, _ = _inflated_embeddings(spark, 10)
+    base_stats = _bucket_stats(spark, base, planes=8)
+    big_stats = _bucket_stats(spark, big, planes=12)
+    for (b_sumsq, b_max), (g_sumsq, g_max) in zip(base_stats, big_stats):
+        assert g_sumsq <= 1.5 * 10 * b_sumsq, (
+            f"candidate volume superlinear: {b_sumsq} -> {g_sumsq} at 10x"
+        )
+        assert g_max <= 4 * b_max, (
+            f"hot bucket grew with corpus: {b_max} -> {g_max}"
+        )
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
+)
+def test_s6_ivf_cells_balanced_and_probe_volume_linear(spark):
+    """IVF cell populations under 10x inflation: each query probes
+    nprobe cells, so per-query candidate volume is the probed cell
+    size — linear in N for fixed cell count, and no cell may hog the
+    corpus (max ≤ 3x mean keeps the probe equi-join AQE-splittable)."""
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    base, _ = _inflated_embeddings(spark, 1)
+    big, _ = _inflated_embeddings(spark, 10)
+    centroids = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+
+    def cell_stats(vecs):
+        r = (
+            similarity.ivf_assign(vecs, centroids)
+            .groupBy("bucket")
+            .count()
+            .agg(
+                F.sum("count").alias("n"),
+                F.max("count").alias("maxc"),
+                F.avg("count").alias("meanc"),
+            )
+            .collect()[0]
+        )
+        return r.n, r.maxc, r.meanc
+
+    n1, max1, mean1 = cell_stats(base)
+    n10, max10, mean10 = cell_stats(big)
+    assert n10 == 10 * n1
+    assert max1 <= 3 * mean1 and max10 <= 3 * mean10, (
+        f"skewed cells: 1x max/mean {max1}/{mean1:.0f}, "
+        f"10x {max10}/{mean10:.0f}"
+    )
+    # probed-cell volume (the per-query candidate set) grows ~linearly
+    assert max10 <= 1.5 * 10 * max1
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
+)
+def test_d13_keeper_join_linear_in_batch_never_keeper_squared(spark):
+    """Incremental SemDeDup candidate volume: the batch x keeper
+    equi-join on cell must scale linearly with the BATCH (keepers
+    fixed), i.e. daily cost tracks the day's data, not the corpus."""
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    base, stride = _inflated_embeddings(spark, 5)
+    centroids = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    keepers = similarity.ivf_assign(
+        base.filter(F.col("vec_id") < stride), centroids
+    ).select("bucket", "vec_id")
+
+    def keeper_join_count(batch):
+        a = similarity.ivf_assign(batch, centroids).select("bucket", "vec_id")
+        return (
+            a.withColumnRenamed("vec_id", "nid")
+            .join(keepers, "bucket")
+            .count()
+        )
+
+    one_copy = base.filter(
+        (F.col("vec_id") >= stride) & (F.col("vec_id") < 2 * stride)
+    )
+    four_copies = base.filter(F.col("vec_id") >= stride)
+    k1 = keeper_join_count(one_copy)
+    k4 = keeper_join_count(four_copies)
+    assert k1 > 0
+    assert k4 <= 1.3 * 4 * k1, (
+        f"keeper-join volume superlinear in batch: {k1} -> {k4}"
+    )
+
+
 @pytest.mark.skipif(
     os.environ.get("SKIP_SLOW") == "1", reason="SKIP_SLOW=1 opts out"
 )

@@ -1,4 +1,5 @@
-"""100x scale probe for the dedup family (d3/d4/d8).
+"""100x scale probe for the dedup + ANN families (d3/d4/d8/d9/d12,
+s4/s6/d13).
 
 Turns the "bucketed, not all-pairs" scaling claim into a measured
 curve: runs each query at 1x / 10x / 100x of the sf0.1 `documents`
@@ -57,7 +58,48 @@ QUERY_NAMES = {
     "d8": "d8_dup_clusters",
     "d9": "d9_semdedup",
     "d12": "d12_containment",
+    "s4": "s4_hyperplane_ann",
+    "s6": "s6_ivfpq_ann",
+    "d13": "d13_incremental_semdedup",
 }
+
+
+def _s4_scaled(spark, sf_dir: str):
+    """Probe runner for s4: sign-LSH with bits tuned to the corpus.
+
+    The registry query pins n_planes=8 (right for the 2k-vector sf0.1
+    corpus, and required so the DuckDB oracle is byte-identical). The
+    OPERATIONAL contract — stated in s4's own docstring — is
+    bits ≈ log2(corpus / target_bucket): rerank cost is sum(bucket²),
+    so holding the bit count fixed while the corpus grows 100× grows
+    candidate pairs quadratically — that measures a mis-tuned index,
+    not the operator. The probe therefore scales bits per corpus size
+    (target bucket ≈ 8 vectors, the sf0.1 operating point), which keeps
+    pair volume — and therefore shuffle — LINEAR in N. That linearity
+    under per-scale tuning is exactly the 100 TB claim being measured.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    n_planes = max(8, math.ceil(math.log2(max(16, n) / 8)))
+    return similarity.hyperplane_ann_top1(
+        e, n_tables=2, n_planes=n_planes, dim=64
+    )
+
+
+# probe-specific runners (default: the registry query fn unchanged —
+# s6 and d13 are index-shaped such that shuffle is linear even with the
+# registry's fixed index params: s6 shuffles only the 8-byte code table
+# + broadcast queries; d13 joins the growing batch against FIXED
+# at-rest keepers and tiles the within-batch gram)
+RUNNERS = {"s4": _s4_scaled}
 
 
 def inflate_documents(src_dir: str, factor: int) -> str:
@@ -168,7 +210,7 @@ def run_one(query_key: str, sf_dir: str, eventlog_dir: str) -> None:
         "overwrite"
     ).format("noop").save()
 
-    fn = REGISTRY[QUERY_NAMES[query_key]].fn
+    fn = RUNNERS.get(query_key) or REGISTRY[QUERY_NAMES[query_key]].fn
     runs = []
     for _ in range(1 if metrics_mode else 3):
         t0 = time.time()
@@ -277,7 +319,10 @@ def main() -> None:
     print("\n| query | scale | rows | wall | shuffle write | shuffle read | tasks |")
     print("|---|---|---|---|---|---|---|")
     # sf0.1 base row counts of the table each query family scans
-    base_rows = {"d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000, "d12": 5000}
+    base_rows = {
+        "d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000, "d12": 5000,
+        "s4": 2000, "s6": 2000, "d13": 2000,
+    }
     for q in queries:
         for n in scales:
             r = results[q].get(n)
