@@ -275,6 +275,357 @@ def decode_png(blob: bytes) -> np.ndarray:
     return out
 
 
+# --- baseline JPEG (stdlib Huffman + numpy DCT) -------------------------------
+#
+# The compressed-image sibling of the stdlib PNG codec above (r6
+# verdict item 2 closed the PNG gap; this closes JPEG — the format a
+# web-crawl corpus pipeline hits first). Dependency-free baseline
+# sequential DCT (ITU-T T.81) for 8-bit grayscale: real marker
+# segments, real canonical Huffman entropy coding with byte stuffing,
+# real dequant + IDCT. The decoder reads quant/Huffman tables FROM THE
+# STREAM, so it also decodes third-party baseline grayscale JPEGs, not
+# just its own output (cross-checked against Pillow when available).
+
+def _jpeg_zigzag() -> list[int]:
+    """Raster indices of the 8x8 zigzag scan, generated (not
+    transcribed) so there is no table to mistype: walk diagonals
+    alternating direction, exactly T.81 figure 5."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        idx = [(d - j) * 8 + j for j in rng]  # (row, col) = (d-j, j)
+        order.extend(idx if d % 2 else idx[::-1])
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+# Quant table (raster order): DC step 8 — chosen so a UNIFORM block
+# round-trips losslessly (DC = 8*(v-128) exactly, /8 then *8 restores
+# it), which is what makes mm6's oracle integer-exact while still
+# driving the full Huffman/marker/IDCT pipeline. AC step 24 is an
+# ordinary lossy choice exercised by the non-uniform-block tests.
+_JPEG_Q = np.array([8] + [24] * 63, dtype=np.int32)
+
+# Custom canonical Huffman tables (embedded in DHT, so any compliant
+# decoder — including Pillow — reads them from the stream; there is no
+# requirement to ship Annex K's example tables). Fixed-length codes:
+# 12 DC size symbols at 4 bits, 162 AC run/size symbols at 8 bits.
+# n < 2^len in both, so the all-ones codeword (reserved: bitstream
+# padding is 1-bits) is never assigned.
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_DC_BITS = [0] * 16
+_JPEG_DC_BITS[3] = len(_JPEG_DC_SYMS)  # all codes length 4
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_SYMS)  # all codes length 8
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(-1, 1)
+    j = np.arange(8).reshape(1, -1)
+    c = 0.5 * np.cos((2 * j + 1) * k * np.pi / 16.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+def _huff_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 C.2): symbol -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[syms[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) — T.81 F.1.2.1: negatives are
+    stored as v + 2^size - 1 (one's-complement style)."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as a baseline sequential grayscale
+    JPEG (stdlib + numpy only). Real everything: FDCT + quantization,
+    zigzag, DC prediction, run/size AC coding, canonical Huffman with
+    byte stuffing, and the full marker frame (SOI/DQT/SOF0/DHT/SOS/
+    EOI). Dimensions not a multiple of 8 are edge-padded (decoder
+    crops back via the SOF dims)."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"encode_jpeg wants a 2-D grayscale array, got {a.shape}")
+    h, w = a.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    C = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = C @ block @ C.T
+            q = np.rint(coef.ravel() / _JPEG_Q.reshape(8, 8).ravel()).astype(int)
+            zz = [int(q[i]) for i in _JPEG_ZZ]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size, amp = _jpeg_magnitude(diff)
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _jpeg_magnitude(zz[k])
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(_JPEG_Q[i]) for i in _JPEG_ZZ))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht_dc = seg(
+        0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMS)
+    )
+    dht_ac = seg(
+        0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMS)
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + data + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (raises) at any real marker."""
+
+    def __init__(self, blob: bytes, pos: int) -> None:
+        self.blob = blob
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.blob[self.pos]
+        if b == 0xFF:
+            nxt = self.blob[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy data (truncated scan)"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], syms: list[int]):
+    """(code, length) -> symbol lookup built canonically from a DHT."""
+    table = {}
+    code, i = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(amp: int, size: int) -> int:
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline sequential grayscale JPEG to a (h, w) uint8
+    array (stdlib + numpy only): marker walk, stream-carried quant +
+    Huffman tables (canonical reconstruction), entropy decode with
+    unstuffing, dequant, IDCT, level shift, crop to SOF dims. Raises
+    NotImplementedError on progressive (SOF2), multi-component (color),
+    12-bit, or restart-interval streams — loud driver-visible gaps,
+    same policy as decode_png."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    i = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    data_start = None
+    while i < len(blob):
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        marker = blob[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+        seg = blob[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                vals = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    vals[_JPEG_ZZ[k]] = seg[p + 1 + k]
+                qtables[tq] = vals
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision unsupported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "decode_jpeg supports single-component (grayscale) only"
+                )
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker 0xFF{marker:02X}: only baseline sequential "
+                "(SOF0) is supported"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                syms = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, syms)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", seg[:2])
+            if interval:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ncomp = seg[0]
+            if ncomp != 1:
+                raise NotImplementedError("multi-component scan unsupported")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
+            data_start = i + 2 + ln
+            break
+        # APPn / COM / others: skip
+        i += 2 + ln
+    if h is None or data_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    dc_tab = huff[(0, comp_dc)]
+    ac_tab = huff[(1, comp_ac)]
+    Q = qtables[comp_q].astype(np.float64).reshape(8, 8)
+    C = _jpeg_dct_matrix()
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(blob, data_start)
+
+    def read_symbol(tab) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+        raise ValueError("invalid Huffman code in entropy data")
+
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw_):
+            zz = np.zeros(64, dtype=np.float64)
+            size = read_symbol(dc_tab)
+            diff = _jpeg_extend(br.read_bits(size), size) if size else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                size = rs & 0xF
+                zz[k] = _jpeg_extend(br.read_bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for idx in range(64):
+                coef[_JPEG_ZZ[idx]] = zz[idx]
+            block = C.T @ (coef.reshape(8, 8) * Q) @ C + 128.0
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
+
+
 def pil_available() -> bool:
     """True when Pillow can be imported (optional dependency)."""
     try:
@@ -371,8 +722,45 @@ def decode_media(
     are dropped. This is the dependency-free REAL image path, provable
     in-container (mm4_image_roundtrip).
 
+    codec="jpeg" decodes image-kind blobs with the stdlib baseline-JPEG
+    decoder (``decode_jpeg`` — stream-carried Huffman/quant tables,
+    dequant + IDCT, no Pillow) and video-kind blobs as MJPEG
+    (``split_mjpeg_frames`` then per-frame ``decode_jpeg``, stacked);
+    other kinds are dropped. With PNG this makes both real image paths
+    and the MJPEG video path provable in-container (mm6).
+
     codec="fake" (deterministic uint8 reinterpretation) exercises the
     identical Spark plumbing with no codec dependency."""
+    if codec == "jpeg":
+        df = df.filter(F.col("kind").isin("image", "video"))
+
+        def jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out_cols = [f.name for f in DECODED_SCHEMA]
+            for pdf in it:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    blob = bytes(r.data)
+                    if r.kind == "image":
+                        arr = decode_jpeg(blob)
+                    else:  # MJPEG: concatenated baseline JPEG frames
+                        frames = [
+                            decode_jpeg(fb) for fb in split_mjpeg_frames(blob)
+                        ]
+                        arr = np.stack(frames)
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "kind": r.kind,
+                            "pixels": (arr.astype(np.float64) / 255.0)
+                            .ravel()
+                            .tolist(),
+                            "shape": list(arr.shape),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=out_cols)
+
+        return df.mapInPandas(jpeg_batches, DECODED_SCHEMA)
+
     if codec == "png":
         df = df.filter(F.col("kind") == "image")
 

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     # (operators/multimodal.py) — need rows against the shipped code
     "t11_pii_scan",
     "mm5_video_roundtrip",
+    "s4_hyperplane_ann",  # hyperplane coeff generator replaced (r7)
     # NEW in round 7 (names appended as they land this round)
     "q2_min_cost_supplier",
     "q20_potential_promotion",

@@ -257,7 +257,72 @@ FROM px GROUP BY 1
 """
 
 
+def mm6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL compressed-image decode path proven end-to-end with an
+    oracle — the baseline-JPEG sibling of mm4 (PNG). Per-user grayscale
+    JPEGs are synthesized from integer event ids as stacks of UNIFORM
+    8x8 blocks (block value = event_id % 256, ids sorted): a uniform
+    block has only a DC coefficient, and the codec's DC quant step of 8
+    makes DC = 8*(v-128) round-trip exactly, so the decoded image
+    equals the source INTEGER-EXACTLY while the bytes still pass
+    through the full real pipeline — marker frame, stream-carried
+    canonical Huffman tables, entropy decode with byte unstuffing,
+    dequant, IDCT, level shift. Encoded with ``encode_jpeg``, decoded
+    through ``decode_media(codec='jpeg')`` inside ``mapInPandas``,
+    reduced to per-image statistics the oracle recomputes from
+    ``events`` directly. (Lossy behavior on non-uniform content is
+    covered by tests/test_multimodal.py against the coefficient-path
+    reference.) KB-scale driver-side synthesis at construction, like
+    mm3/mm4/mm5."""
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    rows = ev.select("user_id", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.event_id)
+    blobs = []
+    for uid, eids in sorted(series.items()):
+        eids.sort()
+        vals = np.array([e % 256 for e in eids], dtype=np.uint8)
+        # one uniform 8x8 block per event, stacked vertically (w=8)
+        arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
+        blobs.append((uid, "image", bytearray(multimodal.encode_jpeg(arr))))
+    media = spark.createDataFrame(
+        blobs, "media_id bigint, kind string, data binary"
+    )
+    decoded = multimodal.decode_media(media, codec="jpeg")
+    px = F.col("pixels")
+    n = F.size(px)
+    sum_sq = F.aggregate(px, F.lit(0.0), lambda a, x: a + x * x)
+    sum_v = F.aggregate(px, F.lit(0.0), lambda a, x: a + x)
+    return decoded.select(
+        "media_id",
+        F.element_at("shape", 1).cast("bigint").alias("height"),
+        n.cast("bigint").alias("n_px"),
+        F.round(sum_v / n, 6).alias("mean_px"),
+        F.round(F.sqrt(sum_sq / n), 6).alias("rms"),
+    )
+
+
+MM6_SQL = """
+WITH px AS (
+  SELECT user_id, (event_id % 256) / 255.0 AS v
+  FROM events WHERE user_id < 8
+)
+SELECT user_id AS media_id,
+       count(*) * 8 AS height,
+       count(*) * 64 AS n_px,
+       round(sum(v * 64) / (count(*) * 64), 6) AS mean_px,
+       round(sqrt(sum(v * v * 64) / (count(*) * 64)), 6) AS rms
+FROM px GROUP BY 1
+"""
+
+
 MEDIA_QUERIES: list[QuerySpec] = [
+    QuerySpec("mm6_jpeg_roundtrip", mm6_jpeg_roundtrip, MM6_SQL,
+              "real baseline-JPEG round-trip: stdlib Huffman + numpy "
+              "IDCT, integer-exact uniform-block oracle"),
     QuerySpec("mm5_video_roundtrip", mm5_video_roundtrip, MM5_SQL,
               "real RIFF/AVI container round-trip: stdlib struct "
               "walker, per-frame stats oracle"),

@@ -424,6 +424,137 @@ def test_avi_adversarial_nesting_and_trailing_garbage():
     assert frames2 == [f0, f1, f2]  # stream order preserved through rec list
 
 
+def test_jpeg_uniform_blocks_roundtrip_exact():
+    """DC quant step 8 makes uniform 8x8 blocks lossless: the decoded
+    image equals the source integer-exactly after the full real
+    pipeline (markers, Huffman, unstuffing, dequant, IDCT)."""
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    vals = np.array([0, 7, 127, 128, 200, 255, 13, 99], dtype=np.uint8)
+    arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
+    dec = m.decode_jpeg(m.encode_jpeg(arr))
+    assert dec.shape == arr.shape
+    assert np.array_equal(dec, arr)
+
+
+def test_jpeg_general_content_matches_coefficient_reference():
+    """Non-uniform content is lossy, but decode must equal the
+    dequant+IDCT of the encoder's own quantized coefficients — an
+    independent numpy recomputation, so Huffman/zigzag/marker bugs
+    can't hide inside 'acceptable loss'. Also pins crop-back for
+    non-multiple-of-8 dims and reasonable error bounds."""
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    dec = m.decode_jpeg(m.encode_jpeg(img))
+    C = m._jpeg_dct_matrix()
+    Q = m._JPEG_Q.reshape(8, 8)
+    for by in range(0, 24, 8):
+        for bx in range(0, 16, 8):
+            blk = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128
+            q = np.rint((C @ blk @ C.T) / Q)
+            ref = np.clip(np.rint(C.T @ (q * Q) @ C + 128), 0, 255)
+            assert np.array_equal(
+                dec[by : by + 8, bx : bx + 8], ref.astype(np.uint8)
+            )
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 40
+
+    odd = rng.integers(0, 256, size=(13, 11)).astype(np.uint8)
+    assert m.decode_jpeg(m.encode_jpeg(odd)).shape == (13, 11)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt_streams():
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    blob = m.encode_jpeg(img)
+
+    with pytest.raises(ValueError, match="SOI"):
+        m.decode_jpeg(b"JUNK" + blob[4:])
+    # progressive SOF2 must be a loud NotImplementedError
+    prog = bytearray(blob)
+    sof_at = blob.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        m.decode_jpeg(bytes(prog))
+    # multi-component (color) SOF
+    color = bytearray(blob)
+    ncomp_at = sof_at + 9  # marker(2) + len(2) + prec(1) + h(2) + w(2)
+    color[ncomp_at] = 3
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        m.decode_jpeg(bytes(color))
+    # truncated entropy data: the scan hits EOI mid-block
+    with pytest.raises(ValueError):
+        m.decode_jpeg(blob[:-4] + b"\xff\xd9")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "anomaly_detection_iiot_spark.operators.multimodal",
+        fromlist=["pil_available"],
+    ).pil_available(),
+    reason="Pillow not installed",
+)
+def test_pil_cross_decodes_our_jpeg():
+    """Interop: a third-party decoder (libjpeg via Pillow) must read
+    our stream-carried Huffman/quant tables and agree — exactly on
+    uniform blocks (DC-only), within IDCT-rounding tolerance
+    elsewhere."""
+    import io
+
+    from PIL import Image
+
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    vals = np.array([0, 128, 255, 64], dtype=np.uint8)
+    arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
+    pil = np.asarray(Image.open(io.BytesIO(m.encode_jpeg(arr))))
+    assert np.array_equal(pil, arr)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    ours = m.decode_jpeg(m.encode_jpeg(img))
+    pil2 = np.asarray(Image.open(io.BytesIO(m.encode_jpeg(img))))
+    assert np.abs(ours.astype(int) - pil2.astype(int)).max() <= 2
+
+
+def test_decode_media_jpeg_image_and_mjpeg_video(spark):
+    """codec='jpeg' mapInPandas plumbing: grayscale image decode plus
+    MJPEG video (concatenated baseline JPEG frames, split on SOI then
+    per-frame stdlib decode) — the in-container replacement for the
+    Pillow-gated video path."""
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    img = np.repeat(
+        np.repeat(np.array([[10], [250]], dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    f0 = np.full((8, 8), 30, dtype=np.uint8)
+    f1 = np.full((8, 8), 200, dtype=np.uint8)
+    mjpeg = m.encode_jpeg(f0) + m.encode_jpeg(f1)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(m.encode_jpeg(img))),
+            (2, "video", bytearray(mjpeg)),
+            (3, "audio", bytearray(b"\x00" * 8)),  # dropped by kind filter
+        ],
+        "media_id bigint, kind string, data binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in m.decode_media(df, codec="jpeg").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].shape == [16, 8]
+    assert rows[1].pixels[0] == 10 / 255.0
+    assert rows[1].pixels[-1] == 250 / 255.0
+    assert rows[2].shape == [2, 8, 8]
+    assert rows[2].pixels[0] == 30 / 255.0
+    assert rows[2].pixels[-1] == 200 / 255.0
+
+
 def test_decode_avi_frames_mapinpandas(spark):
     from anomaly_detection_iiot_spark.operators import multimodal as m
 
