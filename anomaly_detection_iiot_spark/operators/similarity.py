@@ -598,6 +598,109 @@ def pq_encode(
     )
 
 
+def pq_widen(codes_long: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Widen pq_encode's long form to one row per vector with a
+    subspace-ordered ``codes`` array — the 8-byte-per-vector layout the
+    at-rest IVF-PQ index stores. One groupBy shuffle."""
+    return codes_long.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def ivfpq_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    k: int = 5,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    cb_id: str = "code_id",
+    cb_vec: str = "cvec",
+) -> DataFrame:
+    """ADC probe over an at-rest IVF-PQ index (Jégou et al. 2011):
+    ``index`` is the (vec_id, bucket, codes) table — built in batch
+    (s6) or grown by the streaming ingest (streaming/ann_ingest.py) —
+    and is the ONLY corpus-sized input: candidate distances come from
+    the m codes against the codebook literal, never the raw vectors.
+    Each query searches its own cell (equi-join on bucket against
+    broadcast queries); top-k by asymmetric distance, tie-break
+    candidate id. Extracted from the s6 query so the batch query and
+    the streaming-serving test drive ONE implementation."""
+    crows = sorted(codebook.select(cb_id, cb_vec).collect(),
+                   key=lambda r: r[cb_id])
+    dim = len(crows[0][cb_vec])
+    sub = dim // m
+
+    def _darr(values):
+        return (
+            "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+        )
+
+    cbl = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                _darr([float(x) for x in r[cb_vec]][s * sub:(s + 1) * sub])
+                for s in range(m)
+            )
+            + ")"
+            for r in crows
+        )
+        + ")"
+    )
+    qassigned = ivf_assign(
+        queries, centroids, id_col=qid_col, vec_col=qvec_col
+    ).select(qid_col, qvec_col, F.col("bucket").alias("qbucket"))
+    qv = as_double(F.col(qvec_col))
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda s: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, (s - 1).cast("int") * sub + 1, sub),
+                    F.element_at(
+                        F.element_at(
+                            cbl,
+                            (F.element_at(F.col("codes"), s.cast("int")) + 1)
+                            .cast("int"),
+                        ),
+                        s.cast("int"),
+                    ),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = index.join(
+        F.broadcast(qassigned),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col(qid_col)),
+    ).withColumn("adc", adc)
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            qid_col,
+            F.col("vec_id").alias("cid"),
+            F.round("adc", 6).alias("adc"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 # --- incremental semantic dedup (daily ingest vs at-rest keepers) -------------
 
 def incremental_semdedup(

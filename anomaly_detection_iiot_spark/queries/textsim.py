@@ -1795,15 +1795,7 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("code_id"), F.col("embedding").alias("cvec")
     )
     assigned = similarity.ivf_assign(e, centroids).select("vec_id", "bucket")
-    codes_long = similarity.pq_encode(e, cb, m=8)
-    codes = codes_long.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("sub"), F.col("code")))
-            ),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    codes = similarity.pq_widen(similarity.pq_encode(e, cb, m=8))
     # (bucket, codes) per vector IS the at-rest IVF-PQ index — persist
     # it (the s4-signature-index rationale): queries probe the index,
     # they don't re-encode the corpus
@@ -1815,72 +1807,11 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id").between(100, 104)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    qassigned = similarity.ivf_assign(
-        queries, centroids, id_col="qid", vec_col="qvec"
-    ).select("qid", "qvec", F.col("bucket").alias("qbucket"))
-
-    crows = sorted(
-        cb.collect(), key=lambda r: r["code_id"]
-    )
-
-    def _darr(values):
-        return (
-            "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
-        )
-
-    cbl = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                _darr([float(x) for x in r["cvec"]][s * 8:(s + 1) * 8])
-                for s in range(8)
-            )
-            + ")"
-            for r in crows
-        )
-        + ")"
-    )
-    qv = similarity.as_double(F.col("qvec"))
-    adc = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda s: F.aggregate(
-                F.zip_with(
-                    F.slice(qv, (s - 1).cast("int") * 8 + 1, 8),
-                    F.element_at(
-                        F.element_at(
-                            cbl,
-                            (F.element_at(F.col("codes"), s.cast("int")) + 1)
-                            .cast("int"),
-                        ),
-                        s.cast("int"),
-                    ),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = cand.join(
-        F.broadcast(qassigned),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("qid")),
-    ).withColumn("adc", adc)
-    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            F.round("adc", 6).alias("adc"),
-            F.col("rk").cast("bigint").alias("rk"),
-        )
-    )
+    # the probe (extracted to similarity.ivfpq_probe in r7) is shared
+    # with the streaming-serving path: streaming/ann_ingest.py grows
+    # the same (vec_id, bucket, codes) layout and this identical ADC
+    # probe serves it — stream==batch pinned in tests/test_ann_ingest.py
+    return similarity.ivfpq_probe(cand, queries, centroids, cb, m=8, k=5)
 
 
 S6_SQL = """

@@ -78,6 +78,50 @@ def ingest_to_partitioned_index(
     )
 
 
+def ingest_to_pq_index(
+    stream_vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    m: int = 8,
+):
+    """Streaming IVF-PQ index maintenance — the serving-side twin of
+    incremental SemDeDup's ingest increment (r6 verdict item 8): each
+    micro-batch is cell-assigned AND PQ-encoded (both broadcast-literal
+    projections; pq_widen's groupBy is batch-local state-free), and the
+    (vec_id, bucket, codes) rows append into the partitioned at-rest
+    index. A streamed-in batch is immediately queryable by the SAME ADC
+    probe the batch index serves (operators/similarity.py::ivfpq_probe)
+    with NO corpus re-encode — the index is only ever grown, never
+    rebuilt. Same per-batch ``ingest_batch=<id>`` overwrite layout as
+    ``ingest_to_partitioned_index``, so foreachBatch replays are
+    exactly-once at rest."""
+    from ..operators import similarity as sim
+
+    assigned = sim.ivf_assign(stream_vectors, centroids).select(
+        "vec_id", "bucket", "embedding"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        codes = sim.pq_widen(sim.pq_encode(batch_df, codebook, m=m))
+        (
+            batch_df.select("vec_id", "bucket")
+            .join(codes, "vec_id")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/ingest_batch={batch_id}")
+        )
+
+    return (
+        assigned.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cell_load(index: DataFrame) -> DataFrame:
     """Cell-population report over the at-rest index: the skew signal
     that triggers centroid retraining (load imbalance = recall loss on
