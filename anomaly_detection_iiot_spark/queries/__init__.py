@@ -73,6 +73,10 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "mm6_jpeg_roundtrip",
+    "q4_order_priority_check",
+    "q12_shipping_priority_classes",
+    "q22_global_sales_opportunity",
+    "s6_ivfpq_ann",  # probe extracted to shared ivfpq_probe (r7)
     # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
     # all re-proven in-repo every round, but the bar is a driver row
     # against shipped code — front-load all 25 so CORRECTNESS_r07

@@ -975,6 +975,136 @@ ORDER BY s_name
 """
 
 
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders placed in one
+    quarter with AT LEAST ONE late line (ships >90 days after order
+    date — the schema's commit/receipt-date substitute, same as q21),
+    counted per priority. The EXISTS correlated subquery decorrelates
+    to a left-semi join of orders against late lines; the quarter
+    filter pushes to the orders scan, and the semi build shrinks to
+    the qualifying orderkeys."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority classes), adapted:
+    no l_shipmode column, so lines group by l_returnflag; per flag,
+    count lines of high-priority (1-URGENT/2-HIGH) vs lower-priority
+    orders among lines shipping >60 days after order date in 1997.
+    The planner shape Q12 exercises: one fact-fact join whose
+    conditional aggregation folds the priority dimension into two
+    CASE sums — a single shuffle, no pivot."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        & (F.year("l_shipdate") == 1997)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND year(l_shipdate) = 1997
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no RECENT orders (none since
+    1999 — every customer in this testdata has some lifetime order, so
+    the spec's 7-year dormancy window becomes a date-filtered anti
+    side), counted per nation (the schema's country-code substitute).
+    Exercises the last decorrelation pattern the suite lacked: an
+    UNCORRELATED scalar avg subquery (broadcast as a one-row frame)
+    feeding a filter, composed with a NOT EXISTS anti-join against the
+    fact. The avg is over the positive-balance customer subset, per
+    the spec."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    no_orders = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
@@ -1033,4 +1163,15 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("q20_potential_promotion", q20_potential_promotion, Q20_SQL,
               "TPC-H Q20 shape: double-nested semi-join with "
               "aggregate (dominant promoted-part suppliers)"),
+    QuerySpec("q4_order_priority_check", q4_order_priority_check, Q4_SQL,
+              "TPC-H Q4 shape: EXISTS decorrelated to left-semi, "
+              "per-priority order counts"),
+    QuerySpec("q12_shipping_priority_classes", q12_shipping_priority_classes,
+              Q12_SQL,
+              "TPC-H Q12 shape: conditional CASE aggregation over a "
+              "fact-fact join"),
+    QuerySpec("q22_global_sales_opportunity", q22_global_sales_opportunity,
+              Q22_SQL,
+              "TPC-H Q22 shape: uncorrelated scalar avg broadcast + "
+              "NOT EXISTS anti-join"),
 ]

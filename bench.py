@@ -34,6 +34,10 @@ HEADLINE = [
     "q18_large_volume_customers",  # HAVING agg semi-join (r6)
     "q2_min_cost_supplier",  # correlated scalar min, decorrelated (r7)
     "q20_potential_promotion",  # double-nested semi-join with agg (r7)
+    "q4_order_priority_check",  # EXISTS -> left-semi (r7)
+    "q12_shipping_priority_classes",  # conditional CASE agg (r7)
+    "q22_global_sales_opportunity",  # scalar-avg broadcast + anti (r7)
+    "mm6_jpeg_roundtrip",  # stdlib baseline-JPEG decode path (r7)
     "j5_broadcast_dims",
     "j2_anti_join",
     "j4_range_join",

@@ -101,7 +101,10 @@ def test_hot_cluster_closes_transitively(spark, hot_signatures):
 
 
 def _inflated_embeddings(spark, factor: int):
-    """Rotated-copy inflation of the sf0.1 embeddings (probe scheme)."""
+    """Rotated-copy inflation of the sf0.1 embeddings (probe scheme).
+    Bare rotation is collision-free only below 64 copies (it repeats
+    every dim) — fine here (factor <= 10); tools/scale_probe.py
+    composes a per-copy sign flip for its 100x runs."""
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet").select(
         "vec_id", "embedding"
     )

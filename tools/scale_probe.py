@@ -108,8 +108,12 @@ def inflate_documents(src_dir: str, factor: int) -> str:
     Copy i shifts doc_id by i*stride and salts the text (see module
     docstring); multi-file output so downstream scans split properly.
     """
-    # v2: also carries embeddings.parquet (rotated copies)
-    out = os.path.join(BENCH_DATA, f"probe_tables_{factor}x_v2")
+    # v3: embedding copies are rotation+sign-flip isometries (v2's
+    # bare rotation repeated every 64 copies, so a 100x corpus
+    # contained 36 pairs of EXACTLY duplicated copies — the measured
+    # "superlinear" s4/d13 candidate growth at 100x was that
+    # manufactured duplicate mass, not operator behavior)
+    out = os.path.join(BENCH_DATA, f"probe_tables_{factor}x_v3")
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
         return out
@@ -139,11 +143,19 @@ def inflate_documents(src_dir: str, factor: int) -> str:
     df.repartition(max(4, factor)).write.mode("overwrite").parquet(
         os.path.join(tmp, "documents.parquet")
     )
-    # embeddings: copy i shifts vec_id and CYCLICALLY ROTATES the 64
-    # dims by i — a per-copy isometry, so intra-copy geometry (and thus
-    # duplicate/near-dup density) is exactly preserved while cross-copy
-    # cosines decorrelate; labels keep their values so label/bucket
+    # embeddings: copy i shifts vec_id and applies a per-copy ISOMETRY
+    # — cyclic rotation by i%dim COMPOSED with an md5-derived ±1 sign
+    # flip per dimension (identity for copy 0). Each copy's intra-copy
+    # geometry (and thus duplicate/near-dup density) is exactly
+    # preserved while cross-copy cosines decorrelate. The sign-flip
+    # component makes the map collision-free for ANY copy count —
+    # bare rotation repeats every dim copies, which at 100x duplicated
+    # 36 whole copies verbatim and quadratically inflated true-pair
+    # mass (measured: s4 shuffle 7.3 MB @10x -> 1504 MB @100x purely
+    # from that artifact). Labels keep their values so label/bucket
     # blocks grow with scale, exercising the tiled gram guard.
+    import hashlib
+
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()[0])
     estride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -154,10 +166,23 @@ def inflate_documents(src_dir: str, factor: int) -> str:
             F.slice("embedding", rot + 1, dim - rot),
             F.slice("embedding", 1, rot),
         )
+        if i == 0:
+            flipped = rotated
+        else:
+            flips = [
+                1.0
+                if hashlib.md5(f"{i}:{j}".encode()).digest()[0] & 1
+                else -1.0
+                for j in range(dim)
+            ]
+            flip_lit = F.expr(
+                "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in flips) + ")"
+            )
+            flipped = F.zip_with(rotated, flip_lit, lambda x, s: x * s)
         ecopies.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * estride)).alias("vec_id"),
-                rotated.alias("embedding"),
+                flipped.alias("embedding"),
                 "label",
             )
         )
