@@ -147,6 +147,69 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """IVF cell assignment for LARGE centroid counts: one dense numpy
+    matmul per Arrow batch instead of ivf_assign's per-centroid
+    expression fold.
+
+    The literal-expression form is the right shape for coarse-quantizer
+    k ≤ ~16 (one codegen fold, zero Python) and is what every oracle
+    query uses. But its runtime is a per-row interpreted loop over k
+    centroids and its plan literal grows with k·dim — at k=100 the
+    assignment alone dominated the d13 probe wall (45 s vs 19 s,
+    measured r7). Cell-size-bounded deployments retrain k ∝ N
+    (cell_load signal), so the large-k path batches the corpus through
+    Arrow and computes normalized V @ C.T with an argmax — ids are
+    sorted ascending and np.argmax takes the FIRST max, so exact
+    cosine ties break to the minimum centroid id, same rule as
+    ivf_assign. fp summation is numpy's pairwise instead of the fold's
+    sequential order, so assignments can differ only on cosines equal
+    to within summation error (agreement with ivf_assign on the real
+    corpus is asserted in tests). Still zero shuffle and stream-safe —
+    a pure mapInPandas projection."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    crows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
+    )
+    ids = np.array([int(r[centroid_id]) for r in crows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r[centroid_vec], dtype=np.float64) for r in crows]
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("bucket", LongType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf["bucket"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T
+            pdf = pdf.copy()
+            pdf["bucket"] = ids[np.argmax(S, axis=1)]
+            yield pdf
+
+    return corpus.mapInPandas(batches, out_schema)
+
+
 def ivf_probe(
     assigned: DataFrame,
     queries: DataFrame,
@@ -438,59 +501,72 @@ def hyperplane_ann_top1(
     sum(bucket²) per table, not |corpus|² — same contract as the
     minhash-LSH verify stage (dedup.py), re-used for dense vectors.
 
-    The (vid, bucket...) signature table is PERSISTED: it is the LSH
-    index itself (a few bytes/vector — at rest you'd write it out,
-    like dedup.py's band_index), and without the persist each of the
-    2L pair-join branches re-ran the 16-fold signature projection over
-    the corpus. The vector payload deliberately stays OUT of the
-    cached index; the rerank re-reads vectors by id from the source.
-    """
+    The (vid, bucket..., vector, norm) table is PERSISTED: it is the
+    LSH index itself — like a FAISS IVF list, the index stores the
+    payload it reranks with, so at rest you'd write it bucket-
+    partitioned (sources/bucketed.py) and every table's self-join
+    co-locates with zero shuffle. Without the persist each of the 2L
+    join branches re-ran the signature projection over the corpus.
+
+    Rerank is BUCKET-LOCAL: the cosine is computed inside each
+    table's bucket self-join projection, so vectors travel once per
+    (vector, table-side) and only 24-byte (qid, cid, cos) rows flow
+    into the cross-table dedup and the top-1 window. The earlier
+    candidates-then-lookup form (distinct pairs, then two joins to
+    re-attach vectors) shipped a pair×vector intermediate — |pairs| ×
+    ~550 B through the second join's shuffle, 1.48 GB at the 100×
+    probe scale vs ~12 MB of pair traffic here (measured r7; the
+    candidate-volume law is the same, the constant is 20×)."""
     from .cache import replace_owned_cache
 
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    sigs = replace_owned_cache(
-        "hyperplane_ann_sigs",
+    # norms once per VECTOR, not once per pair (the norm sqrt is the
+    # same expression the oracle computes, evaluated in the earlier
+    # projection — fp-identical).
+    aug = replace_owned_cache(
+        "hyperplane_ann_index",
         v.select(
             "vid",
+            "v",
+            norm(F.col("v")).alias("n"),
             *[
                 hyperplane_signature(F.col("v"), t, n_planes, dim).alias(f"b{t}")
                 for t in range(n_tables)
             ],
         ),
     )
-    pairs = None
+    scored = None
     for tbl in range(n_tables):
-        a = sigs.select(F.col("vid").alias("qid"), F.col(f"b{tbl}").alias("bk"))
-        b = sigs.select(F.col("vid").alias("cid"), F.col(f"b{tbl}").alias("bk"))
-        p = a.join(b, "bk").filter(F.col("qid") != F.col("cid")).select("qid", "cid")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
-    # norms once per VECTOR, not once per pair: the rerank joins fetch
-    # (vector, norm) by id, so each pair pays one dot fold instead of
-    # three (the norm sqrt is the same expression the oracle computes,
-    # just evaluated in the earlier projection — fp-identical).
-    qv = v.select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"),
-        norm(F.col("v")).alias("qn"),
-    )
-    cv = v.select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"),
-        norm(F.col("v")).alias("cn"),
-    )
-    scored = (
-        cand.join(qv, "qid")
-        .join(cv, "cid")
-        .withColumn(
-            "cos",
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        a = aug.select(
+            F.col("vid").alias("qid"), F.col(f"b{tbl}").alias("bk"),
+            F.col("v").alias("qv"), F.col("n").alias("qn"),
         )
-    )
+        b = aug.select(
+            F.col("vid").alias("cid"), F.col(f"b{tbl}").alias("bk"),
+            F.col("v").alias("cv"), F.col("n").alias("cn"),
+        )
+        p = (
+            a.join(b, "bk")
+            .filter(F.col("qid") != F.col("cid"))
+            .select(
+                "qid",
+                "cid",
+                (
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn"))
+                ).alias("cos"),
+            )
+        )
+        scored = p if scored is None else scored.unionByName(p)
+    # a pair found by BOTH tables carries the identical cosine (same
+    # fp expression over the same vectors) — max() is pure dedup
+    cand = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("qid")
     wrk = w.orderBy(F.desc("cos"), F.asc("cid"))
     return (
-        scored.select(
+        cand.select(
             "qid",
             "cid",
             "cos",
@@ -710,6 +786,7 @@ def incremental_semdedup(
     tau: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_fn=None,
 ) -> DataFrame:
     """SemDeDup for a NEW batch against the at-rest keeper set — the
     embedding-side twin of dedup.py's incremental LSH: work is
@@ -731,7 +808,11 @@ def incremental_semdedup(
     batch, one equi-join on ``bucket`` against the (bucket-partitioned,
     pruned) keeper index, and the tiled within-batch near-dup stage.
     """
-    a_new = ivf_assign(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+    # assign_fn: ivf_assign (literal-expression, small k — the oracle
+    # path) or ivf_assign_arrow (matmul, large k deployments)
+    a_new = (assign_fn or ivf_assign)(
+        new_vecs, centroids, id_col=id_col, vec_col=vec_col
+    )
     kv = keeper_index.select(
         F.col("bucket").alias("kb"),
         as_double(F.col(vec_col)).alias("kvec"),

@@ -102,6 +102,20 @@ def test_d3_no_shingle_filter_below_shuffle(spark, sf_dir):
     assert plan.count("md5") == 1
 
 
+def test_s4_rerank_is_bucket_local(spark, sf_dir):
+    """hyperplane_ann_top1's rerank must compute cosines INSIDE the
+    per-table bucket self-joins: exactly n_tables joins in the plan,
+    none after the scored projection. The earlier candidates-then-
+    lookup form added two more joins to re-attach vectors to pairs,
+    shipping a |pairs| x vector-payload intermediate through the second
+    one — 1.48 GB vs 0.48 GB total shuffle at the 100x probe scale
+    (r7, tools/scale_probe.py). 4 joins reappearing means that
+    regression is back."""
+    df = REGISTRY["s4_hyperplane_ann"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2  # one bucket self-join per table
+
+
 def test_flagship_single_scan_no_joins(spark, sf_dir):
     """The flagship evaluation tail is the single-pass window
     formulation (plans/eval_tail.py): one events scan, zero joins. The

@@ -105,6 +105,35 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert [r.cid for r in got] == [1, 2]  # self (vec 0) excluded
 
 
+def test_ivf_assign_arrow_agrees_with_expression_form(spark):
+    """The large-k matmul assignment (ivf_assign_arrow) must agree
+    with the literal-expression form on the real corpus at both the
+    oracle k (8) and a deployment-scale k (100) — same argmax, same
+    min-id tie-break; fp could only diverge on summation-error ties,
+    and the real data has none."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    for k in (8, 100):
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        a = {
+            r.vec_id: r.bucket
+            for r in similarity.ivf_assign(e, cent)
+            .select("vec_id", "bucket").collect()
+        }
+        b = {
+            r.vec_id: r.bucket
+            for r in similarity.ivf_assign_arrow(e, cent)
+            .select("vec_id", "bucket").collect()
+        }
+        assert a == b
+
+
 def test_ivf_nprobe_improves_recall(spark):
     """A query whose true nearest neighbor quantizes into the SECOND
     nearest cell is missed at nprobe=1 and found at nprobe=2; nprobe

@@ -94,12 +94,63 @@ def _s4_scaled(spark, sf_dir: str):
     )
 
 
+def _d13_scaled(spark, sf_dir: str):
+    """Probe runner for d13: incremental SemDeDup with the IVF cell
+    count scaled to the batch.
+
+    The registry query pins 8 centroids (right for 2k vectors, and the
+    oracle mirrors it). Operationally, cell population is THE tuning
+    knob: the within-batch new×new gram moves Θ(cell²/max_block_rows)
+    rows per cell, so holding k fixed while the batch grows 100× is a
+    mis-tuned index (measured: 8.4 MB @10x → 163 MB @100x — the tiled
+    replication term, exactly as blocked_neardup_pairs documents). The
+    at-rest index carries the cell_load retrain signal
+    (streaming/ann_ingest.py) for precisely this: the probe retrains
+    k = N/2000 so cells stay under the tile cap, which is the shape a
+    100 TB deployment operates. Assignment uses the Arrow matmul form
+    (ivf_assign_arrow) — the literal-expression fold is O(k·dim) per
+    row and dominated wall at k=100 (45.5 s vs 19.3 s, measured r7);
+    the matmul pays one BLAS pass per Arrow batch instead."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators import similarity
+    from anomaly_detection_iiot_spark.queries.textsim import (
+        _D9_TAU,
+        _D13_SPLIT,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    k = max(8, n // 2000)
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    first = e.filter(F.col("vec_id") < _D13_SPLIT)
+    a_first = similarity.ivf_assign_arrow(first, centroids)
+    f_dropped = (
+        similarity.blocked_neardup_pairs(
+            a_first, block_col="bucket", min_cosine=_D9_TAU
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    keepers = a_first.join(f_dropped, "vec_id", "left_anti")
+    batch = e.filter(F.col("vec_id") >= _D13_SPLIT)
+    return similarity.incremental_semdedup(
+        batch, keepers, centroids, tau=_D9_TAU,
+        assign_fn=similarity.ivf_assign_arrow,
+    )
+
+
 # probe-specific runners (default: the registry query fn unchanged —
-# s6 and d13 are index-shaped such that shuffle is linear even with the
-# registry's fixed index params: s6 shuffles only the 8-byte code table
-# + broadcast queries; d13 joins the growing batch against FIXED
-# at-rest keepers and tiles the within-batch gram)
-RUNNERS = {"s4": _s4_scaled}
+# s6 is index-shaped such that shuffle is linear even with the
+# registry's fixed index params: it shuffles only the 8-byte code
+# table + broadcast queries). s4/d13 scale their index knobs with the
+# corpus per their own operational contracts (see each runner).
+RUNNERS = {"s4": _s4_scaled, "d13": _d13_scaled}
 
 
 def inflate_documents(src_dir: str, factor: int) -> str:
