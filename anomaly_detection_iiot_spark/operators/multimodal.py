@@ -76,6 +76,10 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
+QUARANTINED_SCHEMA = StructType(
+    list(DECODED_SCHEMA.fields) + [StructField("err", StringType())]
+)
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -454,6 +458,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.blob):
+            raise ValueError("truncated JPEG: entropy data ends mid-block")
         b = self.blob[self.pos]
         if b == 0xFF:
             nxt = self.blob[self.pos + 1]
@@ -701,6 +707,7 @@ def decode_media(
     df: DataFrame,
     codec: str = "fake",
     kinds: tuple[str, ...] = ("image", "audio", "video"),
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode blobs to float pixel/sample arrays via mapInPandas.
 
@@ -730,59 +737,92 @@ def decode_media(
     and the MJPEG video path provable in-container (mm6).
 
     codec="fake" (deterministic uint8 reinterpretation) exercises the
-    identical Spark plumbing with no codec dependency."""
+    identical Spark plumbing with no codec dependency.
+
+    on_error="quarantine" (stdlib jpeg/png codecs only): a corrupt or
+    unsupported blob must not kill a 100 TB decode job. Per-row codec
+    failures (ValueError / NotImplementedError and framing errors) are
+    captured into an ``err`` column — pixels/shape empty — and good
+    rows flow through unchanged; output schema gains ``err`` (NULL on
+    success), the media-blob twin of sources/robust.py's corrupt-record
+    quarantine. Default "fail" keeps the loud fail-fast contract."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
+    if on_error == "quarantine" and codec not in ("jpeg", "png"):
+        raise NotImplementedError(
+            "on_error='quarantine' is implemented for the stdlib "
+            "jpeg/png codec paths"
+        )
+    quarantine = on_error == "quarantine"
+    out_schema = QUARANTINED_SCHEMA if quarantine else DECODED_SCHEMA
+
+    def _row(r, arr) -> dict:
+        d = {
+            "media_id": r.media_id,
+            "kind": r.kind,
+            "pixels": (arr.astype(np.float64) / 255.0).ravel().tolist(),
+            "shape": list(arr.shape),
+        }
+        if quarantine:
+            d["err"] = None
+        return d
+
+    def _bad_row(r, exc: Exception) -> dict:
+        return {
+            "media_id": r.media_id,
+            "kind": r.kind,
+            "pixels": [],
+            "shape": [],
+            "err": f"{type(exc).__name__}: {exc}",
+        }
+
     if codec == "jpeg":
         df = df.filter(F.col("kind").isin("image", "video"))
 
         def jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            out_cols = [f.name for f in DECODED_SCHEMA]
+            out_cols = [f.name for f in out_schema]
             for pdf in it:
                 out = []
                 for r in pdf.itertuples(index=False):
-                    blob = bytes(r.data)
-                    if r.kind == "image":
-                        arr = decode_jpeg(blob)
-                    else:  # MJPEG: concatenated baseline JPEG frames
-                        frames = [
-                            decode_jpeg(fb) for fb in split_mjpeg_frames(blob)
-                        ]
-                        arr = np.stack(frames)
-                    out.append(
-                        {
-                            "media_id": r.media_id,
-                            "kind": r.kind,
-                            "pixels": (arr.astype(np.float64) / 255.0)
-                            .ravel()
-                            .tolist(),
-                            "shape": list(arr.shape),
-                        }
-                    )
+                    try:
+                        blob = bytes(r.data)
+                        if r.kind == "image":
+                            arr = decode_jpeg(blob)
+                        else:  # MJPEG: concatenated baseline JPEG frames
+                            frames = [
+                                decode_jpeg(fb)
+                                for fb in split_mjpeg_frames(blob)
+                            ]
+                            arr = np.stack(frames)
+                    except Exception as exc:
+                        if not quarantine:
+                            raise
+                        out.append(_bad_row(r, exc))
+                        continue
+                    out.append(_row(r, arr))
                 yield pd.DataFrame(out, columns=out_cols)
 
-        return df.mapInPandas(jpeg_batches, DECODED_SCHEMA)
+        return df.mapInPandas(jpeg_batches, out_schema)
 
     if codec == "png":
         df = df.filter(F.col("kind") == "image")
 
         def png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            out_cols = [f.name for f in DECODED_SCHEMA]
+            out_cols = [f.name for f in out_schema]
             for pdf in it:
                 out = []
                 for r in pdf.itertuples(index=False):
-                    arr = decode_png(bytes(r.data))
-                    out.append(
-                        {
-                            "media_id": r.media_id,
-                            "kind": r.kind,
-                            "pixels": (arr.astype(np.float64) / 255.0)
-                            .ravel()
-                            .tolist(),
-                            "shape": list(arr.shape),
-                        }
-                    )
+                    try:
+                        arr = decode_png(bytes(r.data))
+                    except Exception as exc:
+                        if not quarantine:
+                            raise
+                        out.append(_bad_row(r, exc))
+                        continue
+                    out.append(_row(r, arr))
                 yield pd.DataFrame(out, columns=out_cols)
 
-        return df.mapInPandas(png_batches, DECODED_SCHEMA)
+        return df.mapInPandas(png_batches, out_schema)
 
     if codec == "real":
         needs_pil = {"image", "video"} & set(kinds)

@@ -555,6 +555,56 @@ def test_decode_media_jpeg_image_and_mjpeg_video(spark):
     assert rows[2].pixels[-1] == 200 / 255.0
 
 
+def test_decode_media_quarantine_mode(spark):
+    """on_error='quarantine': corrupt blobs land in the err column with
+    empty pixels, good rows decode normally, the job never dies — the
+    media twin of the corrupt-record quarantine. Default mode must
+    still fail loudly on the same input."""
+    from anomaly_detection_iiot_spark.operators import multimodal as m
+
+    good = np.full((8, 8), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(m.encode_jpeg(good))),
+            (2, "image", bytearray(b"\xff\xd8 garbage not a jpeg")),
+            (3, "image", bytearray(m.encode_jpeg(good))[:-6]),  # truncated
+        ],
+        "media_id bigint, kind string, data binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in m.decode_media(df, codec="jpeg", on_error="quarantine")
+        .collect()
+    }
+    assert rows[1].err is None and rows[1].shape == [8, 8]
+    assert rows[1].pixels[0] == 77 / 255.0
+    for bad in (2, 3):
+        assert rows[bad].err and rows[bad].pixels == []
+
+    with pytest.raises(
+        Exception, match="truncated|expected marker|not a JPEG"
+    ):
+        m.decode_media(df, codec="jpeg").collect()
+
+    # png path too
+    png_df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(m.encode_png(good))),
+            (2, "image", bytearray(b"not a png at all")),
+        ],
+        "media_id bigint, kind string, data binary",
+    )
+    prows = {
+        r.media_id: r
+        for r in m.decode_media(png_df, codec="png", on_error="quarantine")
+        .collect()
+    }
+    assert prows[1].err is None and prows[2].err
+
+    with pytest.raises(NotImplementedError):
+        m.decode_media(df, codec="fake", on_error="quarantine")
+
+
 def test_decode_avi_frames_mapinpandas(spark):
     from anomaly_detection_iiot_spark.operators import multimodal as m
 
