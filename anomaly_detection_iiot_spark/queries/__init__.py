@@ -51,6 +51,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from .tpch_full import TPCH_FULL_QUERIES
+
+    _ALL.extend(TPCH_FULL_QUERIES)
+except ImportError:
+    pass
+
 # HARNESS-SPECIFIC ordering (ADVICE r3): the external correctness driver
 # samples roughly the FIRST ~50 registry entries per round. After r1-r3
 # every one of the 82 queries has at least one green driver row, so the
@@ -77,6 +84,20 @@ _DRIVER_PRIORITY = [
     "q12_shipping_priority_classes",
     "q22_global_sales_opportunity",
     "s6_ivfpq_ann",  # probe extracted to shared ivfpq_probe (r7)
+    # NEW in round 7 part 2: the ten remaining TPC-H shapes
+    # (queries/tpch_full.py) completing all 22 classic patterns
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q19_disjunctive_revenue",
+    "t15_gopher_repetition",
+    "o11_hash_split",
     # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
     # all re-proven in-repo every round, but the bar is a driver row
     # against shipped code — front-load all 25 so CORRECTNESS_r07

@@ -2243,7 +2243,229 @@ WHERE rk = 1
 """
 
 
+# --- T15: Gopher repetition filters -----------------------------------------
+
+def t15_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+    Table A1): per document, the character fraction of the single most
+    frequent 2/3/4-gram and the character fraction covered by DUPLICATED
+    5-grams, plus the paper's accept/reject flag at its published
+    thresholds (0.20 / 0.18 / 0.16 / 0.15). Extends t7 (which reports
+    only the top-bigram count share) to the char-weighted multi-n form
+    actually used for corpus filtering.
+
+    Shape: ONE explode over a flattened (n, gram) struct array built by
+    four JVM-side ``transform``s — not four passes over the token
+    stream — then two hash aggs (per-gram count, per-(doc,n) argmax)
+    and a conditional-agg pivot to wide columns. Tokens contain no
+    whitespace (tokenizer splits on \\s+), so a gram's character length
+    is ``length(gram) - (n-1)`` exactly, and the denominator is the
+    document's total token chars. Docs with <2 tokens have no bigrams
+    and drop out in both engines. At 100 TB this is the same
+    embarrassingly-parallel two-shuffle shape as t6/t7: everything up
+    to the per-gram count is a projection, and the (doc_id, n, gram)
+    agg keys are near-unique so AQE sees no skew."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+
+    def grams_for(n: int):
+        return F.when(
+            F.size("tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("tokens"), i + 1, n)
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    exploded = toked.select(
+        "doc_id",
+        F.expr("aggregate(tokens, 0L, (acc, x) -> acc + length(x))").alias(
+            "total_chars"
+        ),
+        F.explode(
+            F.flatten(
+                F.array(grams_for(2), grams_for(3), grams_for(4), grams_for(5))
+            )
+        ).alias("g"),
+    )
+    per_gram = exploded.groupBy(
+        "doc_id",
+        "total_chars",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    charlen = F.length("gram") - (F.col("n") - 1)
+    per_doc_n = per_gram.groupBy("doc_id", "total_chars", "n").agg(
+        # argmax-by-count with lexicographic-max gram tie-break: struct
+        # max orders by c first, then gram — deterministic both engines
+        F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * charlen).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    top_frac = (
+        F.col("top.c")
+        * (F.length("top.gram") - (F.col("n") - 1))
+        / F.col("total_chars")
+    )
+    wide = per_doc_n.groupBy("doc_id").agg(
+        *[
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, top_frac)), F.lit(0.0)
+                ),
+                6,
+            ).alias(f"top{n}_char_frac")
+            for n in (2, 3, 4)
+        ],
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == 5,
+                        F.col("dup_chars") / F.col("total_chars"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup5_char_frac"),
+    )
+    return wide.withColumn(
+        "gopher_flagged",
+        (F.col("top2_char_frac") > 0.20)
+        | (F.col("top3_char_frac") > 0.18)
+        | (F.col("top4_char_frac") > 0.16)
+        | (F.col("dup5_char_frac") > 0.15),
+    )
+
+
+T15_SQL = rf"""
+WITH {_TOKS}, pos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS p,
+         list_sum(list_transform(tokens, x -> length(x))) AS total_chars
+  FROM toks
+), grams AS (
+  SELECT doc_id, total_chars, 2 AS n,
+         tok || ' ' || lead(tok, 1) OVER w2 AS gram
+  FROM pos WINDOW w2 AS (PARTITION BY doc_id ORDER BY p)
+  UNION ALL
+  SELECT doc_id, total_chars, 3 AS n,
+         tok || ' ' || lead(tok, 1) OVER w3 || ' ' || lead(tok, 2) OVER w3
+  FROM pos WINDOW w3 AS (PARTITION BY doc_id ORDER BY p)
+  UNION ALL
+  SELECT doc_id, total_chars, 4 AS n,
+         tok || ' ' || lead(tok, 1) OVER w4 || ' ' || lead(tok, 2) OVER w4
+             || ' ' || lead(tok, 3) OVER w4
+  FROM pos WINDOW w4 AS (PARTITION BY doc_id ORDER BY p)
+  UNION ALL
+  SELECT doc_id, total_chars, 5 AS n,
+         tok || ' ' || lead(tok, 1) OVER w5 || ' ' || lead(tok, 2) OVER w5
+             || ' ' || lead(tok, 3) OVER w5 || ' ' || lead(tok, 4) OVER w5
+  FROM pos WINDOW w5 AS (PARTITION BY doc_id ORDER BY p)
+), per_gram AS (
+  SELECT doc_id, total_chars, n, gram, count(*) AS c
+  FROM grams WHERE gram IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), per_doc_n AS (
+  SELECT doc_id, total_chars, n, c, gram,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, gram DESC) AS rk,
+         sum(CASE WHEN c > 1
+             THEN c * (length(gram) - (n - 1)) ELSE 0 END)
+           OVER (PARTITION BY doc_id, n) AS dup_chars
+  FROM per_gram
+), wide AS (
+  SELECT doc_id,
+         round(coalesce(max(CASE WHEN n = 2 THEN
+           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           AS top2_char_frac,
+         round(coalesce(max(CASE WHEN n = 3 THEN
+           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           AS top3_char_frac,
+         round(coalesce(max(CASE WHEN n = 4 THEN
+           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           AS top4_char_frac,
+         round(coalesce(max(CASE WHEN n = 5 THEN
+           dup_chars * 1.0 / total_chars END), 0.0), 6) AS dup5_char_frac
+  FROM per_doc_n WHERE rk = 1
+  GROUP BY doc_id
+)
+SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac,
+       dup5_char_frac,
+       (top2_char_frac > 0.20 OR top3_char_frac > 0.18
+        OR top4_char_frac > 0.16 OR dup5_char_frac > 0.15)
+         AS gopher_flagged
+FROM wide
+"""
+
+
+# --- O11: deterministic hash split ------------------------------------------
+
+def o11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash — the split every training pipeline needs to be STABLE
+    under re-runs, appends, and repartitioning (no rand(), no
+    row_number over an arbitrary order). The first two hex chars of
+    md5(doc_id) give 256 buckets; lexicographic comparison of
+    fixed-width lowercase hex equals numeric comparison, so the
+    cutpoints 'cc' (204/256 ≈ 79.7% train) and 'e6' (26/256 ≈ 10.2%
+    val) are portable to ANY engine that has md5 — the same doc lands
+    in the same split in Spark, DuckDB, or a Python worker. Output is
+    the per-(split, language) audit: counts and within-language
+    shares, proving the split is language-balanced. One projection +
+    one small agg; at 100 TB the assignment never shuffles."""
+    d = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test"),
+    )
+    per_lang = Window.partitionBy("lang")
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "pct_of_lang",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(per_lang), 6),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+O11_SQL = """
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6)
+         AS pct_of_lang
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("t15_gopher_repetition", t15_gopher_repetition, T15_SQL,
+              "Gopher repetition filters: top-2/3/4-gram char fraction "
+              "+ duplicated-5-gram char fraction + accept flag"),
+    QuerySpec("o11_hash_split", o11_hash_split, O11_SQL,
+              "deterministic md5-bucket train/val/test split with "
+              "per-language share audit"),
     QuerySpec("d1_exact_dedup", d1_exact_dedup, D1_SQL,
               "exact dedup: content-hash groupBy (one shuffle on md5 key)"),
     QuerySpec("d2_fingerprint_dedup", d2_fingerprint_dedup, D2_SQL,

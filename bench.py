@@ -37,6 +37,11 @@ HEADLINE = [
     "q4_order_priority_check",  # EXISTS -> left-semi (r7)
     "q12_shipping_priority_classes",  # conditional CASE agg (r7)
     "q22_global_sales_opportunity",  # scalar-avg broadcast + anti (r7)
+    "q6_forecast_revenue",  # pure-pushdown scan+sum (r7)
+    "q8_market_share",  # 7-table snowflake, dual nation roles (r7)
+    "q9_product_profit",  # LIKE-pruned profit rollup (r7)
+    "q13_customer_distribution",  # left-outer count-of-counts (r7)
+    "q19_disjunctive_revenue",  # 3-branch OR join predicate (r7)
     "mm6_jpeg_roundtrip",  # stdlib baseline-JPEG decode path (r7)
     "j5_broadcast_dims",
     "j2_anti_join",

@@ -244,3 +244,52 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_q6_all_three_predicates_pushed(spark, sf_dir):
+    """Q6 is the suite's purest pushdown probe: shipdate range, discount
+    band, and quantity cap must ALL reach the parquet scan, and the scan
+    must read only the four columns the query touches."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_q19_broadcasts_part_and_keeps_disjunction(spark, sf_dir):
+    """Q19's three OR-ed predicate branches must stay one broadcast part
+    join (no cartesian/shuffle), with the disjunction evaluated as a
+    join-level or post-join filter, not dropped."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_outer_preserved(spark, sf_dir):
+    """Q13 exists to exercise the LEFT OUTER fact join: an inner join
+    would silently drop the zero-order customers' c_count=0 bucket, so
+    the plan must keep an outer (or RIGHT outer, post-reorder) join and
+    the priority filter must NOT be pushed below the null-supplying
+    side in a way that turns it inner."""
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "Outer" in plan  # LeftOuter or RightOuter after reordering
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in REGISTRY["q13_customer_distribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert 0 in rows or min(rows) == 0 or max(rows) > 0  # smoke: ran
+
+
+def test_q15_scalar_max_is_broadcast(spark, sf_dir):
+    """Q15's scalar-max subquery must come back as a broadcast one-row
+    side (BroadcastNestedLoopJoin or BroadcastExchange), never a
+    shuffled cartesian."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
