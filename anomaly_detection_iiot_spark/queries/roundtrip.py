@@ -249,6 +249,47 @@ FROM events GROUP BY user_id
 """
 
 
+# --- S12: ORC partitioned sink + pruned scan ---------------------------------
+
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip through a hive-partitioned layout: event detail
+    rows written ``partitionBy(shard)`` to ORC, read back with a shard
+    predicate, aggregated per user. The shard filter must resolve to
+    directory-level PartitionFilters on the read (asserted in
+    tests/test_plans.py) — at 100 TB the scan touches 1/8th of the
+    files, not 1/8th of the rows. Doubles and timestamps ride ORC's
+    native types, so parse-back is bit-exact and only the final sum is
+    rounded. The oracle recomputes straight from the events parquet
+    (user_id % 8 mirrors the shard derivation), so a value-hash match
+    proves the sink layout + pruned scan, not just the agg. The tiny
+    eager write at construction follows the module's sink contract
+    (module docstring)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 64)
+    detail = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="s12_orc_"), "detail")
+    detail.write.mode("overwrite").partitionBy("shard").orc(out_dir)
+    back = spark.read.orc(out_dir).filter(F.col("shard") == 3)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+S12_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_v,
+       max(ts) AS last_ts
+FROM events
+WHERE user_id < 64 AND user_id % 8 = 3
+GROUP BY user_id
+"""
+
+
 # --- S5/P3/P4/P5 composite: KBM reader round-trip + anomaly labels ------------
 
 def k1_kbm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,4 +460,7 @@ ROUNDTRIP_QUERIES: list[QuerySpec] = [
               "rollup (logger.py:49-97)"),
     QuerySpec("s11_log_scan", s11_log_scan, S11_SQL,
               "S11 Keras-stdout log scanner (logger.py:106-161)"),
+    QuerySpec("s12_orc_roundtrip", s12_orc_roundtrip, S12_SQL,
+              "ORC partitioned sink + pruned scan round-trip "
+              "(hive-style shard layout, PartitionFilters-proven)"),
 ]

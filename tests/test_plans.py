@@ -293,3 +293,13 @@ def test_q15_scalar_max_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q15_top_supplier")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s12_orc_scan_partition_pruned(spark, sf_dir):
+    """The s12 ORC read must prune at the directory level: the shard
+    predicate appears as a PartitionFilters entry on the ORC scan, and
+    never as a post-scan row filter alone."""
+    plan = _plan(spark, sf_dir, "s12_orc_roundtrip")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "shard" in pf
