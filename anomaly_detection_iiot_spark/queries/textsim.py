@@ -2307,10 +2307,15 @@ def t15_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c") > 1, F.col("c") * charlen).otherwise(F.lit(0))
         ).alias("dup_chars"),
     )
-    top_frac = (
+    # occurrences OVERLAP (a 50x-repeated token's bigram occurs 49
+    # times but covers only the doc once), so the c*len product is the
+    # standard upper-bound approximation — clamp to 1.0, the exact
+    # value for the fully-covered case
+    top_frac = F.least(
+        F.lit(1.0),
         F.col("top.c")
         * (F.length("top.gram") - (F.col("n") - 1))
-        / F.col("total_chars")
+        / F.col("total_chars"),
     )
     wide = per_doc_n.groupBy("doc_id").agg(
         *[
@@ -2327,7 +2332,10 @@ def t15_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(
                     F.when(
                         F.col("n") == 5,
-                        F.col("dup_chars") / F.col("total_chars"),
+                        F.least(
+                            F.lit(1.0),
+                            F.col("dup_chars") / F.col("total_chars"),
+                        ),
                     )
                 ),
                 F.lit(0.0),
@@ -2383,16 +2391,20 @@ WITH {_TOKS}, pos AS (
 ), wide AS (
   SELECT doc_id,
          round(coalesce(max(CASE WHEN n = 2 THEN
-           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           least(1.0, c * (length(gram) - (n - 1)) * 1.0 / total_chars)
+           END), 0.0), 6)
            AS top2_char_frac,
          round(coalesce(max(CASE WHEN n = 3 THEN
-           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           least(1.0, c * (length(gram) - (n - 1)) * 1.0 / total_chars)
+           END), 0.0), 6)
            AS top3_char_frac,
          round(coalesce(max(CASE WHEN n = 4 THEN
-           c * (length(gram) - (n - 1)) * 1.0 / total_chars END), 0.0), 6)
+           least(1.0, c * (length(gram) - (n - 1)) * 1.0 / total_chars)
+           END), 0.0), 6)
            AS top4_char_frac,
          round(coalesce(max(CASE WHEN n = 5 THEN
-           dup_chars * 1.0 / total_chars END), 0.0), 6) AS dup5_char_frac
+           least(1.0, dup_chars * 1.0 / total_chars) END), 0.0), 6)
+           AS dup5_char_frac
   FROM per_doc_n WHERE rk = 1
   GROUP BY doc_id
 )
