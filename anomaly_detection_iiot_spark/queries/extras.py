@@ -589,7 +589,55 @@ FROM b
 """
 
 
+# --- O12: decile report (ntile + percent_rank) ------------------------------
+
+def o12_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length deciles: ntile(10) bucket sizes with
+    each decile's mean length and upper percent_rank — the ranking
+    window functions (ntile, percent_rank) the suite didn't yet
+    exercise, in the shape a corpus-balance report uses. Ordering ties
+    break on doc_id so bucket assignment is deterministic across
+    engines. One shuffle on the lang partition; the per-decile agg
+    rides the same partitioning."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+O12_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+)
+SELECT lang, decile, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(max(pr), 6) AS max_pct_rank
+FROM ranked
+GROUP BY lang, decile
+ORDER BY lang, decile
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("o12_decile_report", o12_decile_report, O12_SQL,
+              "O12 ntile/percent_rank decile report per language"),
     QuerySpec("w16_sliding_windows", w16_sliding_windows, W16_SQL,
               "sliding event-time windows (1h every 30min) via "
               "F.window, epoch-compared"),

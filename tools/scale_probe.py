@@ -61,6 +61,13 @@ QUERY_NAMES = {
     "s4": "s4_hyperplane_ann",
     "s6": "s6_ivfpq_ann",
     "d13": "d13_incremental_semdedup",
+    # TPC-H fact-join heavies: probed with --sf-series (the sf0.001 ->
+    # sf0.1 testdata dirs ARE the 1x/10x/100x axis — real generated
+    # data, no inflation needed)
+    "q9": "q9_product_profit",
+    "q13": "q13_customer_distribution",
+    "q18": "q18_large_volume_customers",
+    "q21": "q21_waiting_suppliers",
 }
 
 
@@ -340,6 +347,13 @@ def main() -> None:
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--queries", default="d3,d4,d8")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--sf-series",
+        default=None,
+        help="comma list of sf dirs used as the 1x/10x/100x axis "
+        "directly (TPC-H mode: lineitem row count scales with sf, no "
+        "document inflation)",
+    )
     ap.add_argument("--run-one", nargs=3, metavar=("QUERY", "SF_DIR", "LOG_DIR"))
     args = ap.parse_args()
 
@@ -351,8 +365,15 @@ def main() -> None:
     queries = args.queries.split(",")
 
     dirs: dict[int, str] = {}
-    for n in scales:
-        dirs[n] = args.sf_dir if n == 1 else inflate_documents(args.sf_dir, n)
+    if args.sf_series:
+        series = args.sf_series.split(",")
+        scales = [10 ** i for i in range(len(series))]
+        dirs = dict(zip(scales, series))
+    else:
+        for n in scales:
+            dirs[n] = (
+                args.sf_dir if n == 1 else inflate_documents(args.sf_dir, n)
+            )
 
     def _child(q: str, n: int, logdir: str) -> dict | None:
         proc = subprocess.run(
@@ -398,6 +419,8 @@ def main() -> None:
     base_rows = {
         "d3": 5000, "d4": 5000, "d8": 5000, "d9": 2000, "d12": 5000,
         "s4": 2000, "s6": 2000, "d13": 2000,
+        # TPC-H probes scan lineitem; base = sf0.001 rows
+        "q9": 6000, "q13": 6000, "q18": 6000, "q21": 6000,
     }
     for q in queries:
         for n in scales:
