@@ -319,7 +319,111 @@ FROM px GROUP BY 1
 """
 
 
+# --- MM7: framed audio features (RMS + zero-crossing rate) -------------------
+
+def mm7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio feature extraction — the per-window stats
+    (RMS energy, zero-crossing rate) a speech pipeline computes before
+    VAD/segmentation. Same integer-exact WAV synthesis as mm3 but with
+    a DEFINED sample order (samples sorted by event_id) so framing is
+    deterministic; the decoded PCM array is split into 64-sample
+    frames with sequence/slice, and both features are JVM-side array
+    expressions over each frame — the decode is the only Python step.
+    The zcr sign convention (x >= 0) is division-invariant, so the
+    normalized-float Spark side and the raw-integer oracle agree
+    exactly. At 100 TB this is the mapInPandas decode followed by a
+    pure projection: no shuffle at all until someone aggregates."""
+    import io
+    import wave
+
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    rows = ev.select("user_id", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.event_id)
+    blobs = []
+    for uid, eids in sorted(series.items()):
+        samples = np.array(
+            [(e % 65536) - 32768 for e in sorted(eids)], dtype=np.int16
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        blobs.append((uid, "audio", bytearray(buf.getvalue())))
+    media = spark.createDataFrame(
+        blobs, "media_id bigint, kind string, data binary"
+    )
+    decoded = multimodal.decode_media(media, codec="real", kinds=("audio",))
+    framed = decoded.select(
+        "media_id",
+        "pixels",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("pixels") - 1) / 64).cast("int")
+            )
+        ).alias("frame"),
+    ).select(
+        "media_id",
+        F.col("frame").cast("bigint").alias("frame"),
+        F.slice(
+            "pixels", F.col("frame") * 64 + 1, F.lit(64)
+        ).alias("fr"),
+    )
+    n_f = F.size("fr")
+    sum_sq = F.aggregate("fr", F.lit(0.0), lambda a, x: a + x * x)
+    # guard: a 1-sample trailing frame would make sequence(1, 0) count
+    # DOWN ([1, 0]) and index out of bounds — no pair, no crossings
+    zcr = F.when(
+        n_f >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n_f - 1),
+                lambda i: (F.element_at(F.col("fr"), i) >= 0)
+                != (F.element_at(F.col("fr"), i + 1) >= 0),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return framed.select(
+        "media_id",
+        "frame",
+        n_f.cast("bigint").alias("n_samples"),
+        F.round(F.sqrt(sum_sq / n_f), 6).alias("rms"),
+        zcr.cast("bigint").alias("zcr"),
+    )
+
+
+MM7_SQL = """
+WITH s AS (
+  SELECT user_id, ((event_id % 65536) - 32768) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS idx
+  FROM events WHERE user_id < 8
+), f AS (
+  SELECT user_id, idx // 64 AS frame, v,
+         lead(v) OVER (PARTITION BY user_id, idx // 64 ORDER BY idx)
+           AS nxt
+  FROM s
+)
+SELECT user_id AS media_id,
+       CAST(frame AS BIGINT) AS frame,
+       count(*) AS n_samples,
+       round(sqrt(sum((v / 32768.0) * (v / 32768.0)) / count(*)), 6)
+         AS rms,
+       CAST(sum(CASE WHEN nxt IS NOT NULL AND ((v >= 0) != (nxt >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM f GROUP BY 1, 2
+"""
+
+
 MEDIA_QUERIES: list[QuerySpec] = [
+    QuerySpec("mm7_audio_frames", mm7_audio_frames, MM7_SQL,
+              "framed audio features: 64-sample RMS + zero-crossing "
+              "rate, JVM array expressions over real WAV decode"),
     QuerySpec("mm6_jpeg_roundtrip", mm6_jpeg_roundtrip, MM6_SQL,
               "real baseline-JPEG round-trip: stdlib Huffman + numpy "
               "IDCT, integer-exact uniform-block oracle"),
