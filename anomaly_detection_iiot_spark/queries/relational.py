@@ -748,7 +748,7 @@ WITH big AS (
   FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
 )
 SELECT c_name, c_custkey, o_orderkey,
-       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date,
        round(o_totalprice, 2) AS o_totalprice,
        round(sum_qty, 2) AS sum_qty
 FROM orders

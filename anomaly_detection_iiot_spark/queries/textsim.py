@@ -2114,7 +2114,7 @@ WITH r AS (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
          ) AS stratum_rank
   FROM documents
 )
@@ -2455,9 +2455,9 @@ def o11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 O11_SQL = """
 WITH assigned AS (
   SELECT lang,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
               THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'
               THEN 'val'
               ELSE 'test' END AS split
   FROM documents

@@ -1,0 +1,76 @@
+"""SQL-surface parity: the oracle SQL text, run through spark.sql over
+the registered views, must return exactly what the DataFrame builder
+returns — same session, same planner, two input surfaces.
+
+Queries whose oracle uses DuckDB-only syntax (list_* lambdas,
+generate_subscripts, QUALIFY, // integer division, string_split_regex)
+are out of scope by construction; the TPC-H family plus the plain
+relational/aggregate shapes below all stick to the shared ANSI subset.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from anomaly_detection_iiot_spark.queries import REGISTRY
+from anomaly_detection_iiot_spark.sql_frontend import run_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ANSI_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "o11_hash_split",
+    "o12_decile_report",
+]
+
+
+def _key(row):
+    # Spark SQL types a `* 1.0` literal as DECIMAL where the DataFrame
+    # side used a double — same value, different carrier; normalize
+    from decimal import Decimal
+
+    return tuple(
+        round(float(v), 6) if isinstance(v, (float, Decimal)) else v
+        for v in row
+    )
+
+
+@pytest.mark.parametrize("name", ANSI_QUERIES)
+def test_sql_text_matches_dataframe_plan(spark, name):
+    spec = REGISTRY[name]
+    df_rows = spec.fn(spark, SF_DIR).collect()
+    sql_df = run_sql(spark, SF_DIR, spec.oracle)
+    assert sql_df.columns == list(df_rows[0].asDict().keys()) if df_rows else True
+    sql_rows = sql_df.collect()
+    assert len(sql_rows) == len(df_rows)
+    got = sorted(_key(tuple(r)) for r in sql_rows)
+    want = sorted(_key(tuple(r)) for r in df_rows)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                    name, a, b
+                )
+            else:
+                assert a == b, (name, a, b)
