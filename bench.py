@@ -53,6 +53,7 @@ HEADLINE = [
     "m13_auc",
     "o4_top1_per_user",
     # text / dedup / similarity / ML families
+    "t15_gopher_repetition",  # 4-way n-gram explode + two hash aggs (r7)
     "d4_lsh_candidates",
     "d10_incremental_lsh",  # batch vs at-rest band index (r6)
     "d8_dup_clusters",  # transitive-closure loop: rounds x O(|edges|) shuffle
