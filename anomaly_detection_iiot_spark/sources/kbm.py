@@ -68,3 +68,83 @@ def with_anomaly_labels(
         joined.groupBy(*df.columns)
         .agg(F.max(F.col("anom_ts").isNotNull().cast("int")).alias("is_anomaly"))
     )
+
+
+# --- corrupt-record quarantine (ingestion twin of the media decode
+# quarantine mode in operators/multimodal.py) --------------------------------
+
+KBM_QUARANTINE_SCHEMA = (
+    "`vibration-x` STRING, `vibration-y` STRING, `vibration-z` STRING, "
+    "tags STRING, time STRING, _corrupt STRING"
+)
+
+
+def read_kbm_csv_quarantined(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE scan that never fails the job on bad input: returns
+    (good, quarantine). Structurally broken lines land in Spark's
+    corrupt-record column; rows that parse structurally but carry an
+    unparseable number or timestamp are routed to quarantine with a
+    typed ``reason`` instead of poisoning downstream math with nulls.
+
+    At 100 TB one malformed line in one of a million CSVs must not kill
+    the ingest job (fail-fast is the right default for the CURATED
+    bearing snapshots, wrong for raw machine exports) — and silent
+    null-coercion is worse: the quarantine frame is a first-class
+    output to count, sample, and re-ingest after a fix. Single pass,
+    no shuffle: both frames are filters over the same scan, and
+    Spark's scan reuse means the file is read once when both are
+    consumed in one job.
+    """
+    raw = (
+        spark.read.schema(KBM_QUARANTINE_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    vx = F.col("vibration-x").try_cast("double")
+    vy = F.col("vibration-y").try_cast("double")
+    vz = F.col("vibration-z").try_cast("double")
+    ts = parse_ts_multi(F.substring_index(F.col("time"), ".", 1))
+    annotated = raw.select(
+        "*",
+        vx.alias("_vx"),
+        vy.alias("_vy"),
+        vz.alias("_vz"),
+        ts.alias("_ts"),
+    ).withColumn(
+        "reason",
+        F.when(F.col("_corrupt").isNotNull(), "malformed_row")
+        .when(
+            (F.col("_vx").isNull() & F.col("`vibration-x`").isNotNull())
+            | (F.col("_vy").isNull() & F.col("`vibration-y`").isNotNull())
+            | (F.col("_vz").isNull() & F.col("`vibration-z`").isNotNull()),
+            "bad_number",
+        )
+        .when(F.col("_ts").isNull(), "bad_timestamp"),
+    )
+    temp = F.regexp_extract(
+        F.col("tags"), r"temperature=([0-9.eE+\-]+)", 1
+    ).cast("double")
+    good = (
+        annotated.filter(F.col("reason").isNull())
+        .select(
+            F.col("_vx").alias("vibration_x"),
+            F.col("_vy").alias("vibration_y"),
+            F.col("_vz").alias("vibration_z"),
+            temp.alias("temperature"),
+            F.substring_index(F.col("time"), ".", 1).alias("time_sec"),
+            F.col("_ts").alias("ts"),
+        )
+        .orderBy("ts")
+    )
+    quarantine = annotated.filter(F.col("reason").isNotNull()).select(
+        "reason",
+        F.col("_corrupt").alias("corrupt_record"),
+        F.col("`vibration-x`").alias("raw_vx"),
+        "tags",
+        "time",
+    )
+    return good, quarantine

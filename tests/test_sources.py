@@ -183,3 +183,50 @@ def test_schema_evolution_merge_and_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(v,15.0)" in plan
     assert [r["id"] for r in filtered.collect()] == [3]
+
+
+class TestKbmQuarantine:
+    def _write(self, tmp_path):
+        p = tmp_path / "kbm.csv"
+        p.write_text(
+            "vibration-x,vibration-y,vibration-z,tags,time\n"
+            "0.1,0.2,0.3,machine=a temperature=21.5,2022-01-01 00:00:01.5\n"
+            "0.4,0.5,0.6,machine=a temperature=22.0,01/01/2022 00:00:02\n"
+            "not_a_number,0.5,0.6,machine=a temperature=22.0,2022-01-01 00:00:03\n"
+            "0.7,0.8,0.9,machine=a temperature=23.0,garbage-timestamp\n"
+            "0.1,0.2\n"  # structurally short row
+        )
+        return str(p)
+
+    def test_split_and_reasons(self, spark, tmp_path):
+        from anomaly_detection_iiot_spark.sources.kbm import (
+            read_kbm_csv_quarantined,
+        )
+
+        good, quar = read_kbm_csv_quarantined(spark, self._write(tmp_path))
+        g = good.collect()
+        assert [r.vibration_x for r in g] == [0.1, 0.4]
+        assert all(r.ts is not None for r in g)
+        assert {r.temperature for r in g} == {21.5, 22.0}
+        reasons = sorted(r.reason for r in quar.collect())
+        assert reasons == ["bad_number", "bad_timestamp", "malformed_row"]
+
+    def test_good_rows_match_failfast_reader_on_clean_input(
+        self, spark, tmp_path
+    ):
+        from anomaly_detection_iiot_spark.sources.kbm import (
+            read_kbm_csv,
+            read_kbm_csv_quarantined,
+        )
+
+        p = tmp_path / "clean.csv"
+        p.write_text(
+            "vibration-x,vibration-y,vibration-z,tags,time\n"
+            "0.1,0.2,0.3,temperature=21.5,2022-01-01 00:00:01.5\n"
+            "0.4,0.5,0.6,temperature=22.0,2022-01-01 00:00:02.0\n"
+        )
+        good, quar = read_kbm_csv_quarantined(spark, str(p))
+        assert quar.count() == 0
+        a = [tuple(r) for r in good.collect()]
+        b = [tuple(r) for r in read_kbm_csv(spark, str(p)).collect()]
+        assert a == b
