@@ -260,18 +260,22 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name, c_acctbal, revenue
 FROM (
-  SELECT c_custkey, c_name, n_name, c_acctbal,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ON c_nationkey = n_nationkey
-  WHERE l_returnflag = 'R'
-    AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-  GROUP BY c_custkey, c_name, n_name, c_acctbal
+  SELECT c_custkey, c_name, n_name, c_acctbal, revenue,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+  FROM (
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+  )
 )
-QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+WHERE rn <= 20
 ORDER BY revenue DESC, c_custkey
 """
 

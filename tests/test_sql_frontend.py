@@ -21,7 +21,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 ANSI_QUERIES = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_top_revenue_orders",
+    "q10_returned_items",
+    "q20_potential_promotion",
     "q4_order_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
