@@ -104,6 +104,38 @@ def read_kbm_csv_quarantined(
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
     )
+    return quarantine_split(raw)
+
+
+def read_kbm_csv_quarantined_stream(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``read_kbm_csv_quarantined``: the same
+    PERMISSIVE schema + split over ``readStream`` file discovery, so a
+    continuously-landing directory of raw machine CSVs yields two
+    streams — clean rows onward, quarantine to its own sink. The split
+    is stateless (two filters over one projection), so it composes
+    with any downstream watermark/window without extra state;
+    tests/test_sources.py proves stream==batch row equality. The good
+    stream omits the batch reader's global orderBy (unsupported and
+    meaningless on an unbounded stream — downstream event-time
+    operators order by watermark instead)."""
+    raw = (
+        spark.readStream.schema(KBM_QUARANTINE_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    good, quarantine = quarantine_split(raw, ordered=False)
+    return good, quarantine
+
+
+def quarantine_split(
+    raw: DataFrame, ordered: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a PERMISSIVE KBM scan — batch or
+    streaming; the logic is a pure projection + two filters."""
     vx = F.col("vibration-x").try_cast("double")
     vy = F.col("vibration-y").try_cast("double")
     vz = F.col("vibration-z").try_cast("double")
@@ -128,18 +160,16 @@ def read_kbm_csv_quarantined(
     temp = F.regexp_extract(
         F.col("tags"), r"temperature=([0-9.eE+\-]+)", 1
     ).cast("double")
-    good = (
-        annotated.filter(F.col("reason").isNull())
-        .select(
-            F.col("_vx").alias("vibration_x"),
-            F.col("_vy").alias("vibration_y"),
-            F.col("_vz").alias("vibration_z"),
-            temp.alias("temperature"),
-            F.substring_index(F.col("time"), ".", 1).alias("time_sec"),
-            F.col("_ts").alias("ts"),
-        )
-        .orderBy("ts")
+    good = annotated.filter(F.col("reason").isNull()).select(
+        F.col("_vx").alias("vibration_x"),
+        F.col("_vy").alias("vibration_y"),
+        F.col("_vz").alias("vibration_z"),
+        temp.alias("temperature"),
+        F.substring_index(F.col("time"), ".", 1).alias("time_sec"),
+        F.col("_ts").alias("ts"),
     )
+    if ordered:
+        good = good.orderBy("ts")
     quarantine = annotated.filter(F.col("reason").isNotNull()).select(
         "reason",
         F.col("_corrupt").alias("corrupt_record"),

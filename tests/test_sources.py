@@ -230,3 +230,47 @@ class TestKbmQuarantine:
         a = [tuple(r) for r in good.collect()]
         b = [tuple(r) for r in read_kbm_csv(spark, str(p)).collect()]
         assert a == b
+
+    def test_streaming_split_equals_batch(self, spark, tmp_path):
+        """Two CSV files landed in a watched dir: the streaming
+        quarantine split must yield exactly the batch reader's rows on
+        both branches (modulo the batch global order)."""
+        from anomaly_detection_iiot_spark.sources.kbm import (
+            read_kbm_csv_quarantined,
+            read_kbm_csv_quarantined_stream,
+        )
+
+        d = tmp_path / "landing"
+        d.mkdir()
+        (d / "a.csv").write_text(
+            "vibration-x,vibration-y,vibration-z,tags,time\n"
+            "0.1,0.2,0.3,temperature=21.5,2022-01-01 00:00:01.5\n"
+            "oops,0.5,0.6,temperature=22.0,2022-01-01 00:00:03\n"
+        )
+        (d / "b.csv").write_text(
+            "vibration-x,vibration-y,vibration-z,tags,time\n"
+            "0.4,0.5,0.6,temperature=22.0,01/01/2022 00:00:02\n"
+            "0.7,0.8,0.9,temperature=23.0,not-a-time\n"
+        )
+        good_s, quar_s = read_kbm_csv_quarantined_stream(spark, str(d))
+        for sdf, name in ((good_s, "kbmq_good"), (quar_s, "kbmq_quar")):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        good_b, quar_b = read_kbm_csv_quarantined(spark, str(d))
+
+        def rows(df):
+            return sorted(
+                tuple(r) for r in df.collect()
+            )
+
+        assert rows(spark.table("kbmq_good")) == rows(good_b)
+        assert rows(spark.table("kbmq_quar")) == rows(quar_b)
+        assert len(rows(spark.table("kbmq_good"))) == 2
+        reasons = sorted(r.reason for r in spark.table("kbmq_quar").collect())
+        assert reasons == ["bad_number", "bad_timestamp"]
