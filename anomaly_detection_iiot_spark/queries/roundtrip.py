@@ -176,7 +176,7 @@ WITH ranked AS (
            AS rn
   FROM events WHERE user_id < {_S1_USERS}
 )
-SELECT CAST(user_id AS VARCHAR) AS channel,
+SELECT CAST(user_id AS STRING) AS channel,
        count(*) AS n_samples,
        round(sum(value), 6) AS sum_v,
        CAST({_S1_SAMPLES - 1} AS BIGINT) AS max_idx,
@@ -352,6 +352,69 @@ FROM src
 """
 
 
+# --- K2: quarantine split proven against events -------------------------------
+
+def k2_kbm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrupt-record quarantine path oracle-proven: events are
+    re-rendered as KBM CSV with DETERMINISTIC corruption injected by
+    event-id class (id % 13 == 1 → unparseable vibration-x, == 0 →
+    unparseable time, everything else clean), read back through
+    ``read_kbm_csv_quarantined``, and reduced to per-bucket counts plus
+    the good bucket's recovered vibration-x sum. The oracle recomputes
+    all three buckets straight from events — a match proves the
+    PERMISSIVE scan routed every row to the right branch AND that
+    clean values survive the trip bit-exact (doubles ride the CSV as
+    shortest-round-trip strings; only the final sum is rounded).
+    Structural corruption (malformed_row) can't be written through a
+    schema'd CSV sink, so that branch stays pytest-covered
+    (tests/test_sources.py)."""
+    from ..sources.kbm import read_kbm_csv_quarantined
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    mod = F.pmod(F.col("event_id"), F.lit(13))
+    kbm = ev.select(
+        F.when(mod == 1, F.lit("vx_bad"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("vibration-x"),
+        (F.col("value") * 2).alias("vibration-y"),
+        (-F.col("value")).alias("vibration-z"),
+        F.concat(F.lit("temperature="), F.col("value").cast("string"))
+        .alias("tags"),
+        F.when(mod == 0, F.lit("BADTIME"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS"))
+        .alias("time"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="k2_kbm_"), "kbm")
+    kbm.write.option("header", "true").mode("overwrite").csv(out_dir)
+    good, quar = read_kbm_csv_quarantined(spark, out_dir)
+    good_agg = good.agg(
+        F.lit("good").alias("bucket"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("vibration_x"), 6).alias("sum_vx"),
+    )
+    quar_agg = quar.groupBy(F.col("reason").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0.0).alias("sum_vx"),
+    )
+    return good_agg.unionByName(quar_agg).orderBy("bucket")
+
+
+K2_SQL = """
+WITH e AS (
+  SELECT event_id, value FROM events WHERE user_id < 20
+)
+SELECT 'bad_number' AS bucket, count(*) AS n, 0.0 AS sum_vx
+FROM e WHERE event_id % 13 = 1
+UNION ALL
+SELECT 'bad_timestamp', count(*), 0.0
+FROM e WHERE event_id % 13 = 0
+UNION ALL
+SELECT 'good', count(*), round(sum(value), 6)
+FROM e WHERE event_id % 13 NOT IN (0, 1)
+ORDER BY bucket
+"""
+
+
 # --- S10: resource-log sink + scan round-trip ---------------------------------
 
 def s10_resource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,6 +523,9 @@ ROUNDTRIP_QUERIES: list[QuerySpec] = [
               "rollup (logger.py:49-97)"),
     QuerySpec("s11_log_scan", s11_log_scan, S11_SQL,
               "S11 Keras-stdout log scanner (logger.py:106-161)"),
+    QuerySpec("k2_kbm_quarantine", k2_kbm_quarantine, K2_SQL,
+              "corrupt-record quarantine round-trip: per-reason "
+              "routing + bit-exact clean values vs events"),
     QuerySpec("s12_orc_roundtrip", s12_orc_roundtrip, S12_SQL,
               "ORC partitioned sink + pruned scan round-trip "
               "(hive-style shard layout, PartitionFilters-proven)"),
