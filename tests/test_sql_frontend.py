@@ -44,6 +44,30 @@ ANSI_QUERIES = [
     "q22_global_sales_opportunity",
     "o11_hash_split",
     "o12_decile_report",
+    # relational / aggregate / round-trip shapes whose oracle text is
+    # also valid Spark SQL verbatim (verified by running them)
+    "a7_resource_aggs",
+    "p2_positional_select",
+    "k2_kbm_quarantine",
+    "mm3_audio_roundtrip",
+    "j1_semi_join",
+    "j2_anti_join",
+    "o4_top1_per_user",
+    "o5_head_slice",
+    "a10_rollup",
+    "a11_cube",
+    "m12_confusion",
+    "o7_funnel",
+    "a15_histogram",
+    "m14_calibration",
+    "w14_ewma",
+    "j4_range_join",
+    "m13_auc",
+    "o1_time_sort",
+    "p4_ts_truncate",
+    "s6_json_roundtrip",
+    "s12_orc_roundtrip",
+    "s10_resource_roundtrip",
 ]
 
 
@@ -66,13 +90,17 @@ def test_sql_text_matches_dataframe_plan(spark, name):
     assert sql_df.columns == list(df_rows[0].asDict().keys()) if df_rows else True
     sql_rows = sql_df.collect()
     assert len(sql_rows) == len(df_rows)
-    got = sorted(_key(tuple(r)) for r in sql_rows)
-    want = sorted(_key(tuple(r)) for r in df_rows)
+    # repr-keyed sort: total order even with NULL rollup/cube keys
+    got = sorted((_key(tuple(r)) for r in sql_rows), key=repr)
+    want = sorted((_key(tuple(r)) for r in df_rows), key=repr)
     for g, w in zip(got, want):
         assert len(g) == len(w)
         for a, b in zip(g, w):
             if isinstance(a, float) and isinstance(b, float):
-                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                # both surfaces round(…, 6); a sum whose true value sits
+                # on a .5e-6 boundary can flip the last digit between
+                # expression shapes — allow exactly that one ulp
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1.1e-6), (
                     name, a, b
                 )
             else:
