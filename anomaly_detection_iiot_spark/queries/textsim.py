@@ -2264,7 +2264,11 @@ def t15_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drop out in both engines. At 100 TB this is the same
     embarrassingly-parallel two-shuffle shape as t6/t7: everything up
     to the per-gram count is a projection, and the (doc_id, n, gram)
-    agg keys are near-unique so AQE sees no skew."""
+    agg keys are near-unique so AQE sees no skew. In practice the plan
+    is even tighter than two shuffles: both groupBy key sets contain
+    doc_id, so the scan's CPU-spreading doc_id repartition satisfies
+    BOTH aggregations' required distributions and the whole query runs
+    with a single Exchange (pinned in tests/test_plans.py)."""
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
 
     def grams_for(n: int):

@@ -303,3 +303,20 @@ def test_s12_orc_scan_partition_pruned(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "shard" in pf
+
+
+def test_t15_single_explode_two_shuffles(spark, sf_dir):
+    """t15 builds all four n-gram streams inside ONE flattened struct
+    array — the plan must show exactly one Generate (explode) and at
+    most the documented two aggregation shuffles on top of the scan's
+    CPU-spreading repartition."""
+    import re
+
+    plan = _plan(spark, sf_dir, "t15_gopher_repetition")
+    ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    names = [n for _, n in ops]
+    assert names.count("Generate") == 1
+    # even better than two: the doc_id repartition satisfies BOTH
+    # groupBys' distributions (keys are doc_id supersets), so the only
+    # exchange in the whole plan is the CPU-spreading repartition
+    assert names.count("Exchange") == 1, names
