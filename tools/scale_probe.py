@@ -64,6 +64,7 @@ QUERY_NAMES = {
     # TPC-H fact-join heavies: probed with --sf-series (the sf0.001 ->
     # sf0.1 testdata dirs ARE the 1x/10x/100x axis — real generated
     # data, no inflation needed)
+    "t15": "t15_gopher_repetition",
     "q9": "q9_product_profit",
     "q13": "q13_customer_distribution",
     "q18": "q18_large_volume_customers",
@@ -421,6 +422,7 @@ def main() -> None:
         "s4": 2000, "s6": 2000, "d13": 2000,
         # TPC-H probes scan lineitem; base = sf0.001 rows
         "q9": 6000, "q13": 6000, "q18": 6000, "q21": 6000,
+        "t15": 5000,
     }
     for q in queries:
         for n in scales:
