@@ -677,6 +677,48 @@ WHERE rk <= 10
 """
 
 
+# --- S7: metadata-filtered ANN ------------------------------------------------
+
+def s7_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k cosine restricted to candidates
+    matching a metadata predicate (here ``label = 3``), the
+    vector-database feature every retrieval pipeline needs
+    (per-class / per-tenant / per-license search). PRE-filtered, not
+    post-filtered: the predicate pushes into the parquet scan (pinned
+    in tests/test_plans.py), so only matching vectors are ever scored
+    and the result is guaranteed k matching rows — post-filtering a
+    global top-k can return fewer. At 100 TB with a selective filter
+    this composes with the IVF path (filter inside each probed cell);
+    the brute-force form here IS the oracle-checkable baseline of that
+    contract."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cand = e.filter(F.col("label") == 3).select("vec_id", "embedding")
+    return similarity.brute_force_topk(cand, queries, k=10)
+
+
+S7_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * e.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+  FROM q JOIN e ON e.vec_id != q.qid
+  WHERE e.label = 3
+)
+SELECT qid, cid, round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+
+
 # --- S2: IVF-bucketed ANN (the 100 TB path) ----------------------------------
 
 def s2_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2476,6 +2518,9 @@ ORDER BY split, lang
 
 
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("s7_filtered_ann", s7_filtered_ann, S7_SQL,
+              "metadata-filtered ANN: pre-filtered cosine top-k, "
+              "predicate pushed to the vector scan"),
     QuerySpec("t15_gopher_repetition", t15_gopher_repetition, T15_SQL,
               "Gopher repetition filters: top-2/3/4-gram char fraction "
               "+ duplicated-5-gram char fraction + accept flag"),

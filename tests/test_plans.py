@@ -320,3 +320,12 @@ def test_t15_single_explode_two_shuffles(spark, sf_dir):
     # groupBys' distributions (keys are doc_id supersets), so the only
     # exchange in the whole plan is the CPU-spreading repartition
     assert names.count("Exchange") == 1, names
+
+
+def test_s7_filter_pushed_to_vector_scan(spark, sf_dir):
+    """s7 is PRE-filtered ANN: the label predicate must reach the
+    embeddings parquet scan, so non-matching vectors are never
+    deserialized, let alone scored."""
+    plan = _plan(spark, sf_dir, "s7_filtered_ann")
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "label" in pushed, pushed
