@@ -792,6 +792,92 @@ WHERE rk <= 5
 """
 
 
+# --- S8: filtered IVF ANN (s7's contract on s2's index) -----------------------
+
+def s8_filtered_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of s7: metadata filter composed INTO the IVF
+    probe. Candidates must satisfy BOTH the cell equi-join and the
+    label predicate, so the filter applies before any cosine is
+    computed and the per-query work is |matching rows in the probed
+    cell|, not |cell|. Catalyst folds the label filter into the
+    bucket-join's streamed side below the join — at 100 TB the cell
+    table would be partitioned by bucket and the predicate reaches its
+    scan. Index build (assignment) is the same zero-shuffle
+    broadcast-literal projection as s2; queries keep their OWN
+    assignment unfiltered (a query's label doesn't restrict its cell,
+    only its candidates)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = similarity.ivf_assign(e, centroids)
+    q = assigned.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = assigned.filter(F.col("label") == 3).join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).withColumn(
+        "cosine",
+        similarity.cosine(
+            similarity.as_double(F.col("qvec")),
+            similarity.as_double(F.col("embedding")),
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            F.col("qbucket").cast("bigint").alias("bucket"),
+            F.col("vec_id").alias("cid"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+S8_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+), assigned AS (
+  SELECT vec_id, label, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS ark
+        FROM scored)
+  WHERE ark = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+  FROM assigned WHERE vec_id BETWEEN 100 AND 104
+), cand AS (
+  SELECT q.qid, q.qbucket, a.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * a.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+  FROM q JOIN assigned a
+    ON a.bucket = q.qbucket AND a.vec_id != q.qid AND a.label = 3
+)
+SELECT qid, CAST(qbucket AS BIGINT) AS bucket, cid,
+       round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM cand)
+WHERE rk <= 5
+"""
+
+
 # --- S3: IVF with multi-cell probe (nprobe=2) ---------------------------------
 
 def s3_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2518,6 +2604,9 @@ ORDER BY split, lang
 
 
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("s8_filtered_ivf_ann", s8_filtered_ivf_ann, S8_SQL,
+              "filtered IVF ANN: label predicate composed into the "
+              "cell probe, applied before any cosine"),
     QuerySpec("s7_filtered_ann", s7_filtered_ann, S7_SQL,
               "metadata-filtered ANN: pre-filtered cosine top-k, "
               "predicate pushed to the vector scan"),
