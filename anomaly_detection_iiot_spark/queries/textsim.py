@@ -878,6 +878,115 @@ WHERE rk <= 5
 """
 
 
+# --- S9: IVF recall@5 vs exact baseline ---------------------------------------
+
+def s9_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — the number every IVF deployment tunes
+    nprobe/k against: per query, how many of the exact top-5 the
+    single-cell IVF probe recovers (recall@5). Composes the two
+    existing plans (s1's broadcast brute-force for ground truth, s2's
+    cell probe for the index answer) and reduces the match via a
+    left-semi join on (qid, cid) — the ground-truth side is k rows per
+    query, so the semi build broadcasts. Exactly the harness you run
+    as a scheduled job over a sample of production queries to detect
+    index drift; at 100 TB only the ground-truth scan is expensive and
+    it samples queries, not the corpus."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = similarity.brute_force_topk(e, queries, k=5).select("qid", "cid")
+    ivf = s2_ivf_ann(spark, sf_dir).select("qid", "cid")
+    matched = exact.join(ivf, ["qid", "cid"], "left_semi")
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            matched.groupBy("qid").agg(
+                F.count(F.lit(1)).alias("n_matched")
+            ),
+            "qid",
+            "left",
+        )
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
+
+
+S9_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id BETWEEN 100 AND 104),
+exact_scored AS (
+  SELECT q.qid, e.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * e.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+  FROM q JOIN e ON e.vec_id != q.qid
+),
+exact AS (
+  SELECT qid, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS rk
+        FROM exact_scored)
+  WHERE rk <= 5
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+cell_scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> e.v[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+  FROM e, c
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, centroid_id) AS ark
+        FROM cell_scored)
+  WHERE ark = 1
+),
+iq AS (
+  SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+  FROM assigned WHERE vec_id BETWEEN 100 AND 104
+),
+ivf AS (
+  SELECT qid, cid
+  FROM (SELECT iq.qid, a.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY iq.qid
+                 ORDER BY
+                   list_sum(list_transform(generate_series(1, 64),
+                                           i -> iq.qv[i] * a.v[i]))
+                   / (sqrt(list_sum(list_transform(iq.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(a.v, x -> x * x))))
+                   DESC, a.vec_id) AS rk
+        FROM iq JOIN assigned a
+          ON a.bucket = iq.qbucket AND a.vec_id != iq.qid)
+  WHERE rk <= 5
+)
+SELECT exact.qid,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN ivf.cid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       round(sum(CASE WHEN ivf.cid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall_at_5
+FROM exact LEFT JOIN ivf
+  ON exact.qid = ivf.qid AND exact.cid = ivf.cid
+GROUP BY exact.qid
+ORDER BY exact.qid
+"""
+
+
 # --- S3: IVF with multi-cell probe (nprobe=2) ---------------------------------
 
 def s3_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2604,6 +2713,9 @@ ORDER BY split, lang
 
 
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("s9_ivf_recall", s9_ivf_recall, S9_SQL,
+              "IVF recall@5 vs exact brute force: the index-drift "
+              "eval harness"),
     QuerySpec("s8_filtered_ivf_ann", s8_filtered_ivf_ann, S8_SQL,
               "filtered IVF ANN: label predicate composed into the "
               "cell probe, applied before any cosine"),
