@@ -63,6 +63,7 @@ HEADLINE = [
     "d13_incremental_semdedup",  # batch vs at-rest keeper index (r6)
     "s1_cosine_topk",
     "s2_ivf_ann",
+    "s9_ivf_recall",  # exact + IVF composed recall eval (r7)
     "s4_hyperplane_ann",  # sign-LSH tables + exact rerank (r6)
     "s6_ivfpq_ann",  # IVF-PQ ADC over codes only (r6)
     "t3_language_id",
