@@ -563,7 +563,75 @@ GROUP BY e.user_id
 """
 
 
+# --- W17: regular-grid gap-fill (LOCF) ---------------------------------------
+
+def w17_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill onto a regular grid with last-observation-carried-
+    forward — the canonical sensor-data prep the reference's resample
+    assumes has already happened (a real bearing rig drops samples;
+    the model wants a dense hourly series). Per user: hourly means,
+    the full min→max hourly grid via sequence/explode, a left join
+    marking gaps, and an ignorenulls last() running window to carry
+    the previous observation forward. One shuffle on (user, slot); the
+    fill window rides the same partitioning. The first slot is never
+    null (the grid starts at the first observed hour)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 16)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.avg("value").alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "slot"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "slot",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias(
+            "value_filled"
+        ),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+W17_SQL = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS slot, avg(value) AS v
+  FROM events WHERE user_id < 16 GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM b
+), j AS (
+  SELECT g.user_id, g.slot, h.v
+  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot
+)
+SELECT user_id, slot,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS value_filled,
+       (v IS NULL) AS was_gap
+FROM j
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
+    QuerySpec("w17_gap_fill", w17_gap_fill, W17_SQL,
+              "W17 regular-grid gap-fill: hourly LOCF forward-fill "
+              "with gap audit flags"),
     QuerySpec("a1_resample_mean", a1_resample_mean, A1_SQL,
               "A1 groupby-integer-division mean resample (resampler.py:34-38)"),
     QuerySpec("a2_chunk_mse", a2_chunk_mse, A2_SQL,
