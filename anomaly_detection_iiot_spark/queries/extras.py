@@ -589,6 +589,70 @@ FROM b
 """
 
 
+# --- A18: table profile (ANALYZE-style column stats) -------------------------
+
+_A18_COLS = ["l_quantity", "l_discount", "l_returnflag", "l_shipdate"]
+
+
+def a18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report — the first query run against any newly
+    landed table (null rates, cardinality, value range per column),
+    i.e. ANALYZE TABLE as a reusable result set. One single-row
+    aggregate per profiled column, unioned long-form; each aggregate's
+    scan prunes to that one column (columnar format makes the N-pass
+    shape cheaper than one wide pass with N DISTINCTs, which would
+    Expand the row N times). Values are rendered as strings so one
+    schema carries every column type. At 100 TB swap countDistinct for
+    approx_count_distinct — the report shape is unchanged."""
+    li = t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _A18_COLS:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("column_name")
+
+
+A18_SQL = """
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(l_quantity) AS STRING) AS min_value,
+       CAST(max(l_quantity) AS STRING) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS STRING), CAST(max(l_discount) AS STRING)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*),
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_returnflag),
+       CAST(min(l_returnflag) AS STRING), CAST(max(l_returnflag) AS STRING)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*),
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS STRING), CAST(max(l_shipdate) AS STRING)
+FROM lineitem
+ORDER BY column_name
+"""
+
+
 # --- O12: decile report (ntile + percent_rank) ------------------------------
 
 def o12_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +702,9 @@ ORDER BY lang, decile
 EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("o12_decile_report", o12_decile_report, O12_SQL,
               "O12 ntile/percent_rank decile report per language"),
+    QuerySpec("a18_table_profile", a18_table_profile, A18_SQL,
+              "A18 ANALYZE-style column profile (nulls, cardinality, "
+              "range) long-form"),
     QuerySpec("w16_sliding_windows", w16_sliding_windows, W16_SQL,
               "sliding event-time windows (1h every 30min) via "
               "F.window, epoch-compared"),
