@@ -68,6 +68,7 @@ ANSI_QUERIES = [
     "s6_json_roundtrip",
     "s12_orc_roundtrip",
     "s10_resource_roundtrip",
+    "a18_table_profile",
 ]
 
 
