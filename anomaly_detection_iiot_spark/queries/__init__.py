@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "s9_ivf_recall",
     "w17_gap_fill",
     "a18_table_profile",
+    "w18_interpolate",
     # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
     # all re-proven in-repo every round, but the bar is a driver row
     # against shipped code — front-load all 25 so CORRECTNESS_r07

@@ -628,7 +628,114 @@ FROM j
 """
 
 
+# --- W18: time-weighted linear interpolation ---------------------------------
+
+def w18_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of gap handling (pandas ``interpolate(
+    method='time')`` parity): gaps on the w17 grid filled by LINEAR
+    interpolation between the surrounding observations, time-weighted
+    by slot distance. Two running windows per row — last non-null
+    value/slot looking back, first non-null looking forward — both
+    riding the same (user) partitioning as the grid join, so the whole
+    fill adds zero shuffles. Grid edges need no fallback: the grid
+    spans first→last observation, so every gap is interior."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 16)
+    # hourly means quantized to INTEGER micro-units at the source:
+    # a 6-decimal double is not exactly representable, and the two
+    # engines' round() can return doubles one ulp apart for the same
+    # decimal — integers can't. All interpolation arithmetic below
+    # runs on identical bigints, so it is bit-identical IEEE math in
+    # both engines and the final half-up can never see a straddle.
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.round(F.avg("value") * 1e6).cast("long").alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "slot"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_slot = F.when(F.col("v").isNotNull(), F.col("slot"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_t = F.last(obs_slot, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_slot, ignorenulls=True).over(fwd)
+    frac = (
+        (F.unix_timestamp("slot") - F.unix_timestamp(prev_t))
+        / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    # half-up on the micro scale (floor(x + 0.5) is the same
+    # arithmetic in both engines), then one exact integer/1e6
+    # division back to value units
+    half_up = F.floor(filled + 0.5) / 1e6
+    return j.select(
+        "user_id",
+        "slot",
+        half_up.alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+W18_SQL = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS slot,
+         CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+  FROM events WHERE user_id < 16 GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM b
+), j AS (
+  SELECT g.user_id, g.slot, h.v
+  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot
+), w AS (
+  SELECT user_id, slot, v,
+         last_value(v IGNORE NULLS) OVER back AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER back AS prev_t,
+         first_value(v IGNORE NULLS) OVER fwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER fwd AS next_t
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, slot,
+       floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+              ELSE prev_v + (next_v - prev_v)
+                   * (epoch(slot) - epoch(prev_t))
+                   / (epoch(next_t) - epoch(prev_t)) END) + 0.5)
+         / 1e6 AS value_interp,
+       (v IS NULL) AS was_gap
+FROM w
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
+    QuerySpec("w18_interpolate", w18_interpolate, W18_SQL,
+              "W18 time-weighted linear interpolation over the "
+              "regular grid (zero extra shuffles)"),
     QuerySpec("w17_gap_fill", w17_gap_fill, W17_SQL,
               "W17 regular-grid gap-fill: hourly LOCF forward-fill "
               "with gap audit flags"),
