@@ -51,6 +51,7 @@ HEADLINE = [
     "w1_strided_windows",
     "w10_sessionize",
     "m13_auc",
+    "w18_interpolate",  # grid gap-fill + interpolation windows (r7)
     "o4_top1_per_user",
     # text / dedup / similarity / ML families
     "t15_gopher_repetition",  # 4-way n-gram explode + two hash aggs (r7)
