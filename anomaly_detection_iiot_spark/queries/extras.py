@@ -653,6 +653,119 @@ ORDER BY column_name
 """
 
 
+# --- A19: MAD robust threshold ------------------------------------------------
+
+def a19_mad_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation thresholding — the robust twin of the
+    reference's mean + n*sigma rule (A3): median and MAD are immune to
+    the very outliers the threshold is hunting, so the cut doesn't
+    drift when anomalies contaminate the window. Classic two-pass
+    shape: per-group exact median (one agg), broadcast back onto the
+    stream for |x - med|, second agg for MAD + the exceed count at the
+    scaled cut (1.4826*MAD estimates sigma under normality). At 100 TB
+    swap percentile for approx_percentile; the join stays broadcast
+    (|groups| rows)."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad_raw"),
+    ).withColumn(
+        "thr_raw", F.col("med") + 3.0 * 1.4826 * F.col("mad_raw")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad_raw"), 6).alias("mad"),
+            F.round(F.max("thr_raw"), 6).alias("threshold"),
+            F.sum(
+                (F.col("value") > F.col("thr_raw")).cast("long")
+            ).alias("n_above"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A19_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, m.med, e.value, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), stats AS (
+  SELECT event_type, max(med) AS med,
+         quantile_cont(adev, 0.5) AS mad_raw,
+         max(med) + 3.0 * 1.4826 * quantile_cont(adev, 0.5) AS thr_raw
+  FROM dev GROUP BY 1
+)
+SELECT e.event_type, round(max(s.med), 6) AS med,
+       round(max(s.mad_raw), 6) AS mad,
+       round(max(s.thr_raw), 6) AS threshold,
+       CAST(sum(CASE WHEN e.value > s.thr_raw THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# --- O13: deterministic global shuffle + sharding ------------------------------
+
+def o13_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order + shard
+    assignment: rank every document by md5(seed || doc_id) — a stable
+    pseudo-random permutation reproducible across engines, runs, and
+    partitionings (no rand(), no zipWithIndex) — then deal ranks
+    round-robin into 8 shards. Output is the per-shard audit (count,
+    id checksum, rank range) proving the deal is balanced and
+    deterministic. At 100 TB the rank sort is one total-order shuffle
+    you pay once at dataset-build time; readers then scan their shard
+    files in rank order for a bit-identical training sequence."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.concat(F.lit("seed42:"),
+                                      F.col("doc_id").cast("string"))),
+                       "doc_id")
+    ranked = d.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+    ).withColumn("shard", F.pmod("rank", F.lit(8)).cast("long"))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("rank").alias("first_rank"),
+            F.max("rank").alias("last_rank"),
+        )
+        .orderBy("shard")
+    )
+
+
+O13_SQL = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('seed42:' || CAST(doc_id AS STRING)), doc_id
+         ) - 1 AS rank
+  FROM documents
+)
+SELECT rank % 8 AS shard, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min(rank) AS first_rank, max(rank) AS last_rank
+FROM ranked
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 # --- O12: decile report (ntile + percent_rank) ------------------------------
 
 def o12_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +818,12 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a18_table_profile", a18_table_profile, A18_SQL,
               "A18 ANALYZE-style column profile (nulls, cardinality, "
               "range) long-form"),
+    QuerySpec("a19_mad_threshold", a19_mad_threshold, A19_SQL,
+              "A19 MAD robust threshold: median + 3*1.4826*MAD with "
+              "exceed counts (robust twin of A3)"),
+    QuerySpec("o13_shuffle_shards", o13_shuffle_shards, O13_SQL,
+              "O13 deterministic md5-permutation global shuffle + "
+              "round-robin shard deal audit"),
     QuerySpec("w16_sliding_windows", w16_sliding_windows, W16_SQL,
               "sliding event-time windows (1h every 30min) via "
               "F.window, epoch-compared"),
