@@ -69,6 +69,7 @@ ANSI_QUERIES = [
     "s12_orc_roundtrip",
     "s10_resource_roundtrip",
     "a18_table_profile",
+    "o13_shuffle_shards",
 ]
 
 
