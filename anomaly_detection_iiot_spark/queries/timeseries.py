@@ -732,7 +732,50 @@ FROM w
 """
 
 
+# --- A20: lag-1 autocorrelation per channel ----------------------------------
+
+def a20_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the value series (ordered by
+    the canonical ts, event_id contract) — the quick periodicity /
+    white-noise diagnostic run before fitting any sequence model: near
+    0 means the series is noise and windowed models won't help, near 1
+    means strong short-range structure. One lag window + one corr
+    aggregate, both on the user partitioning — a single shuffle."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_v")
+    ).filter(F.col("prev_v").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("value", "prev_v"), 6).alias("lag1_autocorr"),
+        )
+        .orderBy("user_id")
+    )
+
+
+A20_SQL = """
+WITH lagged AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_v
+  FROM events
+)
+SELECT user_id, count(*) AS n_pairs,
+       round(corr(value, prev_v), 6) AS lag1_autocorr
+FROM lagged
+WHERE prev_v IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
+    QuerySpec("a20_autocorr", a20_autocorr, A20_SQL,
+              "A20 lag-1 autocorrelation per channel (periodicity / "
+              "white-noise diagnostic)"),
     QuerySpec("w18_interpolate", w18_interpolate, W18_SQL,
               "W18 time-weighted linear interpolation over the "
               "regular grid (zero extra shuffles)"),

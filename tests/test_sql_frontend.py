@@ -70,6 +70,7 @@ ANSI_QUERIES = [
     "s10_resource_roundtrip",
     "a18_table_profile",
     "o13_shuffle_shards",
+    "a20_autocorr",
 ]
 
 
