@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "a19_mad_threshold",
     "o13_shuffle_shards",
     "a20_autocorr",
+    "m15_logloss",
     # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
     # all re-proven in-repo every round, but the bar is a driver row
     # against shipped code — front-load all 25 so CORRECTNESS_r07

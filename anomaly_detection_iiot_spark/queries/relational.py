@@ -1105,7 +1105,56 @@ ORDER BY c_nationkey
 """
 
 
+# --- M15: probabilistic scoring metrics (log-loss + Brier) -------------------
+
+def m15_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss and Brier score per event type — the proper scoring
+    rules that complement M12's hard-threshold metrics and M14's
+    calibration bins (a model can have good AUC and terrible
+    calibration; these two catch it). Deterministic synthetic
+    predictions from the event stream (p = sigmoid(value),
+    y = value > 0) keep the oracle exact; with real scores the query
+    is the same two conditional means. Single scan, single agg."""
+    ev = t(spark, sf_dir, "events")
+    # standard log-loss clipping: sigmoid saturates to exactly 1.0 in
+    # double for |value| > ~37, and ln(0) is an error/-inf — clamp p
+    # into [1e-15, 1 - 1e-15] (mirrored in the oracle)
+    raw_p = 1.0 / (1.0 + F.exp(-F.col("value")))
+    p = F.least(F.greatest(raw_p, F.lit(1e-15)), F.lit(1.0 - 1e-15))
+    y = (F.col("value") > 0).cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(-(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))), 6
+            ).alias("log_loss"),
+            F.round(F.avg(F.pow(p - y, F.lit(2.0))), 6).alias("brier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+M15_SQL = """
+WITH s AS (
+  SELECT event_type,
+         least(greatest(1.0 / (1.0 + exp(-value)), 1e-15),
+               1.0 - 1e-15) AS p,
+         CASE WHEN value > 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS log_loss,
+       round(avg((p - y) * (p - y)), 6) AS brier
+FROM s
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 RELATIONAL_QUERIES: list[QuerySpec] = [
+    QuerySpec("m15_logloss", m15_logloss, M15_SQL,
+              "M15 proper scoring rules: log-loss + Brier per group"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-shape scan+agg (engine headline query)"),
     QuerySpec("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL,

@@ -71,6 +71,7 @@ ANSI_QUERIES = [
     "a18_table_profile",
     "o13_shuffle_shards",
     "a20_autocorr",
+    "m15_logloss",
 ]
 
 
