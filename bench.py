@@ -370,19 +370,56 @@ def main() -> None:
     times["curation_stream"] = _bench_curation_stream(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "compile_sec": compile_times,
-                "sf": sf,
-                "calibration_sec": calibration,
-            }
-        )
-    )
+    # Full detail (per-query compile split, calibration) goes to a
+    # sidecar file; the stdout contract line must stay well under the
+    # driver's 2000-char output-tail window or it records parsed=null
+    # (this bit round 7: compile_sec pushed the line past 2000 chars
+    # and the driver could not parse the truncated JSON).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "compile_sec": compile_times,
+        "sf": sf,
+        "calibration_sec": calibration,
+    }
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+    print(_contract_line(total, times, sf, calibration))
+
+
+def _contract_line(total, times, sf, calibration, budget=1800) -> str:
+    """ONE JSON line <= budget chars. If the per-query map would blow
+    the budget, keep the largest-time queries (the ones worth reading)
+    and report how many were elided; BENCH_DETAIL.json always has all
+    of them."""
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "calibration_sec": calibration,
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    ordered = sorted(times.items(), key=lambda kv: -kv[1])
+    keep = dict(ordered)
+    while len(keep) > 1:
+        keep.pop(ordered[len(keep) - 1][0])
+        base["queries"] = keep
+        base["queries_elided"] = len(times) - len(keep)
+        line = json.dumps(base, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line
 
 
 if __name__ == "__main__":
