@@ -672,11 +672,18 @@ def a19_mad_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
+    # thr_raw is quantized to 6 decimals BEFORE the exceed-count
+    # comparison (not only on output): Spark's percentile() and
+    # DuckDB's quantile_cont may interpolate 1 ulp apart
+    # (lo+(hi-lo)*f vs lo*(1-f)+hi*f), and an integer count flipped by
+    # that ulp can't be absorbed by the driver's float tolerance
+    # (ADVICE r7).
     stats = dev.groupBy("event_type").agg(
         F.max("med").alias("med"),
         F.expr("percentile(adev, 0.5)").alias("mad_raw"),
     ).withColumn(
-        "thr_raw", F.col("med") + 3.0 * 1.4826 * F.col("mad_raw")
+        "thr_raw",
+        F.round(F.col("med") + 3.0 * 1.4826 * F.col("mad_raw"), 6),
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -703,7 +710,8 @@ WITH med AS (
 ), stats AS (
   SELECT event_type, max(med) AS med,
          quantile_cont(adev, 0.5) AS mad_raw,
-         max(med) + 3.0 * 1.4826 * quantile_cont(adev, 0.5) AS thr_raw
+         round(max(med) + 3.0 * 1.4826 * quantile_cont(adev, 0.5),
+               6) AS thr_raw
   FROM dev GROUP BY 1
 )
 SELECT e.event_type, round(max(s.med), 6) AS med,
@@ -726,17 +734,50 @@ def o13_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings (no rand(), no zipWithIndex) — then deal ranks
     round-robin into 8 shards. Output is the per-shard audit (count,
     id checksum, rank range) proving the deal is balanced and
-    deterministic. At 100 TB the rank sort is one total-order shuffle
-    you pay once at dataset-build time; readers then scan their shard
-    files in rank order for a bit-identical training sequence."""
+    deterministic.
+
+    Scale path (ADVICE r7): the global rank is computed two-phase, not
+    with a single-partition ``Window.orderBy``. Each row's md5 key is
+    prefix-bucketed (first 3 hex chars → 4096 range buckets whose
+    order IS the key order); per-bucket counts (4096 rows) roll into
+    cumulative offsets on the driver-sized side, broadcast back, and
+    rank = offset + row_number within the bucket — so the expensive
+    window is ``partitionBy(bucket)`` and runs 4096-way parallel. At
+    100 TB that's one hash shuffle on bucket plus a broadcast of 4096
+    offsets, the same plan a range-partitioned total sort would pick,
+    with no single-task funnel."""
     d = t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.concat(F.lit("seed42:"),
-                                      F.col("doc_id").cast("string"))),
-                       "doc_id")
-    ranked = d.select(
+    keyed = d.select(
         "doc_id",
-        (F.row_number().over(w) - 1).cast("long").alias("rank"),
-    ).withColumn("shard", F.pmod("rank", F.lit(8)).cast("long"))
+        F.md5(F.concat(F.lit("seed42:"),
+                       F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn(
+        # md5 is lowercase hex; a fixed-width prefix preserves sort
+        # order, so bucket order == key order and per-bucket offsets
+        # compose into an exact global rank.
+        "bucket", F.conv(F.substring("k", 1, 3), 16, 10).cast("long")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # 4096-row running sum: the only single-partition window, sized to
+    # the bucket count, never to the data.
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "rank",
+            (F.col("offset") + F.row_number().over(w_in) - 1)
+            .cast("long"),
+        )
+        .select("doc_id", "rank")
+        .withColumn("shard", F.pmod("rank", F.lit(8)).cast("long"))
+    )
     return (
         ranked.groupBy("shard")
         .agg(

@@ -21,7 +21,9 @@ Determinism notes:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -30,6 +32,20 @@ from pyspark.sql import functions as F
 from ..sources import bearing, sinks
 from ..sources.kbm import parse_ts_multi
 from .base import QuerySpec, t
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Session-scoped scratch dir (ADVICE r7): every sink round-trip
+    writes under ONE temp root that is removed at interpreter exit, so
+    repeated registry builds / plan dumps / bench runs no longer
+    accumulate orphan mkdtemp directories."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="adiiot_roundtrip_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 # --- P2: projection by position (trainer.py:51 usecols=[0,2,4,6]) -------------
@@ -147,7 +163,7 @@ def s1_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = {u: [0.0] * _S1_SAMPLES for u in range(_S1_USERS)}
     for r in head:
         series[r.user_id][r.rn] = r.value
-    out_dir = tempfile.mkdtemp(prefix="s1_snap_")
+    out_dir = _scratch("s1_snap_")
     for f, stamp in enumerate(_S1_STAMPS):
         lines = []
         for i in range(_S1_ROWS_PER_FILE):
@@ -193,7 +209,7 @@ def s5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with explicit schema + projection → aggregate; oracle reads
     the parquet directly."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="s5_csv_"), "li")
+    out_dir = os.path.join(_scratch("s5_csv_"), "li")
     li.select(
         "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
     ).write.option("header", "true").mode("overwrite").csv(out_dir)
@@ -233,7 +249,7 @@ def s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_v"),
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="s6_json_"), "res")
+    out_dir = os.path.join(_scratch("s6_json_"), "res")
     sinks.write_results_json(results, out_dir)
     back = sinks.read_results_json(spark, out_dir)
     return back.select(
@@ -271,7 +287,7 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="s12_orc_"), "detail")
+    out_dir = os.path.join(_scratch("s12_orc_"), "detail")
     detail.write.mode("overwrite").partitionBy("shard").orc(out_dir)
     back = spark.read.orc(out_dir).filter(F.col("shard") == 3)
     return back.groupBy("user_id").agg(
@@ -317,7 +333,7 @@ def k1_kbm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tags"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("time"),
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="k1_kbm_"), "kbm")
+    out_dir = os.path.join(_scratch("k1_kbm_"), "kbm")
     kbm.write.option("header", "true").mode("overwrite").csv(out_dir)
     back = read_kbm_csv(spark, out_dir)
     labeled = with_anomaly_labels(
@@ -384,7 +400,7 @@ def k2_kbm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS"))
         .alias("time"),
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="k2_kbm_"), "kbm")
+    out_dir = os.path.join(_scratch("k2_kbm_"), "kbm")
     kbm.write.option("header", "true").mode("overwrite").csv(out_dir)
     good, quar = read_kbm_csv_quarantined(spark, out_dir)
     good_agg = good.agg(
@@ -437,7 +453,7 @@ def s10_resource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") * 2 + 100).cast("string"),
         ).alias("value")
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="s10_res_"), "log")
+    out_dir = os.path.join(_scratch("s10_res_"), "log")
     lines.write.mode("overwrite").text(out_dir)
     back = resource_log.read_resource_log(spark, out_dir)
     return back.groupBy(
@@ -470,7 +486,7 @@ def s11_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keras-style stdout generated from an exact-binary formula
     (i/64 — six decimals render it exactly), parsed back by the S11
     scanner (logger.py:106-161). Oracle = the same closed form."""
-    out_dir = tempfile.mkdtemp(prefix="s11_log_")
+    out_dir = _scratch("s11_log_")
     path = os.path.join(out_dir, "training.log")
     lines = []
     for i in range(1, _S11_EPOCHS + 1):

@@ -367,6 +367,12 @@ def main() -> None:
 
     dirs: dict[int, str] = {}
     if args.sf_series:
+        if args.scales != ap.get_default("scales"):
+            ap.error(
+                "--scales and --sf-series are mutually exclusive: "
+                "--sf-series derives the scale axis (powers of 10) "
+                "from the series itself"
+            )
         series = args.sf_series.split(",")
         scales = [10 ** i for i in range(len(series))]
         dirs = dict(zip(scales, series))
