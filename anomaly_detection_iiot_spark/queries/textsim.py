@@ -2712,7 +2712,84 @@ ORDER BY split, lang
 """
 
 
+# --- S13: k-means codebook training (Lloyd's, the IVF trainer) ---------------
+
+def s13_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer instead of picking it: 3 Lloyd
+    iterations of k=8 means over the embedding corpus (seeded from the
+    first 8 vectors by vec_id), then a per-cluster audit (size,
+    inertia, centroid head + norm). Each iteration is one zero-shuffle
+    literal-centroid assignment pass plus one <=8-key groupBy with 64
+    map-side-combined avg() aggregates; centroids round-trip through
+    the driver like Spark MLlib's own KMeans (and m9's FedAvg round
+    loop). Centroid coordinates are quantized to 9 decimals per
+    iteration in BOTH engines, so the oracle (the same loop unrolled
+    as chained CTEs) stays decision-identical. Iterations execute
+    eagerly at construction; the corpus is persisted for their
+    duration."""
+    from ..operators import kmeans
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.persist()
+    try:
+        cents, assigned = kmeans.kmeans_train(e, k=8, iters=3, dim=64)
+    finally:
+        e.unpersist()
+    return kmeans.cluster_report(spark, cents, assigned)
+
+
+def _s13_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    def sq(ev: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1,{dim}), "
+            f"i -> ({ev}[i]-{cv}[i])*({ev}[i]-{cv}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings),\n"
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k})"
+    ]
+    for it in range(iters):
+        parts.append(f""",
+a{it} AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq('e.v', 'c.cv')} ASC, c.cid ASC) AS rk
+    FROM e, c{it} c) WHERE rk = 1
+),
+c{it + 1} AS (
+  SELECT bucket AS cid, list(cc ORDER BY pos) AS cv FROM (
+    SELECT bucket, i AS pos, round(avg(v[i]), 9) AS cc
+    FROM a{it}, generate_series(1,{dim}) AS t(i)
+    GROUP BY bucket, i) GROUP BY bucket
+)""")
+    parts.append(f""",
+fin AS (
+  SELECT vec_id, bucket, d FROM (
+    SELECT e.vec_id, c.cid AS bucket, {sq('e.v', 'c.cv')} AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq('e.v', 'c.cv')} ASC, c.cid ASC) AS rk
+    FROM e, c{iters} c) WHERE rk = 1
+)
+SELECT f.bucket AS cluster, count(*) AS n_members,
+       round(sum(f.d), 6) AS inertia,
+       round(max(c.cv[1]), 6) AS c_head,
+       round(max(sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6)
+         AS c_norm
+FROM fin f JOIN c{iters} c ON c.cid = f.bucket
+GROUP BY f.bucket ORDER BY cluster""")
+    return "".join(parts)
+
+
+S13_SQL = _s13_sql()
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("s13_kmeans_codebook", s13_kmeans_codebook, S13_SQL,
+              "k-means codebook training: 3 Lloyd iterations, literal-"
+              "centroid assignment, per-cluster inertia audit"),
     QuerySpec("s9_ivf_recall", s9_ivf_recall, S9_SQL,
               "IVF recall@5 vs exact brute force: the index-drift "
               "eval harness"),

@@ -1,0 +1,84 @@
+"""k-means codebook training (operators/kmeans.py) vs an independent
+numpy reference of the exact contract: squared-L2 argmin with min-id
+tie-break, per-dim mean rounded to 9 decimals between iterations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from anomaly_detection_iiot_spark.operators import kmeans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _numpy_kmeans(ids, X, k, iters):
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    cents = {int(i): X[ids == i][0].astype(np.float64) for i in ids if i < k}
+    for _ in range(iters):
+        C = np.array([cents[c] for c in sorted(cents)])
+        cid = np.array(sorted(cents))
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = cid[np.argmin(d, axis=1)]  # argmin takes first min = min id
+        cents = {
+            int(c): np.round(X[assign == c].mean(axis=0), 9)
+            for c in np.unique(assign)
+        }
+    C = np.array([cents[c] for c in sorted(cents)])
+    cid = np.array(sorted(cents))
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    j = np.argmin(d, axis=1)
+    return cents, cid[j], d[np.arange(len(X)), j]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows], np.float64)
+    return df, ids, X
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    df, ids, X = emb
+    k, iters, dim = 4, 3, X.shape[1]
+    cents, assigned = kmeans.kmeans_train(df, k=k, iters=iters, dim=dim)
+    ref_cents, ref_assign, ref_d = _numpy_kmeans(ids, X, k, iters)
+
+    got = {c: np.array(v) for c, v in cents}
+    assert set(got) == set(ref_cents)
+    for c in got:
+        np.testing.assert_allclose(got[c], ref_cents[c], atol=1e-9)
+
+    rows = assigned.select("vec_id", "bucket", "dist").collect()
+    by_id = {r.vec_id: r for r in rows}
+    for i, vid in enumerate(ids):
+        assert by_id[vid].bucket == ref_assign[i], vid
+        assert abs(by_id[vid].dist - ref_d[i]) < 1e-9
+
+
+def test_kmeans_inertia_decreases(spark, emb):
+    df, ids, X = emb
+    inertias = []
+    for iters in (0, 1, 3):
+        cents, assigned = kmeans.kmeans_train(df, k=4, iters=iters, dim=64)
+        inertias.append(
+            assigned.agg({"dist": "sum"}).collect()[0][0]
+        )
+    # Lloyd monotonicity (9-decimal quantization can't flip it at this
+    # inertia magnitude)
+    assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_cluster_report_shape(spark, emb):
+    df, _, _ = emb
+    cents, assigned = kmeans.kmeans_train(df, k=4, iters=1, dim=64)
+    rep = kmeans.cluster_report(spark, cents, assigned)
+    rows = rep.collect()
+    assert [r.cluster for r in rows] == sorted(r.cluster for r in rows)
+    assert sum(r.n_members for r in rows) == df.count()
+    assert all(r.inertia >= 0 for r in rows)
