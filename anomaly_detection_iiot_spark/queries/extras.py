@@ -853,7 +853,107 @@ ORDER BY lang, decile
 """
 
 
+# --- A21: GROUPING SETS with grouping_id --------------------------------------
+
+def a21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third hierarchical-aggregate shape
+    after a10 (ROLLUP) and a11 (CUBE): three custom sets
+    ((event_type, ub), (event_type), ()) resolved in ONE pass with a
+    single Expand+shuffle (Catalyst expands each input row once per
+    set; partial aggregation still applies), plus grouping_id() to
+    disambiguate the NULL-filled grouped-out dimensions. At 100 TB
+    this beats three separate aggregations because the fact table is
+    scanned once."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.pmod("user_id", F.lit(4)).cast("long").alias("ub"),
+        "value",
+    )
+    return (
+        d.groupingSets(
+            [["event_type", "ub"], ["event_type"], []], "event_type", "ub"
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+        )
+        .orderBy("gid", "event_type", "ub")
+    )
+
+
+A21_SQL = """
+SELECT event_type, ub,
+       CAST(grouping(event_type, ub) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(value), 6) AS sum_v
+FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
+GROUP BY GROUPING SETS ((event_type, ub), (event_type), ())
+ORDER BY gid, event_type NULLS FIRST, ub NULLS FIRST
+"""
+
+
+# --- W19: RANGE-frame time window + deterministic value windows ---------------
+
+def w19_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour window per user via a true RANGE frame (RANGE
+    BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds) — the
+    frame Spark's rangeBetween compiles to a single sort within the
+    user partition, no self-join, no explode (contrast j4's range
+    join). Only order-insensitive aggregates (count/sum/max) ride the
+    RANGE frame — peers with equal timestamps share it, so
+    first_value there would be tie-nondeterministic; the positional
+    functions (first_value, nth_value) ride a ROWS frame keyed by the
+    unique (es, event_id) order instead. Epoch arithmetic is
+    shift-invariant, so engine timezone conventions cancel."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return d.select(
+        "event_id",
+        F.count(F.lit(1)).over(wr).alias("n_1h"),
+        F.round(F.sum("value").over(wr), 6).alias("sum_1h"),
+        F.round(F.max("value").over(wr), 6).alias("max_1h"),
+        F.round(F.first("value").over(wp), 6).alias("first_4"),
+        F.round(F.nth_value("value", 3).over(wp), 6).alias("third_4"),
+    )
+
+
+W19_SQL = """
+SELECT event_id,
+       count(*) OVER wr AS n_1h,
+       round(sum(value) OVER wr, 6) AS sum_1h,
+       round(max(value) OVER wr, 6) AS max_1h,
+       round(first_value(value) OVER wp, 6) AS first_4,
+       round(nth_value(value, 3) OVER wp, 6) AS third_4
+FROM (SELECT event_id, user_id, value, epoch(ts)::BIGINT AS es
+      FROM events)
+WINDOW wr AS (PARTITION BY user_id ORDER BY es
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY user_id ORDER BY es, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
+    QuerySpec("a21_grouping_sets", a21_grouping_sets, A21_SQL,
+              "A21 explicit GROUPING SETS: one Expand pass, "
+              "grouping_id disambiguation"),
+    QuerySpec("w19_range_frame", w19_range_frame, W19_SQL,
+              "W19 trailing-hour RANGE frame + deterministic "
+              "ROWS-frame positional functions"),
     QuerySpec("o12_decile_report", o12_decile_report, O12_SQL,
               "O12 ntile/percent_rank decile report per language"),
     QuerySpec("a18_table_profile", a18_table_profile, A18_SQL,
