@@ -389,6 +389,39 @@ FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
 """
 
 
+# --- J8: view->click attribution interval join (stream-stream twin) ----------
+
+def j8_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream watermarked interval join
+    (streaming/join_stream.py): every click attributed to each view by
+    the same user within the preceding hour. SAME builder as the
+    streaming query — withWatermark is a no-op on batch frames — so
+    the oracle hash here plus the stream==batch test in
+    tests/test_stream_join.py together pin the streaming semantics.
+    Catalyst plans the equi key (user_id) as the join key with the
+    time range as a post-join filter; lag is integer microseconds so
+    no float tolerance is involved."""
+    from ..streaming.join_stream import split_event_streams, view_click_pairs
+
+    views, clicks = split_event_streams(t(spark, sf_dir, "events"))
+    return view_click_pairs(views, clicks)
+
+
+J8_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_id, click_id,
+       CAST(epoch_us(c_ts) - epoch_us(v_ts) AS BIGINT) AS lag_us
+FROM v JOIN c ON v.user_id = c.user_id
+ AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR
+"""
+
+
 # --- P12: pivot / wide reshape ------------------------------------------------
 
 _P12_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -954,6 +987,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("w19_range_frame", w19_range_frame, W19_SQL,
               "W19 trailing-hour RANGE frame + deterministic "
               "ROWS-frame positional functions"),
+    QuerySpec("j8_view_click_pairs", j8_view_click_pairs, J8_SQL,
+              "J8 view->click attribution interval join, batch twin "
+              "of the stream-stream watermarked join"),
     QuerySpec("o12_decile_report", o12_decile_report, O12_SQL,
               "O12 ntile/percent_rank decile report per language"),
     QuerySpec("a18_table_profile", a18_table_profile, A18_SQL,
