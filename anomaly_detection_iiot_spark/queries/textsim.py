@@ -2712,6 +2712,31 @@ ORDER BY split, lang
 """
 
 
+# --- T16: BPE merge-table induction (tokenizer training) ---------------------
+
+def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus
+    (operators/bpe.py): corpus scanned once into a (word, freq) vocab
+    table; each round explodes adjacent symbol pairs over the VOCAB
+    (not the corpus), argmaxes with a deterministic tie-break, and
+    rewrites symbol arrays with a pure JVM fold — no Python in any
+    round. Rows-only by declared design (an 8-round iterative rewrite
+    has no SQL form); pinned instead by an independent pure-Python BPE
+    reference on the same corpus in tests/test_bpe.py."""
+    from ..operators import bpe
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    merges = bpe.train_bpe(bpe.word_freqs(docs), n_merges=8)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, pf)
+            for i, (left, right, pf) in enumerate(merges)
+        ],
+        "rank long, left string, right string, merged string, "
+        "pair_freq long",
+    )
+
+
 # --- S13: k-means codebook training (Lloyd's, the IVF trainer) ---------------
 
 def s13_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2790,6 +2815,10 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("s13_kmeans_codebook", s13_kmeans_codebook, S13_SQL,
               "k-means codebook training: 3 Lloyd iterations, literal-"
               "centroid assignment, per-cluster inertia audit"),
+    QuerySpec("t16_bpe_merges", t16_bpe_merges, None,
+              "BPE tokenizer training: 8 merge rounds over the vocab "
+              "table, JVM-fold rewrite (rows-only; Python-reference "
+              "pinned in tests)"),
     QuerySpec("s9_ivf_recall", s9_ivf_recall, S9_SQL,
               "IVF recall@5 vs exact brute force: the index-drift "
               "eval harness"),
