@@ -81,6 +81,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "cvec",
+    crows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (argmax,
     tie-break centroid id asc). Output adds ``bucket``.
@@ -99,17 +100,23 @@ def ivf_assign(
     accumulation (plain left-to-right +=, NOT math.fsum) that both the
     Spark fold and DuckDB's list_sum use, so assignments stay
     bit-identical to the oracle's.
+
+    ``crows`` short-circuits the collect: call sites that already hold
+    the centroid rows (s6 collects centroids+codebook in ONE head scan)
+    pass [(id, vec), ...] and no Spark job runs here.
     """
-    crows = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(),
-        key=lambda r: r[centroid_id],
-    )
+    if crows is None:
+        crows = [
+            (int(r[centroid_id]), [float(x) for x in r[centroid_vec]])
+            for r in centroids.select(centroid_id, centroid_vec).collect()
+        ]
+    crows = sorted((int(i), [float(x) for x in v]) for i, v in crows)
     ids, vecs, norms = [], [], []
-    for r in crows:
-        ids.append(int(r[centroid_id]))
-        vecs.append([float(x) for x in r[centroid_vec]])
+    for i, v in crows:
+        ids.append(i)
+        vecs.append(v)
         acc = 0.0
-        for x in vecs[-1]:
+        for x in v:
             acc += x * x
         norms.append(acc ** 0.5)
     # three literals + ONE lambda body: unrolling a fold expression per
@@ -593,6 +600,7 @@ def pq_encode(
     vec_col: str = "embedding",
     cb_id: str = "code_id",
     cb_vec: str = "cvec",
+    crows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., TPAMI 2011): split
     each vector into ``m`` contiguous subvectors and replace each with
@@ -610,61 +618,61 @@ def pq_encode(
     ``transform`` over subspaces, a fold per code) followed by one
     posexplode — zero shuffle, zero joins, whole-stage codegen, and
     stream-safe. fp64 accumulation is sequential in element order so
-    the DuckDB oracle reproduces distances bit-for-bit."""
-    crows = sorted(
-        codebook.select(cb_id, cb_vec).collect(), key=lambda r: r[cb_id]
-    )
+    the DuckDB oracle reproduces distances bit-for-bit.
+
+    ``crows`` = pre-collected [(code_id, vec), ...] to skip the collect
+    job (see ivf_assign)."""
+    if crows is None:
+        crows = [
+            (int(r[cb_id]), [float(x) for x in r[cb_vec]])
+            for r in codebook.select(cb_id, cb_vec).collect()
+        ]
+    crows = sorted((int(i), [float(x) for x in v]) for i, v in crows)
     k = len(crows)
-    dim = len(crows[0][cb_vec])
+    dim = len(crows[0][1])
     sub = dim // m
 
     def _darr(values):
         return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
 
-    # cb literal: [code][subspace][dim/m] — one py4j call total
-    cb = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                _darr([float(x) for x in r[cb_vec]][s * sub:(s + 1) * sub])
-                for s in range(m)
-            )
-            + ")"
-            for r in crows
-        )
-        + ")"
-    )
-    cids = F.expr("array(" + ",".join(str(int(r[cb_id])) + "L" for r in crows) + ")")
-    v = as_double(F.col(vec_col))
+    # The whole encoded-struct array is ONE F.expr string parsed
+    # JVM-side: the previous per-subspace pyspark lambda construction
+    # (transform/aggregate/zip_with per sub) cost ~1.5 s of py4j
+    # round-trips PER PLAN BUILD; one ANTLR parse of the equivalent
+    # SQL is ~50 ms. Expression semantics are unchanged — same literal
+    # encoding, same left-to-right fold, same struct comparison order
+    # (err, code) for the argmin — so oracle hashes are unaffected.
+    cids = "array(" + ",".join(f"{i}L" for i, _ in crows) + ")"
+    vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
-    def _sub_entry(s):
-        sv = F.slice(v, (s - 1) * sub + 1, sub)
-        entries = F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sv,
-                        F.element_at(F.element_at(cb, c), s),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("err"),
-                F.element_at(cids, c).alias("code"),
-            ),
+    def _sub_struct(s: int) -> str:
+        # per-subspace codebook slice only (k x sub doubles), not the
+        # full [code][subspace][dim/m] nest — keeps the parsed text
+        # small even though the argmin appears twice (code + err)
+        cb_s = (
+            "array("
+            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
+            + ")"
         )
-        best = F.array_min(entries)
-        return F.struct(
-            F.lit(s).cast("long").alias("sub"),
-            best["code"].alias("code"),
-            F.round(best["err"], 6).alias("err"),
+        best = (
+            f"array_min(transform(sequence(1,{k}), c -> named_struct("
+            f"'err', aggregate(zip_with(slice({vd},{(s - 1) * sub + 1},{sub}),"
+            f" element_at({cb_s}, c), (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
+            f" 'code', element_at({cids}, c))))"
+        )
+        return (
+            f"named_struct('sub', CAST({s} AS BIGINT),"
+            f" 'code', {best}.code, 'err', round({best}.err, 6))"
         )
 
     encoded = vectors.select(
         F.col(id_col),
-        F.explode(F.array(*[_sub_entry(s + 1) for s in range(m)])).alias("e"),
+        F.explode(
+            F.expr(
+                "array(" + ",".join(_sub_struct(s + 1) for s in range(m)) + ")"
+            )
+        ).alias("e"),
     )
     return encoded.select(
         id_col,
@@ -699,6 +707,8 @@ def ivfpq_probe(
     qvec_col: str = "qvec",
     cb_id: str = "code_id",
     cb_vec: str = "cvec",
+    cb_rows: list[tuple[int, list[float]]] | None = None,
+    centroid_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ADC probe over an at-rest IVF-PQ index (Jégou et al. 2011):
     ``index`` is the (vec_id, bucket, codes) table — built in batch
@@ -708,10 +718,18 @@ def ivfpq_probe(
     Each query searches its own cell (equi-join on bucket against
     broadcast queries); top-k by asymmetric distance, tie-break
     candidate id. Extracted from the s6 query so the batch query and
-    the streaming-serving test drive ONE implementation."""
-    crows = sorted(codebook.select(cb_id, cb_vec).collect(),
-                   key=lambda r: r[cb_id])
-    dim = len(crows[0][cb_vec])
+    the streaming-serving test drive ONE implementation.
+
+    ``cb_rows`` / ``centroid_rows`` = pre-collected [(id, vec), ...]
+    so a caller that already scanned the quantizers (s6 does one head
+    scan for both) spawns no extra collect jobs here."""
+    if cb_rows is None:
+        cb_rows = [
+            (int(r[cb_id]), [float(x) for x in r[cb_vec]])
+            for r in codebook.select(cb_id, cb_vec).collect()
+        ]
+    crows = sorted((int(i), [float(x) for x in v]) for i, v in cb_rows)
+    dim = len(crows[0][1])
     sub = dim // m
 
     def _darr(values):
@@ -719,46 +737,31 @@ def ivfpq_probe(
             "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
         )
 
-    cbl = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                _darr([float(x) for x in r[cb_vec]][s * sub:(s + 1) * sub])
-                for s in range(m)
-            )
-            + ")"
-            for r in crows
-        )
-        + ")"
-    )
     qassigned = ivf_assign(
-        queries, centroids, id_col=qid_col, vec_col=qvec_col
+        queries, centroids, id_col=qid_col, vec_col=qvec_col,
+        crows=centroid_rows,
     ).select(qid_col, qvec_col, F.col("bucket").alias("qbucket"))
-    qv = as_double(F.col(qvec_col))
-    adc = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(m)),
-            lambda s: F.aggregate(
-                F.zip_with(
-                    F.slice(qv, (s - 1).cast("int") * sub + 1, sub),
-                    F.element_at(
-                        F.element_at(
-                            cbl,
-                            (F.element_at(F.col("codes"), s.cast("int")) + 1)
-                            .cast("int"),
-                        ),
-                        s.cast("int"),
-                    ),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # ADC as ONE parsed SQL expression (same py4j-chatter rationale as
+    # pq_encode): per-subspace codebook slices indexed by the
+    # candidate's code, subspace partials summed left-to-right exactly
+    # like the previous outer fold, so distances are bit-identical.
+    qvd = f"transform({qvec_col}, x -> CAST(x AS DOUBLE))"
+
+    def _sub_adc(s: int) -> str:
+        cb_s = (
+            "array("
+            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
+            + ")"
+        )
+        return (
+            f"aggregate(zip_with(slice({qvd},{(s - 1) * sub + 1},{sub}),"
+            f" element_at({cb_s},"
+            f" CAST(element_at(codes, {s}) + 1 AS INT)),"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+        )
+
+    adc = F.expr(" + ".join(f"({_sub_adc(s + 1)})" for s in range(m)))
     scored = index.join(
         F.broadcast(qassigned),
         (F.col("bucket") == F.col("qbucket"))

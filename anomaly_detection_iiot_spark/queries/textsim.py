@@ -2031,8 +2031,19 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("code_id"), F.col("embedding").alias("cvec")
     )
-    assigned = similarity.ivf_assign(e, centroids).select("vec_id", "bucket")
-    codes = similarity.pq_widen(similarity.pq_encode(e, cb, m=8))
+    # ONE head scan for both quantizers: assignment, encoding, and the
+    # probe all take the pre-collected rows, so index construction
+    # spawns a single collect job instead of four (compile-time split
+    # showed the repeated tiny scans dominating s6's constant cost)
+    head = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 16).collect()
+    )
+    cent_rows = [rv for rv in head if rv[0] < 8]
+    assigned = similarity.ivf_assign(
+        e, centroids, crows=cent_rows
+    ).select("vec_id", "bucket")
+    codes = similarity.pq_widen(similarity.pq_encode(e, cb, m=8, crows=head))
     # (bucket, codes) per vector IS the at-rest IVF-PQ index — persist
     # it (the s4-signature-index rationale): queries probe the index,
     # they don't re-encode the corpus
@@ -2048,7 +2059,10 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the streaming-serving path: streaming/ann_ingest.py grows
     # the same (vec_id, bucket, codes) layout and this identical ADC
     # probe serves it — stream==batch pinned in tests/test_ann_ingest.py
-    return similarity.ivfpq_probe(cand, queries, centroids, cb, m=8, k=5)
+    return similarity.ivfpq_probe(
+        cand, queries, centroids, cb, m=8, k=5,
+        cb_rows=head, centroid_rows=cent_rows,
+    )
 
 
 S6_SQL = """
