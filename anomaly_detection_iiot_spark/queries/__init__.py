@@ -69,96 +69,71 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # CHANGED in round 7: pii counts now taken on progressively-
-    # redacted text (operators/textstats.py::pii_scan + mirrored
-    # oracle), AVI header flags + stack-based container walk
-    # (operators/multimodal.py) — need rows against the shipped code
-    "t11_pii_scan",
-    "mm5_video_roundtrip",
-    "s4_hyperplane_ann",  # hyperplane coeff generator replaced (r7)
-    # NEW in round 7 (names appended as they land this round)
-    "q2_min_cost_supplier",
-    "q20_potential_promotion",
-    "mm6_jpeg_roundtrip",
-    "q4_order_priority_check",
-    "q12_shipping_priority_classes",
-    "q22_global_sales_opportunity",
-    "s6_ivfpq_ann",  # probe extracted to shared ivfpq_probe (r7)
-    # NEW in round 7 part 2: the ten remaining TPC-H shapes
-    # (queries/tpch_full.py) completing all 22 classic patterns
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q19_disjunctive_revenue",
-    "t15_gopher_repetition",
-    "o11_hash_split",
-    "s12_orc_roundtrip",
-    "o12_decile_report",
-    "mm7_audio_frames",
-    "k2_kbm_quarantine",
-    "s7_filtered_ann",
-    "s8_filtered_ivf_ann",
-    "s9_ivf_recall",
-    "w17_gap_fill",
-    "a18_table_profile",
-    "w18_interpolate",
+    # NEW in round 8 — no driver row yet
+    "s13_kmeans_codebook",
+    "j8_view_click_pairs",
+    "a21_grouping_sets",
+    "w19_range_frame",
+    "t16_bpe_merges",  # rows-only
+    # CHANGED in round 8: a19 threshold quantization + o13 two-phase
+    # rank (ADVICE fixes); the IVF/PQ family's expression construction
+    # rewritten server-side (similarity.py — semantics pinned by the
+    # re-verified oracles, but the shipped code differs from the r7
+    # rows); roundtrip sinks moved to the shared scratch root
     "a19_mad_threshold",
     "o13_shuffle_shards",
-    "a20_autocorr",
-    "m15_logloss",
-    # STALE driver rows (r6 verdict item 3): latest driver row is r3/r4;
-    # all re-proven in-repo every round, but the bar is a driver row
-    # against shipped code — front-load all 25 so CORRECTNESS_r07
-    # refreshes them
-    "d1_exact_dedup",
-    "d2_fingerprint_dedup",
-    "d3_minhash_signatures",
-    "d4_lsh_candidates",
-    "d5_ngram_jaccard",
-    "d6_simhash",
-    "d7_embedding_neardup",
-    "t1_token_stats",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_rolling_fingerprint",
-    "m5_lr_decay",
-    "m6_reconstruction_error",
-    "m7_fft_mag",
-    "mm1_media_manifest",
+    "s6_ivfpq_ann",
+    "s5_pq_codes",
+    "s2_ivf_ann",
+    "s3_ivf_nprobe",
+    "s8_filtered_ivf_ann",
+    "s9_ivf_recall",
+    "d9_semdedup",
+    "d13_incremental_semdedup",
+    "c2_curation_with_semdedup",
+    "s1_snapshot_roundtrip",
+    "s5_csv_roundtrip",
+    "s6_json_roundtrip",
+    "s12_orc_roundtrip",
+    "k1_kbm_roundtrip",
+    "k2_kbm_quarantine",
+    "s10_resource_roundtrip",
+    "s11_log_scan",
+    # STALE driver rows: latest row r3 — refresh first
     "mm2_frame_sample",
     "o3_loss_ranking",
-    "o4_top1_per_user",
-    "o5_head_slice",
     "p2_positional_select",
     "a5_fedavg_mean",
     "a6_summary_stats",
-    "a13_exact_distinct_quantiles",
-    "j5_broadcast_dims",
     "c1_corpus_curation",
     "w4_last_timestep",
-    # next-oldest rows (r2/r3) — fill the remaining sample slots
-    "a10_rollup",
-    "a11_cube",
-    "s1_cosine_topk",
-    "s1_snapshot_roundtrip",
-    "t5_winnowing",
-    "t6_tfidf",
-    "t7_repetition",
-    "t9_zipf",
-    # stale rows-only entries last (weakest check, lowest priority)
     "m2_lstm_train_loss",
     "m3_ae_train_loss",
     "m6_lstm_scores",
     "m8_random_search",
     "m9_fedavg_weights",
     "m10_transfer_loss",
+    # latest row r4
+    "mm1_media_manifest",
+    "o4_top1_per_user",
+    "o5_head_slice",
+    "a13_exact_distinct_quantiles",
+    "j5_broadcast_dims",
     "a12_approx_aggregates",
+    # oldest of the r5 rows — fill the remaining sample slots and
+    # rotate next round
+    "t5_winnowing",
+    "t6_tfidf",
+    "t7_repetition",
+    "t9_zipf",
+    "a1_resample_mean",
+    "a2_chunk_mse",
+    "a3_threshold_stats",
+    "a9_distinct",
+    "p3_json_extract",
+    "p6_round_project",
+    "p7_modulo_trim",
+    "p8_prefix_split",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

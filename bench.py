@@ -42,6 +42,13 @@ HEADLINE = [
     "q9_product_profit",  # LIKE-pruned profit rollup (r7)
     "q13_customer_distribution",  # left-outer count-of-counts (r7)
     "q19_disjunctive_revenue",  # 3-branch OR join predicate (r7)
+    # the six remaining TPC-H shapes (r8): all 22 now benched
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
     "mm6_jpeg_roundtrip",  # stdlib baseline-JPEG decode path (r7)
     "j5_broadcast_dims",
     "j2_anti_join",
@@ -76,6 +83,12 @@ HEADLINE = [
     "c2_curation_with_semdedup",  # c1 cascade + semantic stage (r5)
     "m6_reconstruction_error",
     "m7_fft_mag",
+    # round-8 additions
+    "s13_kmeans_codebook",  # Lloyd training loop (eager per-iteration)
+    "t16_bpe_merges",  # BPE merge rounds (eager per-round argmax)
+    "a21_grouping_sets",
+    "w19_range_frame",
+    "j8_view_click_pairs",  # batch twin of the stream-stream join
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training
@@ -394,11 +407,13 @@ def main() -> None:
     print(_contract_line(total, times, sf, calibration))
 
 
-def _contract_line(total, times, sf, calibration, budget=1800) -> str:
+def _contract_line(total, times, sf, calibration, budget=1900) -> str:
     """ONE JSON line <= budget chars. If the per-query map would blow
     the budget, keep the largest-time queries (the ones worth reading)
     and report how many were elided; BENCH_DETAIL.json always has all
     of them."""
+    times = {k: round(v, 2) for k, v in times.items()}  # 3-decimal
+    # detail lives in BENCH_DETAIL.json; 2 decimals buys line headroom
     base = {
         "metric": "headline_queries_total",
         "value": total,
