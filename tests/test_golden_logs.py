@@ -165,11 +165,18 @@ def test_centralized_golden_values_exact(spark, exp):
         )
 
 
-def test_federated_golden_values_exact(spark):
-    """Same value-level replay over the per-client federated logs."""
+@pytest.mark.parametrize(
+    "exp", ["bearing_experiment-1", "bearing_experiment-2",
+            "bearing_experiment-3"]
+)
+def test_federated_golden_values_exact(spark, exp):
+    """Same value-level replay over the per-client federated logs —
+    all THREE experiments (VERDICT r7 item 7; exp-1/3 were previously
+    shape-checked only). Per-client series lengths: 2,156 / 984 /
+    6,324 periods."""
     import numpy as np
 
-    d = json.load(open(f"{LOGS}/bearing_experiment-2/federated.json"))
+    d = json.load(open(f"{LOGS}/{exp}/federated.json"))
     frames = []
     for client, payload in d.items():
         series = payload["lstm"]["mse"]
@@ -184,7 +191,9 @@ def test_federated_golden_values_exact(spark):
         )
     pdf = pd.concat(frames, ignore_index=True)
     df = spark.createDataFrame(pdf)
-    periods = 984
+    lens = {len(p["lstm"]["mse"]) for p in d.values()}
+    assert len(lens) == 1  # uniform period count per experiment
+    periods = next(iter(lens))
     thr = threshold.fit_threshold(
         df, "mse", n_std=4.0, keys=["client"],
         validation_filter=F.col("period_idx") < int(periods * 0.1),
