@@ -147,7 +147,7 @@ def a13_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 A13_SQL = """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,
-       round(quantile_cont(value, 0.5), 6) AS exact_p50
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS exact_p50
 FROM events GROUP BY 1
 """
 
@@ -444,11 +444,11 @@ def p12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P12_SQL = """
 SELECT user_id,
-       round(avg(value) FILTER (event_type = 'click'), 6) AS click,
-       round(avg(value) FILTER (event_type = 'error'), 6) AS error,
-       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
-       round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
-       round(avg(value) FILTER (event_type = 'view'), 6) AS view
+       round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+       round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+       round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+       round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+       round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
 FROM events GROUP BY user_id
 """
 
@@ -487,7 +487,7 @@ _O6_CASE = " ".join(
 
 O6_SQL = f"""
 SELECT doc_id, lang,
-       CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+       CAST(CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) <
                       CASE lang {_O6_CASE} ELSE '00' END
                  THEN 1 ELSE 0 END AS INT) AS kept
 FROM documents
@@ -735,15 +735,15 @@ def a19_mad_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A19_SQL = """
 WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
   FROM events GROUP BY 1
 ), dev AS (
   SELECT e.event_type, m.med, e.value, abs(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
 ), stats AS (
   SELECT event_type, max(med) AS med,
-         quantile_cont(adev, 0.5) AS mad_raw,
-         round(max(med) + 3.0 * 1.4826 * quantile_cont(adev, 0.5),
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad_raw,
+         round(max(med) + 3.0 * 1.4826 * percentile_cont(0.5) WITHIN GROUP (ORDER BY adev),
                6) AS thr_raw
   FROM dev GROUP BY 1
 )
@@ -918,7 +918,7 @@ def a21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A21_SQL = """
 SELECT event_type, ub,
-       CAST(grouping(event_type, ub) AS BIGINT) AS gid,
+       CAST(grouping_id(event_type, ub) AS BIGINT) AS gid,
        count(*) AS n, round(sum(value), 6) AS sum_v
 FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
 GROUP BY GROUPING SETS ((event_type, ub), (event_type), ())

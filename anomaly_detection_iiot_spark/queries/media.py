@@ -170,10 +170,10 @@ WITH ranked AS (
   FROM events WHERE user_id < 8
 ), px AS (
   SELECT user_id, (event_id % 256) / 255.0 AS v
-  FROM ranked WHERE rn <= (n // 8) * 8
+  FROM ranked WHERE rn <= CAST(FLOOR(n / 8) AS BIGINT) * 8
 )
 SELECT user_id AS media_id,
-       count(*) // 8 AS height,
+       CAST(FLOOR(count(*) / 8) AS BIGINT) AS height,
        count(*) AS n_px,
        round(sum(v) / count(*), 6) AS mean_px,
        round(sqrt(sum(v * v) / count(*)), 6) AS rms
@@ -241,9 +241,9 @@ WITH ranked AS (
          count(*) OVER (PARTITION BY user_id) AS n
   FROM events WHERE user_id < 8
 ), px AS (
-  SELECT user_id, (rn - 1) // 16 AS frame_idx,
+  SELECT user_id, CAST(FLOOR((rn - 1) / 16) AS BIGINT) AS frame_idx,
          (event_id % 256) / 255.0 AS v
-  FROM ranked WHERE rn <= (n // 16) * 16
+  FROM ranked WHERE rn <= CAST(FLOOR(n / 16) AS BIGINT) * 16
 )
 SELECT user_id AS media_id,
        CAST(4 AS BIGINT) AS width,
@@ -404,8 +404,8 @@ WITH s AS (
            AS idx
   FROM events WHERE user_id < 8
 ), f AS (
-  SELECT user_id, idx // 64 AS frame, v,
-         lead(v) OVER (PARTITION BY user_id, idx // 64 ORDER BY idx)
+  SELECT user_id, CAST(FLOOR(idx / 64) AS BIGINT) AS frame, v,
+         lead(v) OVER (PARTITION BY user_id, CAST(FLOOR(idx / 64) AS BIGINT) ORDER BY idx)
            AS nxt
   FROM s
 )

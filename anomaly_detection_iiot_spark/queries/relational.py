@@ -295,12 +295,12 @@ def o2_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O2_SQL = """
-SELECT '0.1' AS quantile, round(quantile_cont(value, 0.1), 6) AS threshold FROM events
-UNION ALL SELECT '0.25', round(quantile_cont(value, 0.25), 6) FROM events
-UNION ALL SELECT '0.5', round(quantile_cont(value, 0.5), 6) FROM events
-UNION ALL SELECT '0.75', round(quantile_cont(value, 0.75), 6) FROM events
-UNION ALL SELECT '0.9', round(quantile_cont(value, 0.9), 6) FROM events
-UNION ALL SELECT '0.99', round(quantile_cont(value, 0.99), 6) FROM events
+SELECT '0.1' AS quantile, round(percentile_cont(0.1) WITHIN GROUP (ORDER BY value), 6) AS threshold FROM events
+UNION ALL SELECT '0.25', round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) FROM events
+UNION ALL SELECT '0.5', round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) FROM events
+UNION ALL SELECT '0.75', round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) FROM events
+UNION ALL SELECT '0.9', round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) FROM events
+UNION ALL SELECT '0.99', round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) FROM events
 """
 
 

@@ -26,7 +26,7 @@ def a1_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A1_SQL = """
-SELECT CAST(event_id // 100 AS BIGINT) AS chunk_idx,
+SELECT CAST(FLOOR(event_id / 100) AS BIGINT) AS chunk_idx,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1
 """
@@ -44,7 +44,7 @@ def a2_chunk_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A2_SQL = """
-SELECT CAST(event_id // 1000 AS BIGINT) AS period_idx,
+SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS period_idx,
        round(avg(value * value), 6) AS mse,
        count(*) AS n_samples
 FROM events GROUP BY 1

@@ -72,6 +72,50 @@ ANSI_QUERIES = [
     "o13_shuffle_shards",
     "a20_autocorr",
     "m15_logloss",
+    # round-8 additions: 29 proved verbatim by the r8 dialect probe +
+    # 11 rewritten into the shared Spark-DuckDB ANSI subset
+    # (// -> FLOOR, quantile_cont -> percentile_cont WITHIN GROUP,
+    # grouping -> grouping_id, VARCHAR -> STRING, FILTER(WHERE))
+    "a17_dedup_report",
+    "a3_threshold_stats",
+    "a6_summary_stats",
+    "a9_distinct",
+    "d1_exact_dedup",
+    "j3_union_tagged",
+    "j5_broadcast_dims",
+    "k1_kbm_roundtrip",
+    "m11_threshold_flags",
+    "m1_standard_scale",
+    "o3_loss_ranking",
+    "o8_quota_sample",
+    "o9_heavy_keys",
+    "p11_stack_unpivot",
+    "p13_zorder_key",
+    "p5_multiformat_parse",
+    "p6_round_project",
+    "p7_modulo_trim",
+    "p8_prefix_split",
+    "s1_snapshot_roundtrip",
+    "s5_csv_roundtrip",
+    "w10_islands",
+    "w12_cumsum_certainty",
+    "w13_lag_shift",
+    "w3_lookback_mean",
+    "w5_rolling_min",
+    "w6_rolling_mean",
+    "w8_first_crossing",
+    "w9_asof_fraction",
+    "a1_resample_mean",
+    "a2_chunk_mse",
+    "mm4_image_roundtrip",
+    "mm5_video_roundtrip",
+    "mm7_audio_frames",
+    "a13_exact_distinct_quantiles",
+    "o2_threshold_grid",
+    "a19_mad_threshold",
+    "a21_grouping_sets",
+    "o6_stratified_sample",
+    "p12_pivot",
 ]
 
 
