@@ -48,22 +48,30 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _apply_merge(syms: Column, left: str, right: str) -> Column:
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _apply_merge(syms_col: str, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping merge of adjacent
-    (left, right) symbol pairs into one symbol, as a fold."""
-    lft, rgt = F.lit(left), F.lit(right)
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == lft)
-            & (s == rgt),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.concat(F.element_at(acc, -1), s)),
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+    (left, right) symbol pairs into one symbol, as a fold.
+
+    Built as ONE server-side-parsed expression string (the s6 IVF-PQ
+    pattern): Python-lambda higher-order functions cost hundreds of
+    py4j round trips per construction, which dominated the per-merge-
+    round driver cost when this loop runs thousands of rounds.
+    """
+    lft, rgt = _sql_str(left), _sql_str(right)
+    return F.expr(
+        f"""aggregate(
+  `{syms_col}`,
+  cast(array() as array<string>),
+  (acc, s) -> if(
+    size(acc) > 0 AND element_at(acc, -1) = {lft} AND s = {rgt},
+    concat(slice(acc, 1, size(acc) - 1),
+           array(concat(element_at(acc, -1), s))),
+    concat(acc, array(s))))"""
     )
 
 
@@ -71,23 +79,47 @@ def train_bpe(freqs: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
     Returns [(left, right, pair_freq), ...] in merge order. Executes
     eagerly (one pair-count job + one argmax collect per round)."""
+    # Eager localCheckpoint, not persist: persist caches DATA but the
+    # logical plan still accumulates one nested F.aggregate fold per
+    # round, so round n re-optimizes an n-deep plan — O(rounds^2)
+    # driver compile at real merge counts (30k+). Checkpointing
+    # truncates the lineage so every round compiles the SAME two-node
+    # plan over frozen blocks (the d8 pattern, graph.py).
     state = freqs.select(
         F.split(F.col("word"), "").alias("syms"), "freq"
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # Size the round loop to the VOCAB, not the corpus: the merge loop
+    # runs n_merges jobs over a table that is orders of magnitude
+    # smaller than the corpus (31 distinct words at sf0.1; low millions
+    # for a real web corpus). Inherited corpus partitioning makes every
+    # round pay full task-scheduling fan-out for near-empty partitions.
+    # Count is cheap on frozen blocks; ~64k rows/partition keeps each
+    # round's tasks meaningful while still distributing huge vocabs.
+    n_words = state.count()
+    want = max(1, min(state.rdd.getNumPartitions(), (n_words + 65535) // 65536))
+    if want < state.rdd.getNumPartitions():
+        state = state.coalesce(want).localCheckpoint(eager=True)
+    # Small-vocab loops are bounded by per-round driver/scheduler
+    # overhead, and AQE's per-stage replanning is ~40% of it while
+    # buying nothing on a single-partition input; a huge vocab keeps
+    # AQE for shuffle coalescing/skew handling.
+    spark = state.sparkSession
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if n_words <= 65536:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
+            # one server-side-parsed expression for the pair explode:
+            # the Python-lambda zip_with form cost ~0.16 s/round of
+            # py4j traffic, which is the driver bottleneck at real
+            # merge counts.
             pairs = (
-                state.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(
-                                a.alias("left"), b.alias("right")
-                            ),
-                        )
-                    ).alias("p"),
+                state.selectExpr(
+                    "explode(zip_with("
+                    " slice(syms, 1, size(syms) - 1),"
+                    " slice(syms, 2, size(syms) - 1),"
+                    " (a, b) -> struct(a AS left, b AS right))) AS p",
                     "freq",
                 )
                 .groupBy("p.left", "p.right")
@@ -100,12 +132,16 @@ def train_bpe(freqs: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
                 break
             left, right, pf = pairs[0].left, pairs[0].right, pairs[0].pair_freq
             merges.append((left, right, int(pf)))
+            # lazy checkpoint: blocks materialize inside the NEXT
+            # round's pair-count job (one job per round, not two) while
+            # still truncating lineage to a frozen-block leaf.
             new_state = state.select(
-                _apply_merge(F.col("syms"), left, right).alias("syms"),
+                _apply_merge("syms", left, right).alias("syms"),
                 "freq",
-            ).persist()
+            ).localCheckpoint(eager=False)
             state.unpersist()
             state = new_state
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         state.unpersist()
     return merges

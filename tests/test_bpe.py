@@ -76,7 +76,7 @@ def test_bpe_greedy_fold_overlap():
     out = [
         r.m
         for r in df.select(
-            bpe._apply_merge(F.col("syms"), "a", "a").alias("m")
+            bpe._apply_merge("syms", "a", "a").alias("m")
         ).collect()
     ]
     assert out == [["aa", "aa"], ["aa", "a"], ["b", "a"]]
@@ -93,3 +93,16 @@ def test_t16_registry_entry(spark):
     # monotone (later merges can create new frequent pairs), but every
     # freq is positive
     assert all(r.pair_freq > 0 for r in rows)
+
+
+def test_bpe_sql_literal_escaping(spark):
+    """Symbols containing SQL-literal metacharacters (apostrophe,
+    backslash) must survive the server-side-parsed merge expression:
+    words like don't produce a bare ' symbol after char split."""
+    wf = {"don't": 5, "can't": 4, r"a\'b": 2}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in wf.items()], "text string"
+    )
+    got = bpe.train_bpe(bpe.word_freqs(docs), n_merges=6)
+    want = _py_bpe(wf, 6)
+    assert got == want
