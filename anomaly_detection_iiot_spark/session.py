@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pin Python-worker reuse explicitly (default true, but drift
+        # here is invisible and costs a fork per task for every
+        # pandas_udf stage — the r8 bench showed a transient 3x on the
+        # Arrow-UDF family that this removes as a suspect), and never
+        # idle-kill workers mid-suite
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
