@@ -185,8 +185,8 @@ WITH cohorts AS (
   FROM events GROUP BY 1
 )
 SELECT c.cohort_week,
-       CAST(floor(date_diff('day', c.cohort_week,
-                            date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+       CAST(floor((epoch(date_trunc('week', e.ts)) - epoch(c.cohort_week))
+                  / (7.0 * 86400)) AS BIGINT)
          AS week_offset,
        count(DISTINCT e.user_id) AS active_users
 FROM events e JOIN cohorts c USING (user_id)

@@ -55,7 +55,7 @@ _WIN_SQL = f"""ev AS (
            AS rn
   FROM events
 ), win AS (
-  SELECT user_id, rn // {WIN} AS window_idx, list(value ORDER BY rn) AS v
+  SELECT user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT) AS window_idx, list(value ORDER BY rn) AS v
   FROM ev GROUP BY 1, 2 HAVING count(*) = {WIN}
 )"""
 
@@ -415,10 +415,13 @@ def a5_fedavg_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A5_SQL = """
-SELECT CAST(label AS BIGINT) AS layer,
-       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-       unnest(embedding)::DOUBLE AS wv
-FROM embeddings
+SELECT layer, CAST(dim - 1 AS BIGINT) AS pos, list_element(emb, dim) AS wv
+FROM (SELECT CAST(label AS BIGINT) AS layer, emb,
+             unnest(generate_series(1, n_dim)) AS dim
+      FROM (SELECT label, embedding::DOUBLE[] AS emb,
+                   array_length(embedding) AS n_dim
+            FROM embeddings) en
+      WHERE n_dim >= 1) u
 """
 A5_SQL = f"""
 WITH pos AS ({A5_SQL})

@@ -34,15 +34,17 @@ from .base import QuerySpec, t
 
 _TOKS = r"""toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                     x -> x != '') AS tokens
+         filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS tokens,
+         array_length(filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '')) AS n_tok
   FROM documents
 )"""
 
 _SHINGLES = _TOKS + r""", pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id,
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
@@ -247,12 +249,15 @@ def d11_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D11_SQL = rf"""
 WITH {_TOKS}, nchunks AS (
-  SELECT doc_id, tokens, CAST(len(tokens) // 10 AS INT) AS nc FROM toks
+  SELECT doc_id, tokens, CAST(FLOOR(array_length(tokens) / 10) AS INT) AS nc FROM toks
+), idx AS (
+  SELECT doc_id, tokens, unnest(generate_series(0, nc - 1)) AS i
+  FROM nchunks WHERE nc >= 1
 ), chunks AS (
   SELECT doc_id,
          md5(array_to_string(list_slice(tokens, i * 10 + 1, i * 10 + 10), ' '))
            AS chash
-  FROM nchunks, unnest(generate_series(0, nc - 1)) AS t(i)
+  FROM idx
 ), occ AS (
   SELECT chash, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
 )
@@ -305,13 +310,15 @@ def t10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 T10_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                     x -> x != '') AS tokens
+         filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS tokens,
+         array_length(filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '')) AS n_tok
   FROM documents
 ), pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id,
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
@@ -457,7 +464,8 @@ _D6_COMBINE = " + ".join(
 )
 D6_SQL = f"""
 WITH {_TOKS}, dt AS (
-  SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks
+  SELECT doc_id, unnest(dtoks) AS tok
+  FROM (SELECT doc_id, list_distinct(tokens) AS dtoks FROM toks) d0
 ), hv AS (
   SELECT doc_id,
          instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1 AS v0,
@@ -489,14 +497,13 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(a.label AS BIGINT) AS label,
        round(
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> a.v[i] * b.v[i]))
-         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.15
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.15
 """
 
 
@@ -537,10 +544,9 @@ def d9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _D9_COS = """
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> a.v[i] * b.v[i]))
-         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v)))
 """
 
 D9_SQL = f"""
@@ -548,10 +554,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ),
 assigned AS (
@@ -608,10 +613,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ),
 assigned AS (
@@ -663,10 +667,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
 scored AS (
   SELECT q.qid, e.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.qv[i] * e.v[i]))
-         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+         list_dot_product(q.qv, e.v)
+         / (sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(e.v, e.v))) AS cos
   FROM q JOIN e ON e.vec_id != q.qid
 )
 SELECT qid, cid, round(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
@@ -704,10 +707,9 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
 scored AS (
   SELECT q.qid, e.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.qv[i] * e.v[i]))
-         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+         list_dot_product(q.qv, e.v)
+         / (sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(e.v, e.v))) AS cos
   FROM q JOIN e ON e.vec_id != q.qid
   WHERE e.label = 3
 )
@@ -761,10 +763,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ), assigned AS (
   SELECT vec_id, v, centroid_id AS bucket
@@ -777,10 +778,9 @@ scored AS (
   FROM assigned WHERE vec_id BETWEEN 100 AND 104
 ), cand AS (
   SELECT q.qid, q.qbucket, a.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.qv[i] * a.v[i]))
-         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+         list_dot_product(q.qv, a.v)
+         / (sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(a.v, a.v))) AS cos
   FROM q JOIN assigned a ON a.bucket = q.qbucket AND a.vec_id != q.qid
 )
 SELECT qid, CAST(qbucket AS BIGINT) AS bucket, cid,
@@ -846,10 +846,9 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.label, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ), assigned AS (
   SELECT vec_id, label, v, centroid_id AS bucket
@@ -862,10 +861,9 @@ scored AS (
   FROM assigned WHERE vec_id BETWEEN 100 AND 104
 ), cand AS (
   SELECT q.qid, q.qbucket, a.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.qv[i] * a.v[i]))
-         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+         list_dot_product(q.qv, a.v)
+         / (sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(a.v, a.v))) AS cos
   FROM q JOIN assigned a
     ON a.bucket = q.qbucket AND a.vec_id != q.qid AND a.label = 3
 )
@@ -926,10 +924,9 @@ q AS (SELECT vec_id AS qid, v AS qv FROM e
       WHERE vec_id BETWEEN 100 AND 104),
 exact_scored AS (
   SELECT q.qid, e.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.qv[i] * e.v[i]))
-         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+         list_dot_product(q.qv, e.v)
+         / (sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(e.v, e.v))) AS cos
   FROM q JOIN e ON e.vec_id != q.qid
 ),
 exact AS (
@@ -942,10 +939,9 @@ exact AS (
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 cell_scored AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ),
 assigned AS (
@@ -965,10 +961,9 @@ ivf AS (
                row_number() OVER (
                  PARTITION BY iq.qid
                  ORDER BY
-                   list_sum(list_transform(generate_series(1, 64),
-                                           i -> iq.qv[i] * a.v[i]))
-                   / (sqrt(list_sum(list_transform(iq.qv, x -> x * x)))
-                      * sqrt(list_sum(list_transform(a.v, x -> x * x))))
+                   list_dot_product(iq.qv, a.v)
+                   / (sqrt(list_dot_product(iq.qv, iq.qv))
+                      * sqrt(list_dot_product(a.v, a.v)))
                    DESC, a.vec_id) AS rk
         FROM iq JOIN assigned a
           ON a.bucket = iq.qbucket AND a.vec_id != iq.qid)
@@ -1010,10 +1005,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ), assigned AS (
   SELECT vec_id, v, centroid_id AS bucket
@@ -1029,10 +1023,9 @@ scored AS (
   WHERE vec_id BETWEEN 100 AND 104 AND qrk <= 2
 ), cand AS (
   SELECT p.qid, a.bucket, a.vec_id AS cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> p.qv[i] * a.v[i]))
-         / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
-            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+         list_dot_product(p.qv, a.v)
+         / (sqrt(list_dot_product(p.qv, p.qv))
+            * sqrt(list_dot_product(a.v, a.v))) AS cos
   FROM probes p JOIN assigned a
     ON a.bucket = p.probe_bucket AND a.vec_id != p.qid
 )
@@ -1063,10 +1056,10 @@ _BPE_RE_SQL = textstats.BPE_SPLIT_RE.replace("'", "''")
 
 T1_SQL = rf"""
 WITH {_TOKS}
-SELECT d.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(
+SELECT d.doc_id, CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(array_length(filter(
               regexp_extract_all(d.text,
-                '{_BPE_RE_SQL}'),
+                '{_BPE_RE_SQL}', 0),
               p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
        CAST(length(d.text) AS BIGINT) AS n_chars_txt
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
@@ -1089,11 +1082,11 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 T2_SQL = rf"""
 WITH {_TOKS}, q AS (
   SELECT d.doc_id,
-         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
          length(d.text) AS text_len,
          length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
-         len(list_filter(t.tokens,
-             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+         array_length(filter(t.tokens,
+             x -> x IN ('the','a','of','and','to','in','is')))
            AS stop_hits
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 )
@@ -1126,8 +1119,8 @@ def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _T3_HITS = ", ".join(
-    "len(list_filter(tokens, x -> list_contains({words}, x))) AS hits_{lang}".format(
-        words="[" + ",".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]",
+    "array_length(filter(tokens, x -> x IN ({words}))) AS hits_{lang}".format(
+        words=",".join(f"'{w}'" for w in textstats.STOPWORDS[lang]),
         lang=lang,
     )
     for lang in sorted(textstats.STOPWORDS)
@@ -1218,11 +1211,11 @@ WITH {_TOKS}, h AS (
   FROM h
 ), q AS (
   SELECT d.doc_id,
-         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
-         CASE WHEN len(t.tokens) > 0
-              THEN len(list_filter(t.tokens,
-                   x -> list_contains(['the','a','of','and','to','in','is'], x)))
-                   / len(t.tokens)
+         CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
+         CASE WHEN array_length(t.tokens) > 0
+              THEN array_length(filter(t.tokens,
+                   x -> x IN ('the','a','of','and','to','in','is')))
+                   / array_length(t.tokens)
               ELSE 0.0 END AS stopword_ratio
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 ), k AS (
@@ -1317,9 +1310,9 @@ def t5_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T5_SQL = rf"""
 WITH {_TOKS}, pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id, p,
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
@@ -1398,9 +1391,9 @@ def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D12_SQL = rf"""
 WITH {_TOKS}, pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id, p,
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
@@ -1474,11 +1467,14 @@ def a16_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A16_SQL = """
-WITH ex AS (
-  SELECT label,
-         generate_subscripts(embedding, 1) AS dim,
-         unnest(embedding::DOUBLE[]) AS v
+WITH en AS (
+  SELECT label, embedding::DOUBLE[] AS emb,
+         array_length(embedding) AS n_dim
   FROM embeddings
+), ex AS (
+  SELECT label, dim, list_element(emb, dim) AS v
+  FROM (SELECT label, emb, unnest(generate_series(1, n_dim)) AS dim
+        FROM en WHERE n_dim >= 1) u
 )
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        round(avg(v), 6) AS c, CAST(count(*) AS BIGINT) AS n_vecs
@@ -1590,9 +1586,9 @@ def t7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T7_SQL = rf"""
 WITH {_TOKS}, pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
   FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
@@ -1716,12 +1712,12 @@ WITH aug AS (
   FROM aug
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS BIGINT)
+       CAST(array_length(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}', 0)) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(after_email,
-         '{textstats.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(after_phone,
-         '{textstats.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(array_length(regexp_extract_all(after_email,
+         '{textstats.PII_PHONE_RE}', 0)) AS BIGINT) AS n_phones,
+       CAST(array_length(regexp_extract_all(after_phone,
+         '{textstats.PII_IPV4_RE}', 0)) AS BIGINT) AS n_ipv4,
        substr(md5(regexp_replace(after_phone,
          '{textstats.PII_IPV4_RE}', '<IP>', 'g')), 1, 8) AS red_hash,
        CAST(length(regexp_replace(after_phone,
@@ -1769,11 +1765,11 @@ def c3_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 C3_SQL = rf"""
 WITH {_TOKS}, q AS (
   SELECT d.doc_id,
-         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
          length(d.text) AS text_len,
          length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
-         len(list_filter(t.tokens,
-             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+         array_length(filter(t.tokens,
+             x -> x IN ('the','a','of','and','to','in','is')))
            AS stop_hits
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 ), f AS (
@@ -1870,9 +1866,9 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T12_SQL = rf"""
 WITH {_TOKS}, pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), bg AS (
   SELECT doc_id, tok AS w1,
          tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
@@ -1949,15 +1945,15 @@ T13_SQL = rf"""
 WITH {_TOKS}, starts AS (
   SELECT doc_id, tokens,
          unnest(generate_series(0,
-           CAST(floor((len(tokens) - 1) / {_T13_STRIDE}) AS BIGINT))) AS k
-  FROM toks WHERE len(tokens) > 0
+           CAST(floor((n_tok - 1) / {_T13_STRIDE}) AS BIGINT))) AS k
+  FROM toks WHERE n_tok > 0
 ), ch AS (
   SELECT doc_id, k AS chunk_id,
          k * {_T13_STRIDE} AS s,
          array_to_string(
            list_slice(tokens, k * {_T13_STRIDE} + 1,
                       k * {_T13_STRIDE} + {_T13_CHUNK}), ' ') AS chunk_text,
-         least({_T13_CHUNK}, len(tokens) - k * {_T13_STRIDE}) AS n_chunk
+         least({_T13_CHUNK}, array_length(tokens) - k * {_T13_STRIDE}) AS n_chunk
   FROM starts
 )
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
@@ -2071,10 +2067,9 @@ c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
 cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
 ascore AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> e.v[i] * c.cv[i]))
-         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS csim
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS csim
   FROM e, c
 ), assigned AS (
   SELECT vec_id, v, centroid_id AS bucket
@@ -2213,11 +2208,11 @@ def o10_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 O10_SQL = rf"""
 WITH {_TOKS}, q AS (
   SELECT d.doc_id, d.lang, d.text,
-         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
          length(d.text) AS text_len,
          length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS nopunct_len,
-         len(list_filter(t.tokens,
-             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+         array_length(filter(t.tokens,
+             x -> x IN ('the','a','of','and','to','in','is')))
            AS stop_hits
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 ), f AS (
@@ -2231,9 +2226,9 @@ WITH {_TOKS}, q AS (
   FROM q
 ), sc AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(
+         CAST(array_length(filter(
                 regexp_extract_all(text,
-                  '{_BPE_RE_SQL}'),
+                  '{_BPE_RE_SQL}', 0),
                 p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
          1.0 / (1.0 + exp(-({_C3_W["bias"]}
            + {_C3_W["n_tokens"]} * CAST(n_tokens AS DOUBLE)
@@ -2300,11 +2295,11 @@ def t14_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 T14_SQL = rf"""
 WITH r AS (
   SELECT doc_id, lang,
-         len(regexp_extract_all(text, '{_T14_CJK}'))
+         array_length(regexp_extract_all(text, '{_T14_CJK}', 0))
            / greatest(length(text), 1) AS cjk,
-         len(regexp_extract_all(text, '{_T14_ASCII_AL}'))
+         array_length(regexp_extract_all(text, '{_T14_ASCII_AL}', 0))
            / greatest(length(text), 1) AS ascr,
-         len(regexp_extract_all(text, '{_T14_DIGIT}'))
+         array_length(regexp_extract_all(text, '{_T14_DIGIT}', 0))
            / greatest(length(text), 1) AS dig
   FROM documents
 )
@@ -2414,9 +2409,9 @@ def w15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 W15_SQL = rf"""
 WITH b AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(
+         CAST(array_length(filter(
                 regexp_extract_all(text,
-                  '{_BPE_RE_SQL}'),
+                  '{_BPE_RE_SQL}', 0),
                 p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens
   FROM documents
 )
@@ -2456,8 +2451,8 @@ def _s4_bits_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
             + "]::DOUBLE[]"
         )
         bits.append(
-            f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> v[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN list_dot_product(v, {arr}) >= 0"
+            f" THEN '1' ELSE '0' END"
         )
     return " || ".join(bits)
 
@@ -2477,10 +2472,9 @@ s AS (
   FROM s a JOIN s b ON a.b1 = b.b1 AND a.vid != b.vid
 ), scored AS (
   SELECT c.qid, c.cid,
-         list_sum(list_transform(generate_series(1, 64),
-                                 i -> q.v[i] * t.v[i]))
-         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+         list_dot_product(q.v, t.v)
+         / (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(t.v, t.v))) AS cos
   FROM cand c JOIN s q ON q.vid = c.qid JOIN s t ON t.vid = c.cid
 )
 SELECT qid AS vec_id, cid AS nn_id, round(cos, 6) AS cosine,
@@ -2609,10 +2603,10 @@ def t15_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T15_SQL = rf"""
 WITH {_TOKS}, pos AS (
-  SELECT doc_id, unnest(tokens) AS tok,
-         generate_subscripts(tokens, 1) AS p,
-         list_sum(list_transform(tokens, x -> length(x))) AS total_chars
-  FROM toks
+  SELECT doc_id, list_extract(tokens, p) AS tok, p,
+         length(array_to_string(tokens, '')) AS total_chars
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
 ), grams AS (
   SELECT doc_id, total_chars, 2 AS n,
          tok || ' ' || lead(tok, 1) OVER w2 AS gram

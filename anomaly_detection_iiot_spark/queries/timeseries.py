@@ -326,7 +326,7 @@ W10_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('microsecond', lag(ts) OVER w, ts) > 3600.0 * 1e6
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600.0 * 1e6
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -362,7 +362,7 @@ def w11_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 W11_SQL = """
 SELECT user_id, event_id, gap_seconds FROM (
   SELECT user_id, event_id,
-         round(date_diff('microsecond', lag(ts) OVER w, ts) / 1e6, 6) AS gap_seconds
+         round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6) AS gap_seconds
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
@@ -428,9 +428,11 @@ def w1_strided_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W1_SQL = """
 WITH assigned AS (
-  SELECT event_id, value,
-         CAST(unnest([event_id // 50, event_id // 50 - 1]) AS BIGINT) AS window_idx
-  FROM events
+  SELECT event_id, value, CAST(wi AS BIGINT) AS window_idx
+  FROM (SELECT event_id, value,
+               unnest(generate_series(CAST(FLOOR(event_id / 50) AS BIGINT) - 1,
+                                      CAST(FLOOR(event_id / 50) AS BIGINT))) AS wi
+        FROM events) u
 )
 SELECT window_idx, count(*) AS n_samples, round(avg(value), 6) AS avg_value
 FROM assigned
@@ -494,12 +496,12 @@ def w7_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W7_SQL = """
 WITH chunks AS (
-  SELECT CAST(event_id // 1000 AS BIGINT) AS chunk_idx, avg(value) AS value
+  SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS chunk_idx, avg(value) AS value
   FROM events GROUP BY 1
 )
 SELECT CAST(chunk_idx * 3 + off AS BIGINT) AS sample_idx,
        round(value, 6) AS value
-FROM (SELECT chunk_idx, value, unnest([0, 1, 2]) AS off FROM chunks)
+FROM (SELECT chunk_idx, value, unnest(generate_series(0, 2)) AS off FROM chunks)
 """
 
 

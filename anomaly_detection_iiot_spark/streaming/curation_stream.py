@@ -54,7 +54,9 @@ def redaction_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def curation_verdict_columns(docs: DataFrame) -> DataFrame:
+def curation_verdict_columns(
+    docs: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Stateless cascade: lang + quality + o6 sampling flag, usable on
     a batch frame or a stream unchanged. Both textstats helpers are
     withColumn chains, so the whole cascade composes into ONE
@@ -74,6 +76,7 @@ def curation_verdict_columns(docs: DataFrame) -> DataFrame:
         .otherwise("keep")
     )
     extras = ["n_pii"] if "n_pii" in df.columns else []
+    extras += [c for c in passthrough if c in df.columns and c not in extras]
     return df.select(
         "doc_id", "lang", "pred_lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -86,18 +89,26 @@ def curation_verdict_columns(docs: DataFrame) -> DataFrame:
 def curated_document_stream(
     stream_docs: DataFrame,
     dedup_watermark: str = "10 minutes",
+    ingest_ts_col: str | None = None,
 ) -> DataFrame:
     """Full streaming curation: stateless verdict columns, then
     first-arrival content dedup (bounded state) over the keepers.
 
     Non-keepers pass through with their verdict so the stream's output
     is a full audit log; only rows that would enter the corpus pay the
-    dedup state. ``current_timestamp()`` is the ingest time — the
-    standard watermark clock for sources (like this corpus drop
-    directory) whose files carry no event time.
+    dedup state. The dedup clock defaults to ``current_timestamp()`` —
+    the standard watermark clock for sources (like this corpus drop
+    directory) whose files carry no event time; pass ``ingest_ts_col``
+    when the stream carries a real ingest/crawl timestamp (replayed
+    corpora, backfills) so state eviction follows the data's own clock
+    instead of the processing wall clock.
     """
-    verdicts = curation_verdict_columns(stream_docs).withColumn(
-        "ingest_ts", F.current_timestamp()
+    verdicts = curation_verdict_columns(
+        stream_docs,
+        passthrough=(ingest_ts_col,) if ingest_ts_col else (),
+    ).withColumn(
+        "ingest_ts",
+        F.col(ingest_ts_col) if ingest_ts_col else F.current_timestamp(),
     )
     keepers = (
         verdicts.filter(F.col("verdict") == "keep")

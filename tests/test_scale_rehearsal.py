@@ -313,3 +313,66 @@ def test_long_diameter_chain_flat_per_round_cost(spark):
         f"per-round cost grew with iterations: short={t_short:.1f}s "
         f"long={t_long:.1f}s"
     )
+
+
+# --- streaming scale rehearsal (r8 verdict task 4) ---------------------------
+# The two streaming heavies get the same measured treatment as the
+# batch families: run the SAME pipeline over a 10x longer stream at a
+# fixed per-batch event span and assert, from the query's own progress
+# metrics, that (a) state is watermark-bounded (max in-flight state rows
+# do not grow with stream length) and (b) per-batch wall stays flat (no
+# state-accumulation slowdown). Full 1x/10x/100x curves live in
+# tools/stream_scale_probe.py + README.
+
+
+def _stream_probe_tools():
+    import importlib
+
+    return importlib.import_module("tools.stream_scale_probe")
+
+
+def test_bearing_stream_state_watermark_bounded(spark, tmp_path):
+    p = _stream_probe_tools()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        r1 = p.probe_bearing_length(spark, str(tmp_path), 1)
+        r10 = p.probe_bearing_length(spark, str(tmp_path), 10)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    assert r10["rows_in"] == 10 * r1["rows_in"]
+    # (a) watermark-bounded state: 10x the stream, same in-flight rows
+    # (4 channels x open windows across two stateful operators); allow
+    # +50% slack for batch-boundary phase
+    assert r10["state_rows_max"] <= 1.5 * r1["state_rows_max"], (
+        f"state grew with stream length: {r1['state_rows_max']} -> "
+        f"{r10['state_rows_max']}"
+    )
+    # (b) flat per-batch wall over 10x more batches (median is robust
+    # to the first-batch codegen spike); 3x headroom for host noise
+    assert r10["batch_ms_median"] <= 3 * r1["batch_ms_median"], (
+        f"per-batch wall grew with stream length: "
+        f"{r1['batch_ms_median']} -> {r10['batch_ms_median']} ms"
+    )
+
+
+def test_curation_stream_dedup_state_evicted_by_watermark(spark, tmp_path):
+    p = _stream_probe_tools()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        r1 = p.probe_curation_length(spark, str(tmp_path), 1)
+        r10 = p.probe_curation_length(spark, str(tmp_path), 10)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    assert r10["rows_in"] == 10 * r1["rows_in"]
+    # dedup state holds only hashes within the 2-minute watermark
+    # (~3 chunks' keepers), regardless of total stream length
+    assert r10["state_rows_max"] <= 1.5 * r1["state_rows_max"], (
+        f"dedup state grew with stream length: {r1['state_rows_max']} -> "
+        f"{r10['state_rows_max']}"
+    )
+    # eviction actually happened on the long run: final state is below
+    # the total number of keeper hashes ever seen (~80% of 10k docs)
+    assert r10["state_rows_final"] < 1000
+    assert r10["batch_ms_median"] <= 3 * r1["batch_ms_median"]
