@@ -204,7 +204,15 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from anomaly_detection_iiot_spark.session import get_spark
 
-    spark = get_spark("stream-scale-probe")
+    spark = get_spark(
+        "stream-scale-probe",
+        # keep every micro-batch's progress event: the default retention
+        # (100) would silently truncate the 100x runs' ~500 batches to
+        # their tail — still the steady state, but rows_in would under-
+        # count and "max over the stream" would really be "max over the
+        # last 100 batches"
+        extra_conf={"spark.sql.streaming.numRecentProgressUpdates": "1000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # streaming state partitions are frozen at query start and never
     # AQE-coalesced: size to key cardinality, not core count (the
