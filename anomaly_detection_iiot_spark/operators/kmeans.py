@@ -31,10 +31,23 @@ chained CTEs):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import norm
+
+# Above this many centroid doubles (k x dim), nearest-centroid
+# assignment switches from the literal-expression fold to the Arrow
+# matmul path: the literal plan's parse/codegen cost grows with k*dim
+# (2.6 s compile at just k=8/dim=64 worth of per-iteration literals was
+# the r8 s13 finding) and its runtime is an interpreted per-row loop
+# over k, while the Arrow path is one dense numpy matmul per batch with
+# a centroid matrix shipped once per task. k=8 coarse quantizers stay
+# on the literal path (zero Python, oracle-exact fold order); k=4096
+# quantizers get the matmul.
+LITERAL_CENTROID_BUDGET = 4096
 
 
 def _darr(values) -> str:
@@ -75,6 +88,68 @@ def assign_literal(
     )
 
 
+def assign_arrow(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k twin of ``assign_literal``: squared-L2 nearest centroid
+    as one dense numpy computation per Arrow batch (mapInPandas, zero
+    shuffle). Ids are sorted ascending and argmin takes the first
+    minimum, so exact-distance ties break to the smallest centroid id —
+    the same integer decision as the literal fold. fp summation is
+    numpy's pairwise order instead of the fold's sequential order, so
+    assignments can differ only on distances equal to within summation
+    error (the dispatch test asserts agreement on the real corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cents = sorted(centroids)
+    ids = np.array([int(i) for i, _ in cents], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    c_sq = (C * C).sum(axis=1)
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField("bucket", LongType()), StructField("dist", DoubleType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2, argmin over c;
+            # recompute the winner's exact distance with a direct
+            # difference so the reported dist has no cancellation
+            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+            win = d2.argmin(axis=1)
+            diff = V - C[win]
+            out = pdf.copy()
+            out["bucket"] = ids[win]
+            out["dist"] = (diff * diff).sum(axis=1)
+            yield out
+
+    return corpus.mapInPandas(batches, schema=out_schema)
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dispatch on codebook size: literal fold below
+    ``LITERAL_CENTROID_BUDGET`` centroid doubles, Arrow matmul above
+    (compile cost flat in k on that path)."""
+    n_doubles = sum(len(v) for _, v in centroids)
+    if n_doubles <= LITERAL_CENTROID_BUDGET:
+        return assign_literal(corpus, centroids, vec_col=vec_col)
+    return assign_arrow(corpus, centroids, vec_col=vec_col)
+
+
 def kmeans_train(
     corpus: DataFrame,
     k: int,
@@ -82,6 +157,7 @@ def kmeans_train(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_empty: str = "shrink",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Train k centroids for ``iters`` Lloyd iterations, seeded from
     the first k rows by ``id_col`` (deterministic, engine-portable).
@@ -89,7 +165,19 @@ def kmeans_train(
     Returns (final centroids, final assignment DataFrame with bucket +
     dist). Iterations execute EAGERLY at call time (each collects k
     tiny centroid rows — the driver round loop m9/FedAvg also uses);
-    the returned assignment is lazy against the final centroids."""
+    the returned assignment is lazy against the final centroids.
+    Assignment dispatches literal-vs-Arrow on codebook size
+    (``assign_centroids``), so compile cost stays flat at large k.
+
+    ``on_empty`` controls what happens when an iteration leaves a
+    cluster with no members: ``"shrink"`` (default) drops the centroid
+    for all later iterations — the behavior the unrolled-CTE oracle
+    mirrors — but WARNS, because a silently shrinking production
+    codebook is a data-drift signal; ``"keep"`` retains the previous
+    centroid for the empty bucket so k never shrinks (the MLlib-style
+    guard; empty centroids can win members again in later rounds)."""
+    if on_empty not in ("shrink", "keep"):
+        raise ValueError(f"on_empty must be 'shrink' or 'keep': {on_empty!r}")
     init = (
         corpus.filter(F.col(id_col) < k)
         .select(
@@ -99,9 +187,9 @@ def kmeans_train(
         .collect()
     )
     centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
-    for _ in range(iters):
+    for it in range(iters):
         stats = (
-            assign_literal(corpus, centroids, vec_col=vec_col)
+            assign_centroids(corpus, centroids, vec_col=vec_col)
             .groupBy("bucket")
             .agg(
                 *[
@@ -113,11 +201,29 @@ def kmeans_train(
             )
             .collect()
         )
-        centroids = sorted(
+        updated = sorted(
             (int(r["bucket"]), [float(r[f"c{i}"]) for i in range(dim)])
             for r in stats
         )
-    return centroids, assign_literal(corpus, centroids, vec_col=vec_col)
+        if len(updated) < len(centroids):
+            got = {cid for cid, _ in updated}
+            empty = [cid for cid, _ in centroids if cid not in got]
+            if on_empty == "keep":
+                updated = sorted(
+                    updated
+                    + [(cid, v) for cid, v in centroids if cid in set(empty)]
+                )
+            else:
+                warnings.warn(
+                    f"kmeans_train: cluster(s) {empty} received no members "
+                    f"in iteration {it + 1}; k shrinks {len(centroids)} -> "
+                    f"{len(updated)} for the remaining iterations "
+                    "(pass on_empty='keep' to retain empty centroids)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        centroids = updated
+    return centroids, assign_centroids(corpus, centroids, vec_col=vec_col)
 
 
 def cluster_report(

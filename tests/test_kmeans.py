@@ -82,3 +82,62 @@ def test_cluster_report_shape(spark, emb):
     assert [r.cluster for r in rows] == sorted(r.cluster for r in rows)
     assert sum(r.n_members for r in rows) == df.count()
     assert all(r.inertia >= 0 for r in rows)
+
+
+def test_empty_cluster_shrink_warns_and_keep_retains(spark):
+    """Seeding centroid 2 at exactly centroid 1's position guarantees
+    it gets zero members from iteration 1 on (distance ties break to
+    the min centroid id): default mode shrinks k WITH a warning;
+    on_empty='keep' retains the stale centroid so k never shrinks."""
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [10.0, 10.0])] + [
+        (i, [float(i % 2) * 10.0 + 0.1, float(i % 2) * 10.0]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import warnings as w
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        cents, _ = kmeans.kmeans_train(df, k=3, iters=3, dim=2)
+    assert len(cents) < 3
+    assert any("received no members" in str(c.message) for c in caught)
+
+    cents_keep, assigned = kmeans.kmeans_train(
+        df, k=3, iters=3, dim=2, on_empty="keep"
+    )
+    assert len(cents_keep) == 3
+    assert {c for c, _ in cents_keep} == {0, 1, 2}
+    # the kept empty centroid holds its last non-empty value (the seed)
+    kept = dict(cents_keep)[2]
+    assert kept == [10.0, 10.0]
+    assert assigned.count() == len(rows)
+
+
+def test_assign_arrow_agrees_with_literal(spark, emb):
+    """The large-k Arrow matmul path and the literal fold agree on the
+    real corpus (bucket exactly; dist to fp tolerance)."""
+    df, ids, X = emb
+    cents = [(int(i), [float(x) for x in X[list(ids).index(i)]]) for i in range(8)]
+    lit = {
+        r.vec_id: (r.bucket, r.dist)
+        for r in kmeans.assign_literal(df, cents).collect()
+    }
+    arw = {
+        r.vec_id: (r.bucket, r.dist)
+        for r in kmeans.assign_arrow(df, cents).collect()
+    }
+    assert set(lit) == set(arw)
+    for vid in lit:
+        assert lit[vid][0] == arw[vid][0], vid
+        assert abs(lit[vid][1] - arw[vid][1]) < 1e-9 * max(1.0, lit[vid][1])
+
+
+def test_assign_dispatch_threshold(spark, emb):
+    """assign_centroids picks the literal fold under the budget and the
+    Arrow path above it (visible as mapInPandas in the plan)."""
+    df, ids, X = emb
+    small = [(int(i), [float(x) for x in X[list(ids).index(i)]]) for i in range(8)]
+    big = [(j, [float(j % 7)] * 64) for j in range(80)]  # 5120 > 4096 budget
+    plan_small = kmeans.assign_centroids(df, small)._jdf.queryExecution().toString()
+    plan_big = kmeans.assign_centroids(df, big)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan_small
+    assert "MapInPandas" in plan_big
