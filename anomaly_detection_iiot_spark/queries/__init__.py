@@ -69,71 +69,90 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 8 — no driver row yet
-    "s13_kmeans_codebook",
-    "j8_view_click_pairs",
-    "a21_grouping_sets",
-    "w19_range_frame",
-    "t16_bpe_merges",  # rows-only
-    # CHANGED in round 8: a19 threshold quantization + o13 two-phase
-    # rank (ADVICE fixes); the IVF/PQ family's expression construction
-    # rewritten server-side (similarity.py — semantics pinned by the
-    # re-verified oracles, but the shipped code differs from the r7
-    # rows); roundtrip sinks moved to the shared scratch root
-    "a19_mad_threshold",
-    "o13_shuffle_shards",
-    "s6_ivfpq_ann",
-    "s5_pq_codes",
-    "s2_ivf_ann",
-    "s3_ivf_nprobe",
-    "s8_filtered_ivf_ann",
-    "s9_ivf_recall",
+    # NEW in round 9 — no driver row yet
+    "mm8_frame_tensor_stats",  # rows-only (decoder fallback by design)
+    # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
+    # convergence: index-explode instead of generate_subscripts,
+    # list_dot_product cosine, epoch arithmetic, FLOOR division,
+    # UNION-free strided domains) — the driver must re-prove the NEW
+    # oracle strings at sf0.01, not just our sf0.001 mirror
+    "a5_fedavg_mean",
+    "a14_cohort_retention",
+    "a16_label_centroids",
+    "d6_simhash",
+    "d11_passage_dedup",
+    "t13_passage_chunks",
+    "w1_strided_windows",
+    "w2_stride_dedup",
+    "w7_repeat_upsample",
+    "w10_islands",
+    "w10_sessionize",
+    "w11_gap_audit",
+    "s4_hyperplane_ann",
+    "d7_embedding_neardup",
     "d9_semdedup",
     "d13_incremental_semdedup",
-    "c2_curation_with_semdedup",
-    "s1_snapshot_roundtrip",
-    "s5_csv_roundtrip",
-    "s6_json_roundtrip",
-    "s12_orc_roundtrip",
-    "k1_kbm_roundtrip",
-    "k2_kbm_quarantine",
-    "s10_resource_roundtrip",
-    "s11_log_scan",
-    # STALE driver rows: latest row r3 — refresh first
-    "mm2_frame_sample",
-    "o3_loss_ranking",
-    "p2_positional_select",
-    "a5_fedavg_mean",
-    "a6_summary_stats",
-    "c1_corpus_curation",
+    "s1_cosine_topk",
+    "s2_ivf_ann",
+    "s3_ivf_nprobe",
+    "s5_pq_codes",
+    "s6_ivfpq_ann",
+    "s7_filtered_ann",
+    "s8_filtered_ivf_ann",
+    "s9_ivf_recall",
+    "m6_reconstruction_error",
+    "m7_fft_mag",
     "w4_last_timestep",
-    "m2_lstm_train_loss",
-    "m3_ae_train_loss",
-    "m6_lstm_scores",
-    "m8_random_search",
-    "m9_fedavg_weights",
-    "m10_transfer_loss",
-    # latest row r4
-    "mm1_media_manifest",
-    "o4_top1_per_user",
-    "o5_head_slice",
-    "a13_exact_distinct_quantiles",
-    "j5_broadcast_dims",
-    "a12_approx_aggregates",
-    # oldest of the r5 rows — fill the remaining sample slots and
-    # rotate next round
+    "t15_gopher_repetition",
+    "t11_pii_scan",
+    "t14_script_profile",
+    "c1_corpus_curation",
+    "c2_curation_with_semdedup",
+    "c3_quality_classifier",
+    "o10_budget_selection",
+    # IMPLEMENTATION CHANGED in round 9 (lineage truncation, small-graph
+    # fast path, assignment dispatch)
+    "t16_bpe_merges",  # rows-only
+    "d8_dup_clusters",
+    "s13_kmeans_codebook",
+    # rename-only oracle edits (filter/array_length/IN) — lower risk,
+    # mirror-green, still worth fresh rows
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_rolling_fingerprint",
     "t5_winnowing",
     "t6_tfidf",
     "t7_repetition",
     "t9_zipf",
-    "a1_resample_mean",
-    "a2_chunk_mse",
-    "a3_threshold_stats",
-    "a9_distinct",
+    "t10_decontamination",
+    "t12_bigram_lm",
+    "d2_fingerprint_dedup",
+    "d3_minhash_signatures",
+    "d4_lsh_candidates",
+    "d5_ngram_jaccard",
+    "d10_incremental_lsh",
+    "d12_containment",
+    "w15_sequence_packing",
+    # r5-stale cohort (verdict r8 task 8) — oldest driver rows; these
+    # fill remaining slots and rotate to the front next round
     "p3_json_extract",
+    "p4_ts_truncate",
+    "p5_multiformat_parse",
     "p6_round_project",
     "p7_modulo_trim",
     "p8_prefix_split",
+    "w3_lookback_mean",
+    "w5_rolling_min",
+    "w6_rolling_mean",
+    "w8_first_crossing",
+    "w9_asof_fraction",
+    "w12_cumsum_certainty",
+    "w13_lag_shift",
+    "o1_time_sort",
+    "m1_standard_scale",
+    "m11_threshold_flags",
+    "a9_distinct",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

@@ -619,3 +619,62 @@ def test_decode_avi_frames_mapinpandas(spark):
     ]
     assert rows[0].pixels[0] == 10 / 255.0
     assert rows[1].pixels[0] == 20 / 255.0
+
+
+# --- inter-frame compressed video (PyAV-gated, r8 verdict task 7) ----------
+
+
+def test_compressed_video_gate_is_construction_time(spark):
+    """Without PyAV the inter-frame decoder must fail loud, driver-side,
+    at CONSTRUCTION (never a mid-job executor crash), naming both the
+    missing dependency and the stdlib alternatives."""
+    from anomaly_detection_iiot_spark.operators import multimodal as mm
+
+    if mm.av_available():
+        pytest.skip("PyAV installed; gate path not reachable")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, data binary")
+    with pytest.raises(NotImplementedError) as ei:
+        mm.decode_compressed_video_frames(df)
+    msg = str(ei.value)
+    assert "PyAV" in msg and "decode_avi_frames" in msg
+
+
+def test_compressed_video_decode_real(spark):
+    """With PyAV installed: mux gray frames into a real inter-frame
+    stream and prove the decode contract matches decode_avi_frames'."""
+    from anomaly_detection_iiot_spark.operators import multimodal as mm
+
+    if not mm.av_available():
+        pytest.skip("PyAV not installed")
+    import io
+
+    import av
+    import numpy as np
+
+    frames = [np.full((16, 16), v, dtype=np.uint8) for v in (0, 128, 255)]
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=8)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for f in frames:
+            vf = av.VideoFrame.from_ndarray(f, format="gray")
+            container.mux(stream.encode(vf))
+        container.mux(stream.encode())
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "media_id long, data binary"
+    )
+    rows = mm.decode_compressed_video_frames(df).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert all(r.width == 16 and r.height == 16 for r in rows)
+    assert all(len(r.pixels) == 256 for r in rows)
+
+
+def test_mm8_query_runs_on_either_decoder(spark):
+    from anomaly_detection_iiot_spark.queries import REGISTRY
+
+    rows = REGISTRY["mm8_frame_tensor_stats"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) >= 1
+    assert all(r.n_frames >= 1 and 0.0 <= r.mean_px <= 1.0 for r in rows)
