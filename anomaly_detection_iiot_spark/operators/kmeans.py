@@ -66,25 +66,27 @@ def assign_literal(
     and ``dist`` (double, squared L2 to the winning centroid). Zero
     shuffle, zero row expansion."""
     cents = sorted(centroids)
-    cvecs = F.expr("array(" + ",".join(_darr(v) for _, v in cents) + ")")
-    cids = F.expr("array(" + ",".join(f"{int(i)}L" for i, _ in cents) + ")")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    entries = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    v, F.element_at(cvecs, i), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("d"),
-            F.element_at(cids, i).alias("cid"),
-        ),
+    cvecs = "array(" + ",".join(_darr(v) for _, v in cents) + ")"
+    cids = "array(" + ",".join(f"{int(i)}L" for i, _ in cents) + ")"
+    # ONE server-side-parsed expression (the s6/t16 pattern): the
+    # Python-lambda HOF form cost hundreds of py4j round trips per
+    # construction, and kmeans_train constructs this once per Lloyd
+    # iteration. Fold order (left-to-right aggregate) and the
+    # (dist, cid) lexicographic array_min tie-break are IDENTICAL to
+    # the previous form — oracle-exact.
+    best = F.expr(
+        f"""array_min(transform(sequence(1, {len(cents)}),
+  i -> named_struct(
+    'd', aggregate(zip_with(transform(`{vec_col}`, x -> cast(x AS double)),
+                            element_at({cvecs}, i),
+                            (x, y) -> (x - y) * (x - y)),
+                   cast(0 AS double), (acc, d) -> acc + d),
+    'cid', element_at({cids}, i))))"""
     )
-    best = F.array_min(entries)  # lexicographic: min dist, then min id
     return corpus.select(
-        "*", best["cid"].alias("bucket"), best["d"].alias("dist")
+        "*",
+        best.getField("cid").alias("bucket"),
+        best.getField("d").alias("dist"),
     )
 
 
@@ -178,6 +180,20 @@ def kmeans_train(
     guard; empty centroids can win members again in later rounds)."""
     if on_empty not in ("shrink", "keep"):
         raise ValueError(f"on_empty must be 'shrink' or 'keep': {on_empty!r}")
+    # Small-corpus loops are bounded by per-iteration driver/scheduler
+    # overhead (the t16/d8 finding): AQE per-stage replanning buys
+    # nothing on a <=k-key exchange over a corpus that fits one
+    # partition. Gate it off (restored after) below ~64k vectors; a
+    # 100 TB corpus keeps AQE for the assignment scan's skew handling.
+    spark = corpus.sparkSession
+    n_vecs = corpus.count()
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    small = n_vecs <= 65536
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the only exchange in the loop carries <= k keys
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, min(int(old_sp), k))))
     init = (
         corpus.filter(F.col(id_col) < k)
         .select(
@@ -187,6 +203,18 @@ def kmeans_train(
         .collect()
     )
     centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
+    try:
+        centroids = _lloyd_rounds(
+            corpus, centroids, iters, dim, vec_col, on_empty
+        )
+    finally:
+        if small:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return centroids, assign_centroids(corpus, centroids, vec_col=vec_col)
+
+
+def _lloyd_rounds(corpus, centroids, iters, dim, vec_col, on_empty):
     for it in range(iters):
         stats = (
             assign_centroids(corpus, centroids, vec_col=vec_col)
@@ -223,7 +251,7 @@ def kmeans_train(
                     stacklevel=2,
                 )
         centroids = updated
-    return centroids, assign_centroids(corpus, centroids, vec_col=vec_col)
+    return centroids
 
 
 def cluster_report(
