@@ -524,13 +524,14 @@ def w16_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 W16_SQL = """
-WITH assigned AS (
-  SELECT user_id,
-         unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
-                 CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)])
-           AS wstart_epoch,
-         epoch(ts) AS es
-  FROM events
+WITH e0 AS (
+  SELECT user_id, epoch(ts) AS es FROM events
+), assigned AS (
+  SELECT user_id, es,
+         unnest(generate_series(
+           CAST(floor(es / 1800) * 1800 AS BIGINT) - 1800,
+           CAST(floor(es / 1800) * 1800 AS BIGINT), 1800)) AS wstart_epoch
+  FROM e0
 )
 SELECT wstart_epoch,
        count(*) AS n_events,

@@ -1060,7 +1060,7 @@ SELECT d.doc_id, CAST(array_length(t.tokens) AS BIGINT) AS n_tokens,
        CAST(array_length(filter(
               regexp_extract_all(d.text,
                 '{_BPE_RE_SQL}', 0),
-              p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
+              p -> regexp_replace(p, '\s+', '') != '')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(d.text) AS BIGINT) AS n_chars_txt
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 """
@@ -2229,7 +2229,7 @@ WITH {_TOKS}, q AS (
          CAST(array_length(filter(
                 regexp_extract_all(text,
                   '{_BPE_RE_SQL}', 0),
-                p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens,
+                p -> regexp_replace(p, '\s+', '') != '')) AS BIGINT) AS n_bpe_tokens,
          1.0 / (1.0 + exp(-({_C3_W["bias"]}
            + {_C3_W["n_tokens"]} * CAST(n_tokens AS DOUBLE)
            + {_C3_W["avg_token_len"]} * avg_token_len
@@ -2412,7 +2412,7 @@ WITH b AS (
          CAST(array_length(filter(
                 regexp_extract_all(text,
                   '{_BPE_RE_SQL}', 0),
-                p -> regexp_matches(p, '\S'))) AS BIGINT) AS n_bpe_tokens
+                p -> regexp_replace(p, '\s+', '') != '')) AS BIGINT) AS n_bpe_tokens
   FROM documents
 )
 SELECT doc_id, lang, n_bpe_tokens,

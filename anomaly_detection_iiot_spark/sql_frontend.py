@@ -125,6 +125,10 @@ _TRANSPILE = [
     # a start position, so the flag would be a cast error). Dropping
     # the flag yields identical all-occurrence semantics.
     (r",\s*'g'\s*\)", ")"),
+    # IGNORE NULLS placement: DuckDB puts it INSIDE the window-function
+    # call (last_value(v IGNORE NULLS)), Spark AFTER it
+    # (last_value(v) IGNORE NULLS). Same semantics, pure reposition.
+    (r"\(([^()]*?)\s+IGNORE NULLS\)", r"(\1) IGNORE NULLS"),
 ]
 
 
