@@ -56,10 +56,11 @@ WITH ev AS (
            AS rn
   FROM events
 ), win AS (
-  SELECT user_id, rn // 16 AS window_idx, list(value ORDER BY rn) AS v
+  SELECT user_id, CAST(FLOOR(rn / 16) AS BIGINT) AS window_idx,
+         max(CASE WHEN rn % 16 = 15 THEN value END) AS last_v
   FROM ev GROUP BY 1, 2 HAVING count(*) = 16
 )
-SELECT user_id, window_idx, round(v[-1], 6) AS last_step FROM win
+SELECT user_id, window_idx, round(last_v, 6) AS last_step FROM win
 """
 
 

@@ -54,9 +54,20 @@ _WIN_SQL = f"""ev AS (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS rn
   FROM events
+), evw AS (
+  SELECT user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT) AS window_idx,
+         row_number() OVER w AS k,
+         count(*) OVER (PARTITION BY user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT)) AS n_in_win,
+         array_agg(value) OVER wf AS v
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT)
+               ORDER BY rn),
+         wf AS (PARTITION BY user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT)
+                ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ), win AS (
-  SELECT user_id, CAST(FLOOR(rn / {WIN}) AS BIGINT) AS window_idx, list(value ORDER BY rn) AS v
-  FROM ev GROUP BY 1, 2 HAVING count(*) = {WIN}
+  SELECT user_id, window_idx, v
+  FROM evw WHERE k = 1 AND n_in_win = {WIN}
 )"""
 
 

@@ -183,15 +183,20 @@ ANSI_QUERIES = [
     "w16_sliding_windows",
     "w17_gap_fill",
     "w18_interpolate",
+    "w4_last_timestep",
 ]
 
-# The 11 declared-divergent oracles and WHY each cannot share one text
+# The 10 declared-divergent oracles and WHY each cannot share one text
 # (kept current so the judge can audit the boundary):
 #   d8                 - DuckDB WITH RECURSIVE uses UNION (dedup);
 #                        Spark recursive CTEs don't support UNION yet
 #   j6                 - ASOF JOIN syntax is DuckDB-only
-#   m6, m7, w4, s13    - list(x ORDER BY y) ordered array agg has no
-#                        Spark spelling (array_agg can't take ORDER BY)
+#   m6, m7, s13        - 1-based v[i] subscripts / generate_subscripts
+#                        threaded through the literal forward-pass and
+#                        DFT arithmetic (w4's ordered-list use converged
+#                        via a windowed array_agg + rn%16 last-element
+#                        rewrite; doing the same to these would touch
+#                        float summation the driver gate hash-checks)
 #   mm1, mm2           - 1-arg encode(s) -> BLOB is DuckDB-only
 #   s5, s6             - strided PQ subspace indexing via
 #                        list_transform lambda (lambda params cannot be
