@@ -89,10 +89,13 @@ def m7_fft_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M7_SQL = f"""
-WITH {_WIN_SQL}, pos AS (
-  SELECT user_id, window_idx,
-         generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x
+WITH {_WIN_SQL}, pidx AS (
+  SELECT user_id, window_idx, v,
+         unnest(generate_series(1, {WIN})) AS jj
   FROM win
+), pos AS (
+  SELECT user_id, window_idx, jj - 1 AS j, v[jj] AS x
+  FROM pidx
 )
 SELECT user_id, window_idx, k,
        round(sqrt(pow(sr, 2) + pow(si, 2)), 4) AS mag

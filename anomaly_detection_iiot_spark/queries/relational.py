@@ -254,10 +254,24 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 J6_SQL = """
-SELECT s.user_id, s.event_id AS signup_id, p.value AS purchase_value
-FROM (SELECT * FROM events WHERE event_type = 'signup') s
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON s.user_id = p.user_id AND s.ts >= p.ts
+WITH u AS (
+  SELECT user_id, ts, 1 AS is_probe, event_id,
+         CAST(NULL AS DOUBLE) AS pv
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_probe, CAST(NULL AS BIGINT) AS event_id,
+         value AS pv
+  FROM events WHERE event_type = 'purchase'
+), filled AS (
+  SELECT user_id, is_probe, event_id,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_probe
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_value
+  FROM u
+)
+SELECT user_id, event_id AS signup_id, purchase_value
+FROM filled WHERE is_probe = 1
 """
 
 

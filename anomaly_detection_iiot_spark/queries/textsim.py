@@ -2792,11 +2792,21 @@ a{it} AS (
              ORDER BY {sq('e.v', 'c.cv')} ASC, c.cid ASC) AS rk
     FROM e, c{it} c) WHERE rk = 1
 ),
+g{it} AS (
+  SELECT bucket, v, unnest(generate_series(1, {dim})) AS i FROM a{it}
+),
+cc{it} AS (
+  SELECT bucket, i AS pos, round(avg(v[i]), 9) AS cc
+  FROM g{it} GROUP BY bucket, i
+),
 c{it + 1} AS (
-  SELECT bucket AS cid, list(cc ORDER BY pos) AS cv FROM (
-    SELECT bucket, i AS pos, round(avg(v[i]), 9) AS cc
-    FROM a{it}, generate_series(1,{dim}) AS t(i)
-    GROUP BY bucket, i) GROUP BY bucket
+  SELECT cid, cv FROM (
+    SELECT bucket AS cid,
+           row_number() OVER (PARTITION BY bucket ORDER BY pos) AS rk1,
+           array_agg(cc) OVER (PARTITION BY bucket ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS cv
+    FROM cc{it}) WHERE rk1 = 1
 )""")
     parts.append(f""",
 fin AS (

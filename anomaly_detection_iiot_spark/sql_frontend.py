@@ -120,6 +120,12 @@ _TRANSPILE = [
     (r"\[([^\[\]]+)\]::DOUBLE\[\]", r"array(\1)::ARRAY<DOUBLE>"),
     # DuckDB element-type array cast syntax
     (r"::DOUBLE\[\]", "::ARRAY<DOUBLE>"),
+    # bracket literal immediately subscripted ([b0, b1, ...][u] — the
+    # m6 forward pass's bias/weight vectors) -> array(...) + element_at
+    (
+        r"\[([^\[\]]+)\]\[([^\[\]]+)\]",
+        r"element_at(array(\1), CAST(\2 AS INT))",
+    ),
     # DuckDB regexp_replace is FIRST-match unless the 'g' options flag
     # is passed; Spark regexp_replace is always-global (its 4th arg is
     # a start position, so the flag would be a cast error). Dropping
@@ -129,15 +135,118 @@ _TRANSPILE = [
     # call (last_value(v IGNORE NULLS)), Spark AFTER it
     # (last_value(v) IGNORE NULLS). Same semantics, pure reposition.
     (r"\(([^()]*?)\s+IGNORE NULLS\)", r"(\1) IGNORE NULLS"),
+    # lambda-taking list functions are PARSER-level names, so a rename
+    # is legal where a SQL-UDF shim is not (lambda params can't be UDF
+    # arguments): DuckDB list_transform == Spark transform exactly
+    (r"\blist_transform\s*\(", "transform("),
+    # 1-based bracket subscripts: DuckDB `v[i]` and Spark element_at
+    # are BOTH 1-based (and both treat -1 as last-element), so the
+    # rewrite is semantics-preserving; it must run AFTER the
+    # bracket-literal/::DOUBLE[] rules, and requires an identifier
+    # prefix so type suffixes (`)::DOUBLE[]`) never match. Needed
+    # because subscripts inside lambda bodies cannot use the
+    # list_element SQL-UDF shim (UDF args can't bind lambda vars).
+    # Out-of-bounds differs (DuckDB NULL, Spark ANSI error) — every
+    # converged oracle indexes in bounds by construction.
+    (
+        r"\b([a-zA-Z_]\w*(?:\.[a-zA-Z_]\w*)*)\[([^\[\]]+)\]",
+        r"element_at(\1, CAST(\2 AS INT))",
+    ),
 ]
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    """Split a SQL argument string on TOP-LEVEL commas (paren-aware;
+    these oracle strings contain no quoted commas in the rewritten
+    spots — guarded by the caller's pattern match)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_list_reduce(sql: str) -> str:
+    """DuckDB ``list_reduce(list_prepend(init, arr), f)`` (a 2-arg
+    pairwise fold seeded by prepending the init element) is exactly
+    Spark ``aggregate(arr, init, f)``. Structural, paren-balanced
+    rewrite — only fires on the list_prepend-seeded shape; a bare
+    list_reduce is left for Spark to reject loudly (its no-init fold
+    has no Spark twin)."""
+    import re
+
+    out = sql
+    while True:
+        m = re.search(r"\blist_reduce\s*\(", out)
+        if not m:
+            return out
+        start = m.end()  # index just past '('
+        depth, i = 1, start
+        while depth and i < len(out):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level_args(out[start : i - 1])
+        if len(args) != 2 or not re.match(r"\s*list_prepend\s*\(", args[0]):
+            return out  # unknown shape; leave verbatim
+        inner = args[0].strip()
+        inner_args = _split_top_level_args(
+            inner[inner.index("(") + 1 : inner.rindex(")")]
+        )
+        if len(inner_args) != 2:
+            return out
+        init, arr = inner_args[0].strip(), inner_args[1].strip()
+        repl = f"aggregate({arr}, {init}, {args[1].strip()})"
+        out = out[: m.start()] + repl + out[i:]
+
+
+def _rewrite_list_sum(sql: str) -> str:
+    """DuckDB ``list_sum(X)`` -> Spark ``aggregate(X, 0D-fold)``.
+    Paren-balanced; double accumulator (every converged usage sums
+    doubles — squared distances, products)."""
+    import re
+
+    out = sql
+    while True:
+        m = re.search(r"\blist_sum\s*\(", out)
+        if not m:
+            return out
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(out):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        arg = out[start : i - 1].strip()
+        repl = (
+            f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        out = out[: m.start()] + repl + out[i:]
 
 
 def _normalize_dialect(sql: str) -> str:
     import re
 
     for pat, repl in _TRANSPILE:
-        sql = re.sub(pat, repl, sql)
-    return sql
+        # iterate to fixpoint: chained subscripts (m[i][j]) need the
+        # inner rewrite to expose the outer one
+        prev = None
+        while prev != sql:
+            prev = sql
+            sql = re.sub(pat, repl, sql)
+    return _rewrite_list_sum(_rewrite_list_reduce(sql))
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

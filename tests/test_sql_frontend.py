@@ -184,26 +184,28 @@ ANSI_QUERIES = [
     "w17_gap_fill",
     "w18_interpolate",
     "w4_last_timestep",
+    # final round-9 batch: union-sentinel as-of (j6), structural
+    # list_reduce->aggregate + list_sum + 1-based-subscript transpiles
+    # (t4, s5, s6), index-explode DFT (m7), windowed-array_agg centroid
+    # assembly (s13)
+    "j6_asof_join",
+    "t4_rolling_fingerprint",
+    "s5_pq_codes",
+    "s6_ivfpq_ann",
+    "m7_fft_mag",
+    "s13_kmeans_codebook",
 ]
 
-# The 10 declared-divergent oracles and WHY each cannot share one text
+# The 4 declared-divergent oracles and WHY each cannot share one text
 # (kept current so the judge can audit the boundary):
 #   d8                 - DuckDB WITH RECURSIVE uses UNION (dedup);
 #                        Spark recursive CTEs don't support UNION yet
-#   j6                 - ASOF JOIN syntax is DuckDB-only
-#   m6, m7, s13        - 1-based v[i] subscripts / generate_subscripts
-#                        threaded through the literal forward-pass and
-#                        DFT arithmetic (w4's ordered-list use converged
-#                        via a windowed array_agg + rn%16 last-element
-#                        rewrite; doing the same to these would touch
-#                        float summation the driver gate hash-checks)
+#   m6                 - the transpiled literal forward pass (3 dense
+#                        layers of flattened weight-matrix literals
+#                        subscripted inside nested lambdas) hangs
+#                        Catalyst analysis/optimization (>7 min at
+#                        sf0.001; every sibling construct converges)
 #   mm1, mm2           - 1-arg encode(s) -> BLOB is DuckDB-only
-#   s5, s6             - strided PQ subspace indexing via
-#                        list_transform lambda (lambda params cannot be
-#                        shimmed); rewriting the arithmetic would change
-#                        the oracle's float rounding
-#   t4                 - list_reduce has no init arg; Spark reduce
-#                        requires one (different fold semantics)
 # (w16-w18 and the o10/t1/w15 lambda family converged late in r9 —
 # see the ANSI_QUERIES tail comment)
 
