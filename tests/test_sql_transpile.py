@@ -1,0 +1,81 @@
+"""Unit tests for the sql_frontend dialect normalizer — the name-level
+transpile and the two structural (paren-balanced) rewrites. These are
+pure string transforms; the end-to-end row-equality proof lives in
+test_sql_frontend.py."""
+
+from __future__ import annotations
+
+from anomaly_detection_iiot_spark.sql_frontend import (
+    _normalize_dialect,
+    _rewrite_list_reduce,
+    _rewrite_list_sum,
+)
+
+
+def test_unnest_generate_series_fuses_to_native_sequence():
+    # the fused rule must win over the generic unnest rule, otherwise
+    # explode() would wrap the generate_series SQL-UDF (banned in
+    # generators)
+    out = _normalize_dialect("SELECT unnest(generate_series(1, n)) AS i")
+    assert "explode(sequence(1, n))" in out
+    assert "generate_series" not in out
+
+
+def test_plain_unnest_becomes_explode():
+    assert _normalize_dialect("SELECT unnest(v) AS x") == (
+        "SELECT explode(v) AS x"
+    )
+
+
+def test_bracket_literal_cast_and_subscripts():
+    out = _normalize_dialect("[1.0, 2.0]::DOUBLE[]")
+    assert out == "array(1.0, 2.0)::ARRAY<DOUBLE>"
+    out = _normalize_dialect("SELECT a.v[i + 1] * b.v[i + 1]")
+    assert (
+        out
+        == "SELECT element_at(a.v, CAST(i + 1 AS INT))"
+        " * element_at(b.v, CAST(i + 1 AS INT))"
+    )
+    # literal-vector subscript (the m6 forward-pass shape)
+    out = _normalize_dialect("[0.5, 1.5][u]")
+    assert out == "element_at(array(0.5, 1.5), CAST(u AS INT))"
+
+
+def test_ignore_nulls_reposition():
+    out = _normalize_dialect("last_value(v IGNORE NULLS) OVER w")
+    assert out == "last_value(v) IGNORE NULLS OVER w"
+
+
+def test_regexp_replace_global_flag_dropped():
+    out = _normalize_dialect("regexp_replace(s, 'x', 'y', 'g')")
+    assert out == "regexp_replace(s, 'x', 'y')"
+
+
+def test_list_reduce_seeded_fold_to_aggregate():
+    out = _rewrite_list_reduce(
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "transform(t, x -> f(x))), (acc, x) -> acc * 31 + x)"
+    )
+    assert out == (
+        "aggregate(transform(t, x -> f(x)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc * 31 + x)"
+    )
+    # unseeded fold has no Spark twin: left verbatim for a loud failure
+    bare = "list_reduce(t, (a, b) -> a + b)"
+    assert _rewrite_list_reduce(bare) == bare
+
+
+def test_list_sum_to_double_fold():
+    out = _rewrite_list_sum("list_sum(transform(v, x -> x * x))")
+    assert out == (
+        "aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+    # nested occurrences all rewritten
+    out = _rewrite_list_sum("sqrt(list_sum(a)) + sqrt(list_sum(b))")
+    assert "list_sum" not in out and out.count("aggregate(") == 2
+
+
+def test_list_transform_rename_keeps_lambda():
+    out = _normalize_dialect("list_transform(v, x -> x + 1)")
+    assert out == "transform(v, x -> x + 1)"
