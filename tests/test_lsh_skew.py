@@ -102,11 +102,17 @@ def test_connected_components_random_graphs_match_union_find(spark):
         expected = {v: find(v) for v in touched}
 
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {
-            r.doc_id: r.cluster_id
-            for r in connected_components(pairs).collect()
-        }
-        assert got == expected
+        # Both execution paths must agree with the reference: the
+        # driver union-find fast path (default — graph is tiny) and
+        # the distributed BSP loop (forced via max_driver_edges=0).
+        for force_bsp in (False, True):
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    pairs, max_driver_edges=0 if force_bsp else 65536
+                ).collect()
+            }
+            assert got == expected, f"force_bsp={force_bsp}"
 
 
 def test_connected_components_string_ids(spark):
@@ -127,10 +133,7 @@ def test_connected_components_string_ids(spark):
         ],
         "doc_a string, doc_b string",
     )
-    got = {
-        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
-    }
-    assert got == {
+    expected = {
         "hot0001": "doc0005",
         "hot0002": "doc0005",
         "hot0003": "doc0005",
@@ -138,6 +141,16 @@ def test_connected_components_string_ids(spark):
         "zz1": "zz1",
         "zz2": "zz1",
     }
+    # Default path = driver union-find (orderable ids directly);
+    # max_driver_edges=0 forces the surrogate-long + BSP loop path.
+    for force_bsp in (False, True):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                pairs, max_driver_edges=0 if force_bsp else 65536
+            ).collect()
+        }
+        assert got == expected, f"force_bsp={force_bsp}"
 
 
 def test_connected_components_string_chain_matches_numeric(spark):
@@ -186,7 +199,9 @@ def test_connected_components_warns_on_max_iter_exhaustion(spark):
     )
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        connected_components(pairs, max_iter=3).collect()
+        # max_driver_edges=0: the union-find fast path always converges,
+        # so the exhaustion warning only exists on the BSP loop.
+        connected_components(pairs, max_iter=3, max_driver_edges=0).collect()
     assert any(
         issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
         for w in rec
