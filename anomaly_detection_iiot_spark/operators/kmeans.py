@@ -215,18 +215,23 @@ def kmeans_train(
 
 
 def _lloyd_rounds(corpus, centroids, iters, dim, vec_col, on_empty):
+    # The dim update aggregates are centroid-independent — build the
+    # Column objects ONCE, outside the round loop, and as server-parsed
+    # expression strings (the s6/t16 pattern: one py4j call per column
+    # instead of ~6 for the col/getItem/cast/avg/round/alias chain;
+    # measured 1.17 s -> ~0.05 s construction at dim=64, and it no
+    # longer multiplies by the iteration count).
+    aggs = [
+        F.expr(
+            f"round(avg(cast(`{vec_col}`[{i}] AS double)), 9) AS c{i}"
+        )
+        for i in range(dim)
+    ]
     for it in range(iters):
         stats = (
             assign_centroids(corpus, centroids, vec_col=vec_col)
             .groupBy("bucket")
-            .agg(
-                *[
-                    F.round(
-                        F.avg(F.col(vec_col)[i].cast("double")), 9
-                    ).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*aggs)
             .collect()
         )
         updated = sorted(
