@@ -982,10 +982,163 @@ WINDOW wr AS (PARTITION BY user_id ORDER BY es
 """
 
 
+# --- A22-A24: approximate aggregates (accuracy-contract oracles) --------------
+#
+# COUNT(DISTINCT) and exact quantiles are the two aggregations that do
+# NOT map-side-combine: exact distinct shuffles every distinct value
+# and exact percentile shuffles every row, so at 100 TB both are
+# sketch problems (HLL++ / DataSketches HLL, Greenwald-Khanna). Sketch
+# internals are engine-specific by design, so these oracles pin the
+# ACCURACY CONTRACT instead of the estimate: the query returns the
+# exact answer plus a boolean "estimate within eps of exact", and the
+# oracle computes the same exact answer with a literal TRUE — the
+# value-hash match then fails unless Spark's sketch actually honors
+# its error bound (the standard metamorphic test for approximate
+# algorithms). Estimates themselves are deterministic (hash-based, no
+# RNG), so the flag is stable run to run.
+#
+# Relation to a12 (rows-only): a12 REPORTS the raw estimates and their
+# relative errors as a diagnostic; a22/a23 are its oracle-checkable
+# twins (the estimate leaves the projection, the contract stays), and
+# a24 adds the property neither covers — sketch MERGEABILITY.
+
+def a22_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users, exact vs HLL++ (approx_count_distinct,
+    rsd=2 %): one aggregate computes both so the scan is shared; the
+    HLL register array map-side-combines (fixed k-byte state per
+    group) where the exact path shuffles every distinct (type, user)
+    pair — the reason HLL wins at 100 TB. The 5 % contract leaves
+    headroom over the configured 2 % rsd; at these cardinalities
+    HLL++'s linear-counting regime is near-exact."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A22_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def a23_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag price median, exact vs the Greenwald-Khanna sketch
+    (percentile_approx, accuracy=10000): the exact interpolated
+    percentile must sort every group row; the sketch keeps a bounded
+    summary per partition and merges. The contract: the sketch's
+    discrete median sits within 1 % of the exact continuous one
+    (adjacent order statistics are far closer than that at these group
+    sizes). p50_exact itself is engine-portable: both engines
+    interpolate lower + (upper-lower)*frac over doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "p50_exact"
+            ),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("p50_gk"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            (
+                F.abs(F.col("p50_gk") - F.col("p50_exact"))
+                <= 0.01 * F.col("p50_exact")
+            ).alias("within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A23_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       TRUE AS within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def a24_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup — the pattern that makes
+    100 TB dashboards cheap: phase 1 reduces the fact table to one
+    k-byte DataSketches HLL sketch per (event_type, day) cell (the
+    materialized daily rollup a pipeline would persist); phase 2
+    answers the coarser per-type question by MERGING sketches
+    (hll_union_agg) instead of rescanning facts — distinct counts
+    don't sum across days, but sketches union losslessly. Contract:
+    the merged estimate is within 2 % of the exact per-type distinct
+    (lgConfigK=14 -> ~0.8 % rsd)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_exact",
+            (
+                F.abs(F.col("n_merged") - F.col("n_exact"))
+                <= 0.02 * F.col("n_exact")
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A24_SQL = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a21_grouping_sets", a21_grouping_sets, A21_SQL,
               "A21 explicit GROUPING SETS: one Expand pass, "
               "grouping_id disambiguation"),
+    QuerySpec("a22_approx_distinct", a22_approx_distinct, A22_SQL,
+              "A22 HLL++ distinct-count accuracy contract vs exact "
+              "(map-side-combinable sketch state)"),
+    QuerySpec("a23_approx_median", a23_approx_median, A23_SQL,
+              "A23 Greenwald-Khanna approximate median accuracy "
+              "contract vs exact interpolated percentile"),
+    QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
+              "A24 re-aggregatable DataSketches HLL daily rollup: "
+              "merge sketches instead of rescanning facts"),
     QuerySpec("w19_range_frame", w19_range_frame, W19_SQL,
               "W19 trailing-hour RANGE frame + deterministic "
               "ROWS-frame positional functions"),

@@ -139,6 +139,10 @@ _TRANSPILE = [
     # is legal where a SQL-UDF shim is not (lambda params can't be UDF
     # arguments): DuckDB list_transform == Spark transform exactly
     (r"\blist_transform\s*\(", "transform("),
+    # aggregate-function rename (aggregates can't be SQL-UDF shims):
+    # DuckDB quantile_cont == Spark percentile — both the continuous
+    # interpolated quantile, lower + (upper-lower)*frac, same arg order
+    (r"\bquantile_cont\s*\(", "percentile("),
     # 1-based bracket subscripts: DuckDB `v[i]` and Spark element_at
     # are BOTH 1-based (and both treat -1 as last-element), so the
     # rewrite is semantics-preserving; it must run AFTER the

@@ -89,8 +89,10 @@ HEADLINE = [
     "a21_grouping_sets",
     "w19_range_frame",
     "j8_view_click_pairs",  # batch twin of the stream-stream join
-    # round-9 addition
+    # round-9 additions
     "mm8_frame_tensor_stats",  # codec-agnostic frame decode + stats
+    "a22_approx_distinct",  # HLL++ accuracy contract vs exact
+    "a24_sketch_rollup",  # DataSketches HLL merge-not-rescan rollup
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training

@@ -94,3 +94,68 @@ def test_islands_partition_invariant(idxs):
         assert e1 + 1 < s2  # true gap between consecutive islands
     for lo, hi, n in islands:
         assert hi - lo + 1 == n  # contiguous
+
+
+def test_hll_union_of_partitions_is_lossless(spark):
+    """DataSketches HLL mergeability (the a24 rollup's load-bearing
+    property): unioning per-partition sketches at the same lgConfigK
+    yields the SAME estimate as one sketch over all rows — register
+    merge is max(), associative and order-free, so a daily rollup
+    loses nothing vs rescanning the facts."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("shard"),
+        # overlapping values across shards: unions must dedup
+        (F.col("id") % 1234).alias("v"),
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(14))).alias("n")
+    ).collect()[0]["n"]
+    merged = (
+        df.groupBy("shard")
+        .agg(F.hll_sketch_agg("v", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert merged == direct
+
+
+def test_a22_a23_contracts_tighter_than_declared(spark, sf_dir):
+    """The oracle pins within_5pct / within_1pct; the estimates at test
+    scale are far inside those bounds (HLL linear-counting regime is
+    near-exact, GK at accuracy=10000 is exact below 10k rows) — assert
+    the stricter fact so contract regressions surface here before the
+    oracle gate."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.queries.base import t
+
+    ev = t(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+        )
+        .collect()
+    )
+    assert rows and all(
+        abs(r.n_hll - r.n_exact) <= max(1, 0.02 * r.n_exact) for r in rows
+    )
+    li = t(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p_exact"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("p_gk"),
+        )
+        .collect()
+    )
+    # GK at accuracy >= group size returns a true order statistic
+    # adjacent to the interpolated median
+    assert rows and all(
+        abs(r.p_gk - r.p_exact) <= 0.001 * abs(r.p_exact) for r in rows
+    )

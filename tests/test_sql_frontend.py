@@ -194,6 +194,11 @@ ANSI_QUERIES = [
     "s6_ivfpq_ann",
     "m7_fft_mag",
     "s13_kmeans_codebook",
+    # approximate-aggregate contracts (a23 rides the quantile_cont ->
+    # percentile aggregate rename)
+    "a22_approx_distinct",
+    "a23_approx_median",
+    "a24_sketch_rollup",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text

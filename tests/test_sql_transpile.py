@@ -79,3 +79,12 @@ def test_list_sum_to_double_fold():
 def test_list_transform_rename_keeps_lambda():
     out = _normalize_dialect("list_transform(v, x -> x + 1)")
     assert out == "transform(v, x -> x + 1)"
+
+
+def test_quantile_cont_renames_to_percentile():
+    # aggregate-function rename: no SQL-UDF shim possible for
+    # aggregates, and the two names share exact continuous semantics
+    out = _normalize_dialect(
+        "SELECT round(quantile_cont(x, 0.5), 6) FROM t GROUP BY g"
+    )
+    assert "percentile(x, 0.5)" in out and "quantile_cont" not in out
