@@ -75,10 +75,73 @@ def _apply_merge(syms_col: str, left: str, right: str) -> Column:
     )
 
 
-def train_bpe(freqs: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+def _driver_train_bpe(
+    word_freq: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact driver-side mirror of the distributed merge loop: adjacent
+    pair counts weighted by word freq, argmax with (freq DESC, left
+    ASC, right ASC) tie-break, greedy leftmost non-overlapping rewrite.
+    Python str comparison is code-point order, which UTF-8 binary
+    collation (Spark's sort order for the distributed argmax) preserves
+    — the two paths pick identical merges. (Caveat shared with the
+    pure-Python reference in tests/test_bpe.py: the JVM path's
+    ``split(word, '')`` would cut non-BMP code points into surrogate
+    halves where ``list(w)`` keeps them whole; identical on BMP
+    text, which is what whitespace-tokenized web corpora are after
+    the quality filters upstream.)"""
+    vocab: dict[str, list[str]] = {w: list(w) for w, _ in word_freq}
+    freq = dict(word_freq)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = freq[w]
+            for pair in zip(syms, syms[1:]):
+                pairs[pair] = pairs.get(pair, 0) + f
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, pf))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def train_bpe(
+    freqs: DataFrame, n_merges: int, max_driver_words: int = 32768
+) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
     Returns [(left, right, pair_freq), ...] in merge order. Executes
-    eagerly (one pair-count job + one argmax collect per round)."""
+    eagerly (one pair-count job + one argmax collect per round).
+
+    Small vocabularies take a driver fast path: every distributed
+    round costs a full scheduler round-trip (~0.2 s/job on local[32] —
+    pure overhead when the vocab is a handful of rows), so below
+    ``max_driver_words`` the (word, freq) table is collected once and
+    the identical greedy loop runs in-process — the same
+    driver-side-when-k-sized crossover as graph.py's union-find and
+    the FedAvg/centroid collects (SURVEY §4). One ``limit(cap+1)``
+    job both decides the path and fetches the data for the fast one.
+    Web-scale vocabs (millions of words) exceed the cap and take the
+    distributed loop, whose per-round shuffle is vocab-sized.
+    Pass ``max_driver_words=0`` to force the distributed path."""
+    if max_driver_words > 0:
+        probe = freqs.limit(max_driver_words + 1).collect()
+        if len(probe) <= max_driver_words:
+            return _driver_train_bpe(
+                [(r[0], int(r[1])) for r in probe], n_merges
+            )
     # Eager localCheckpoint, not persist: persist caches DATA but the
     # logical plan still accumulates one nested F.aggregate fold per
     # round, so round n re-optimizes an n-deep plan — O(rounds^2)

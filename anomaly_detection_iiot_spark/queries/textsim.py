@@ -2725,12 +2725,13 @@ ORDER BY split, lang
 def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges from the documents corpus
     (operators/bpe.py): corpus scanned once into a (word, freq) vocab
-    table; each round explodes adjacent symbol pairs over the VOCAB
-    (not the corpus), argmaxes with a deterministic tie-break, and
-    rewrites symbol arrays with a pure JVM fold — no Python in any
-    round. Rows-only by declared design (an 8-round iterative rewrite
-    has no SQL form); pinned instead by an independent pure-Python BPE
-    reference on the same corpus in tests/test_bpe.py."""
+    table; the merge loop then runs over the VOCAB (not the corpus) —
+    driver-side below the word-count crossover (a small vocab's rounds
+    are pure scheduler overhead distributed), as vocab-shuffle rounds
+    with a pure JVM fold above it. Rows-only by declared design (an
+    8-round iterative rewrite has no SQL form); pinned instead by an
+    independent pure-Python BPE reference on the same corpus, on BOTH
+    paths, in tests/test_bpe.py."""
     from ..operators import bpe
 
     docs = t(spark, sf_dir, "documents").select("text")

@@ -47,7 +47,11 @@ def _py_bpe(word_freq: dict[str, int], n_merges: int):
 
 def test_bpe_matches_python_reference(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
-    got = bpe.train_bpe(bpe.word_freqs(docs), n_merges=8)
+    # max_driver_words=0 forces the DISTRIBUTED round loop (the JVM
+    # fold + vocab-shuffle path a web-scale vocab takes) — the default
+    # fast path would reduce this test to Python-vs-Python
+    got = bpe.train_bpe(bpe.word_freqs(docs), n_merges=8,
+                        max_driver_words=0)
 
     wf: Counter = Counter()
     for r in docs.collect():
@@ -56,6 +60,9 @@ def test_bpe_matches_python_reference(spark):
                 wf[w] += 1
     want = _py_bpe(dict(wf), 8)
     assert got == want
+    # the driver fast path (default crossover) must pick the exact
+    # same merges as the distributed loop on the same vocab
+    assert bpe.train_bpe(bpe.word_freqs(docs), n_merges=8) == want
     # merges are real multi-round state: at least one learned merge
     # must consume the OUTPUT of an earlier merge
     produced = {l + r for l, r, _ in got}
@@ -103,6 +110,9 @@ def test_bpe_sql_literal_escaping(spark):
     docs = spark.createDataFrame(
         [(" ".join([w] * f),) for w, f in wf.items()], "text string"
     )
-    got = bpe.train_bpe(bpe.word_freqs(docs), n_merges=6)
+    # forced distributed: the SQL-literal escaping lives in the JVM
+    # merge expression, which the driver fast path never builds
+    got = bpe.train_bpe(bpe.word_freqs(docs), n_merges=6,
+                        max_driver_words=0)
     want = _py_bpe(wf, 6)
     assert got == want
