@@ -71,6 +71,11 @@ except ImportError:
 _DRIVER_PRIORITY = [
     # NEW in round 9 — no driver row yet
     "mm8_frame_tensor_stats",  # rows-only (decoder fallback by design)
+    "a22_approx_distinct",
+    "a23_approx_median",
+    "a24_sketch_rollup",
+    "a25_partition_checksums",
+    "j9_scd2_dimension",
     # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
     # convergence: index-explode instead of generate_subscripts,
     # list_dot_product cosine, epoch arithmetic, FLOOR division,

@@ -1126,6 +1126,200 @@ ORDER BY event_type
 """
 
 
+# --- A25: partition checksums (cross-replica reconciliation) -----------------
+
+def a25_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-month table checksums — the reconciliation
+    primitive for 100 TB replication/migration audits: every row hashes
+    to a 60-bit integer (first 15 hex chars of md5 over a canonical
+    '|'-joined projection — engine-portable, see o11), and a partition's
+    checksum is the BIT_XOR of its row hashes. XOR is commutative,
+    associative, and overflow-free, so checksums (a) don't care about
+    row order or physical partitioning, (b) merge upward merkle-style
+    (month -> table) without rescanning, and (c) map-side-combine to k
+    bytes per partition — one tiny shuffle at any scale. The
+    ``replica_match`` column is computed for real on the Spark side: the
+    same table re-read under a different partitioning (repartition by a
+    different key) must reproduce every monthly checksum exactly; the
+    oracle pins the same audit with a literal TRUE (the a22 contract
+    pattern). Float column enters the hash through a DECIMAL(18,2) cast
+    so both engines hash identical strings."""
+    o = t(spark, sf_dir, "orders")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        hx = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.col("o_orderdate").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        )
+        return (
+            df.select(
+                F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                    "month"
+                ),
+                F.conv(hx, 16, 10).cast("bigint").alias("h"),
+            )
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor("h").alias("checksum"),
+            )
+        )
+
+    base = monthly(o)
+    # replica: same rows, deliberately different physical layout —
+    # checksum equality proves the audit is layout/order-independent
+    replica = monthly(o.repartition(7, "o_custkey")).withColumnsRenamed(
+        {"n_rows": "r_rows", "checksum": "r_checksum"}
+    )
+    return (
+        base.join(replica, "month")
+        .select(
+            "month",
+            "n_rows",
+            "checksum",
+            (
+                (F.col("n_rows") == F.col("r_rows"))
+                & (F.col("checksum") == F.col("r_checksum"))
+            ).alias("replica_match"),
+        )
+        .orderBy("month")
+    )
+
+
+A25_SQL = """
+WITH hx AS (
+  SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+         substr(md5(concat_ws('|',
+           CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+           o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+           CAST(o_orderdate AS STRING), o_orderpriority)), 1, 15) AS hex15
+  FROM orders
+), hashed AS (
+  SELECT month, ('0x' || hex15)::BIGINT AS h FROM hx
+)
+SELECT month, count(*) AS n_rows, bit_xor(h) AS checksum,
+       TRUE AS replica_match
+FROM hashed
+GROUP BY month
+ORDER BY month
+"""
+
+
+# --- J9: SCD2 dimension build + temporal fact join ---------------------------
+
+def j9_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension, end to end: the click stream
+    is a user-attribute change log (each click re-tiers the user by its
+    value), compressed to TRUE SCD2 versions — consecutive same-tier
+    rows coalesce via a lag() change flag, then valid_to = lead(
+    valid_from) with NULL marking the current version. Purchases then
+    join to the version VALID AT purchase time (valid_from <= ts <
+    valid_to; pre-first-click purchases keep tier 'none' through the
+    left join). Scale shape: both sides shuffle once on user_id
+    (co-partitioned equi-join); the range predicate is a post-join
+    filter over per-user version counts, never a cross product — the
+    same bounded fan-out as j6's as-of join, but with the dimension
+    build included."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    changed = clicks.withColumn(
+        "is_change",
+        F.coalesce(F.lag("tier").over(w) != F.col("tier"), F.lit(True)),
+    ).filter("is_change")
+    versions = changed.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # explicit aliases: purchases and versions share the events lineage
+    # (a self-join), so columns must be qualified per side
+    p, v = purchases.alias("p"), versions.alias("v")
+    joined = p.join(
+        v,
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("p.ts") >= F.col("v.valid_from"))
+        & (
+            F.col("v.valid_to").isNull()
+            | (F.col("p.ts") < F.col("v.valid_to"))
+        ),
+        "left",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.coalesce(F.col("v.tier"), F.lit("none")).alias("tier"),
+        F.col("p.value").alias("value"),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
+
+
+J9_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts,
+         CASE WHEN value < 5 THEN 'low'
+              WHEN value < 15 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM events WHERE event_type = 'click'
+), changed AS (
+  SELECT user_id, ts, tier
+  FROM (
+    SELECT user_id, ts, tier,
+           coalesce(lag(tier) OVER w <> tier, TRUE) AS is_change
+    FROM clicks
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) c WHERE is_change
+), versions AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changed
+), joined AS (
+  SELECT p.user_id, coalesce(v.tier, 'none') AS tier, p.value
+  FROM (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  LEFT JOIN versions v
+    ON p.user_id = v.user_id
+   AND p.ts >= v.valid_from
+   AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+)
+SELECT tier, count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS revenue
+FROM joined
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a21_grouping_sets", a21_grouping_sets, A21_SQL,
               "A21 explicit GROUPING SETS: one Expand pass, "
@@ -1139,6 +1333,12 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a25_partition_checksums", a25_partition_checksums, A25_SQL,
+              "A25 order-insensitive md5/bit_xor partition checksums "
+              "with a real repartitioned-replica audit"),
+    QuerySpec("j9_scd2_dimension", j9_scd2_dimension, J9_SQL,
+              "J9 SCD2 dimension build (lag change-coalesce + lead "
+              "validity) + temporal fact join at validity time"),
     QuerySpec("w19_range_frame", w19_range_frame, W19_SQL,
               "W19 trailing-hour RANGE frame + deterministic "
               "ROWS-frame positional functions"),

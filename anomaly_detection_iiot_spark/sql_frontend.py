@@ -143,6 +143,14 @@ _TRANSPILE = [
     # DuckDB quantile_cont == Spark percentile — both the continuous
     # interpolated quantile, lower + (upper-lower)*frac, same arg order
     (r"\bquantile_cont\s*\(", "percentile("),
+    # hex-string -> integer: DuckDB casts a '0x'-prefixed string
+    # directly; Spark's spelling is conv(hex, 16, 10). Identifier-only
+    # operand (a25 hoists the hex expression into a named CTE column
+    # precisely so this rewrite stays structural, not paren-balancing).
+    (
+        r"\(\s*'0x'\s*\|\|\s*([a-zA-Z_]\w*)\s*\)\s*::\s*BIGINT",
+        r"CAST(conv(\1, 16, 10) AS BIGINT)",
+    ),
     # 1-based bracket subscripts: DuckDB `v[i]` and Spark element_at
     # are BOTH 1-based (and both treat -1 as last-element), so the
     # rewrite is semantics-preserving; it must run AFTER the

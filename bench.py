@@ -93,6 +93,8 @@ HEADLINE = [
     "mm8_frame_tensor_stats",  # codec-agnostic frame decode + stats
     "a22_approx_distinct",  # HLL++ accuracy contract vs exact
     "a24_sketch_rollup",  # DataSketches HLL merge-not-rescan rollup
+    "a25_partition_checksums",  # md5/bit_xor reconciliation audit
+    "j9_scd2_dimension",  # SCD2 build + temporal fact join
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training

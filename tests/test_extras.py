@@ -159,3 +159,72 @@ def test_a22_a23_contracts_tighter_than_declared(spark, sf_dir):
     assert rows and all(
         abs(r.p_gk - r.p_exact) <= 0.001 * abs(r.p_exact) for r in rows
     )
+
+
+def test_a25_checksum_sensitivity_and_order_invariance(spark):
+    """The a25 audit is only useful if (a) any single-row change flips
+    the partition checksum and (b) the checksum ignores row order and
+    physical partitioning (XOR commutativity) — assert both on a tiny
+    frame through the same hash shape the query uses."""
+    from pyspark.sql import functions as F
+
+    def checksum(df):
+        return (
+            df.select(
+                F.conv(
+                    F.substring(F.md5(F.col("s")), 1, 15), 16, 10
+                ).cast("bigint").alias("h")
+            )
+            .agg(F.bit_xor("h").alias("c"))
+            .collect()[0]["c"]
+        )
+
+    rows = [(f"row-{i}",) for i in range(100)]
+    base = checksum(spark.createDataFrame(rows, "s string"))
+    # order + partitioning invariance
+    shuffled = spark.createDataFrame(rows[::-1], "s string").repartition(7)
+    assert checksum(shuffled) == base
+    # single-row sensitivity
+    corrupt = spark.createDataFrame(
+        rows[:-1] + [("row-99X",)], "s string"
+    )
+    assert checksum(corrupt) != base
+
+
+def test_j9_scd2_versions_on_fixture(spark):
+    """Hand-built change log: tier runs must coalesce and purchases
+    must land in the version valid at their timestamp (pre-first-click
+    purchases -> 'none')."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.queries.extras import (
+        j9_scd2_dimension,
+    )
+
+    # monkeypatch-free: replicate the query body on injected events by
+    # writing a parquet dir shaped like the testdata
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = spark.createDataFrame(
+            [
+                # user 1: low (t1), low (t2, coalesces), high (t4)
+                (0, "2024-01-01 00:00:01", 1, "click", 1.0, None),
+                (1, "2024-01-01 00:00:02", 1, "click", 2.0, None),
+                (2, "2024-01-01 00:00:04", 1, "click", 99.0, None),
+                # purchases: before any click -> none; at t3 -> low
+                # (first version still valid); at t5 -> high
+                (3, "2023-12-31 23:59:59", 1, "purchase", 10.0, None),
+                (4, "2024-01-01 00:00:03", 1, "purchase", 20.0, None),
+                (5, "2024-01-01 00:00:05", 1, "purchase", 40.0, None),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.tier: (r.n_purchases, r.revenue)
+            for r in j9_scd2_dimension(spark, d).collect()
+        }
+    assert got == {"none": (1, 10.0), "low": (1, 20.0), "high": (1, 40.0)}

@@ -199,6 +199,10 @@ ANSI_QUERIES = [
     "a22_approx_distinct",
     "a23_approx_median",
     "a24_sketch_rollup",
+    # a25 rides the ('0x' || ident)::BIGINT -> conv rewrite; j9 is
+    # pure ANSI (windows + left join + range predicates)
+    "a25_partition_checksums",
+    "j9_scd2_dimension",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text

@@ -88,3 +88,11 @@ def test_quantile_cont_renames_to_percentile():
         "SELECT round(quantile_cont(x, 0.5), 6) FROM t GROUP BY g"
     )
     assert "percentile(x, 0.5)" in out and "quantile_cont" not in out
+
+
+def test_hex_cast_rewrites_to_conv():
+    # DuckDB ('0x'||h)::BIGINT vs Spark conv(h,16,10): identifier-only
+    # operand by design (a25 hoists the hex expr into a CTE column)
+    out = _normalize_dialect("SELECT ('0x' || hex15)::BIGINT AS h FROM t")
+    assert "CAST(conv(hex15, 16, 10) AS BIGINT)" in out
+    assert "0x" not in out
