@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "a24_sketch_rollup",
     "a25_partition_checksums",
     "j9_scd2_dimension",
+    "a26_sliding_distinct",
     # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
     # convergence: index-explode instead of generate_subscripts,
     # list_dot_product cosine, epoch arithmetic, FLOOR division,

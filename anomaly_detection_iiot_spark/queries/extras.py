@@ -1217,6 +1217,73 @@ ORDER BY month
 """
 
 
+# --- A26: sliding-window distinct via windowed sketch union ------------------
+
+def a26_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour distinct users per event type, the sliding-
+    MAU/DAU shape: distinct counts don't decompose over sliding
+    windows, so the 100 TB plan is (1) reduce the stream to ONE k-byte
+    HLL sketch per (type, minute) — map-side-combinable, grid-sized
+    output — then (2) union sketches over a trailing RANGE frame
+    (hll_union_agg as a window aggregate): each window result touches
+    60 sketches, never the raw events. The exact twin here flattens
+    per-minute user sets over the same frame — linear in window
+    row-count, the very cost the sketch path avoids — and the oracle
+    pins the a22-style accuracy contract (exact + within-eps flag,
+    TRUE literal on the DuckDB side)."""
+    ev = t(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.collect_set("user_id").alias("users"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("minute"))
+        .rangeBetween(-3540, 0)
+    )
+    return (
+        mins.select(
+            "event_type",
+            "minute",
+            F.array_size(
+                F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+            ).cast("bigint").alias("n_exact"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+                "n_hll"
+            ),
+        )
+        .select(
+            "event_type",
+            "minute",
+            "n_exact",
+            (
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type", "minute")
+    )
+
+
+A26_SQL = """
+WITH mins AS (
+  SELECT DISTINCT event_type, date_trunc('minute', ts) AS m FROM events
+)
+SELECT a.event_type, a.m AS minute,
+       count(DISTINCT e.user_id) AS n_exact,
+       TRUE AS within_5pct
+FROM mins a
+JOIN events e
+  ON e.event_type = a.event_type
+ AND date_trunc('minute', e.ts) >= a.m - INTERVAL 59 MINUTE
+ AND date_trunc('minute', e.ts) <= a.m
+GROUP BY a.event_type, a.m
+ORDER BY a.event_type, a.m
+"""
+
+
 # --- J9: SCD2 dimension build + temporal fact join ---------------------------
 
 def j9_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,6 +1400,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a26_sliding_distinct", a26_sliding_distinct, A26_SQL,
+              "A26 trailing-hour sliding distinct: windowed HLL "
+              "sketch union vs exact, accuracy-contract oracle"),
     QuerySpec("a25_partition_checksums", a25_partition_checksums, A25_SQL,
               "A25 order-insensitive md5/bit_xor partition checksums "
               "with a real repartitioned-replica audit"),

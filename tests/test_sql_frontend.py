@@ -203,6 +203,7 @@ ANSI_QUERIES = [
     # pure ANSI (windows + left join + range predicates)
     "a25_partition_checksums",
     "j9_scd2_dimension",
+    "a26_sliding_distinct",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text
