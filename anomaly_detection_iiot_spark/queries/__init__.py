@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "a25_partition_checksums",
     "j9_scd2_dimension",
     "a26_sliding_distinct",
+    "a27_constraint_audit",
     # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
     # convergence: index-explode instead of generate_subscripts,
     # list_dot_product cosine, epoch arithmetic, FLOOR division,

@@ -1284,6 +1284,119 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- A27: declarative data-quality constraint audit --------------------------
+
+def a27_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit over the orders table, shaped for
+    one-pass scanning at 100 TB: every row-local constraint
+    (completeness, value range, set membership) is a conditional-sum
+    column in a SINGLE aggregate — one scan, map-side combined, no
+    shuffle beyond the final 1-row reduce; the two non-row-local
+    constraints cost their minimum possible plans (primary-key
+    uniqueness = one groupBy(key) counting keys seen twice;
+    referential integrity = one broadcast anti-join against the
+    customer keys). Output is one row per constraint with its
+    violation count and pass flag — the audit a pipeline gates a
+    partition-publish on."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    row_local = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "null_custkey"
+        ),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    # nulls are the completeness check's finding, not an orphan —
+    # filter them so each defect is counted by exactly one constraint
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    # fully declarative: the 1-row aggregates unpivot via stack() and
+    # union — no collect, the whole audit is one lazy plan
+    checks = (
+        row_local.selectExpr(
+            "stack(3,"
+            " 'completeness:o_custkey', null_custkey,"
+            " 'range:o_totalprice>0', nonpositive_price,"
+            " 'membership:o_orderstatus', bad_status"
+            ") AS (check_name, n_violations)"
+        )
+        .unionByName(
+            dup_keys.select(
+                F.lit("unique:o_orderkey").alias("check_name"),
+                F.col("v").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            orphans.select(
+                F.lit("ref:o_custkey->customer").alias("check_name"),
+                F.col("v").alias("n_violations"),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+A27_SQL = """
+WITH rl AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_custkey,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nonpositive_price,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders
+), dup AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS v FROM (
+    SELECT o_orderkey, count(*) AS n FROM orders
+    GROUP BY o_orderkey HAVING count(*) > 1
+  ) d
+), orph AS (
+  SELECT count(*) AS v FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+), checks AS (
+  SELECT 'completeness:o_custkey' AS check_name,
+         null_custkey AS n_violations FROM rl
+  UNION ALL
+  SELECT 'range:o_totalprice>0', nonpositive_price FROM rl
+  UNION ALL
+  SELECT 'membership:o_orderstatus', bad_status FROM rl
+  UNION ALL
+  SELECT 'unique:o_orderkey', v FROM dup
+  UNION ALL
+  SELECT 'ref:o_custkey->customer', v FROM orph
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
 # --- J9: SCD2 dimension build + temporal fact join ---------------------------
 
 def j9_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,6 +1513,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a27_constraint_audit", a27_constraint_audit, A27_SQL,
+              "A27 Deequ-style constraint audit: row-local checks in "
+              "one scan + min-plan uniqueness/referential checks"),
     QuerySpec("a26_sliding_distinct", a26_sliding_distinct, A26_SQL,
               "A26 trailing-hour sliding distinct: windowed HLL "
               "sketch union vs exact, accuracy-contract oracle"),

@@ -95,6 +95,7 @@ HEADLINE = [
     "a24_sketch_rollup",  # DataSketches HLL merge-not-rescan rollup
     "a25_partition_checksums",  # md5/bit_xor reconciliation audit
     "a26_sliding_distinct",  # windowed HLL sketch union vs exact
+    "a27_constraint_audit",  # one-scan Deequ-style constraint audit
     "j9_scd2_dimension",  # SCD2 build + temporal fact join
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",

@@ -228,3 +228,58 @@ def test_j9_scd2_versions_on_fixture(spark):
             for r in j9_scd2_dimension(spark, d).collect()
         }
     assert got == {"none": (1, 10.0), "low": (1, 20.0), "high": (1, 40.0)}
+
+
+def test_a27_counts_injected_violations(spark, tmp_path):
+    """The audit must actually count: inject one violation of each
+    class into a copy of the orders table and assert per-constraint
+    counts (the testdata itself is clean, so the registry run only
+    proves the all-pass path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.queries.base import t
+    from anomaly_detection_iiot_spark.queries.extras import (
+        a27_constraint_audit,
+    )
+
+    d = str(tmp_path)
+    o = t(spark, "/root/testdata/sf0.001", "orders")
+    first = o.limit(1)
+    bad = (
+        first.select(  # duplicate orderkey + orphan custkey
+            "o_orderkey",
+            F.lit(999999999).alias("o_custkey"),
+            F.lit("X").alias("o_orderstatus"),  # bad status
+            F.lit(-1.0).alias("o_totalprice"),  # nonpositive price
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    nullrow = first.select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),  # null custkey
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    o.unionByName(bad).unionByName(nullrow).write.parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    t(spark, "/root/testdata/sf0.001", "customer").write.parquet(
+        os.path.join(d, "customer.parquet")
+    )
+    got = {
+        r.check_name: r.n_violations
+        for r in a27_constraint_audit(spark, d).collect()
+    }
+    assert got == {
+        "completeness:o_custkey": 1,
+        "range:o_totalprice>0": 1,
+        "membership:o_orderstatus": 1,
+        "unique:o_orderkey": 2,  # both copies of the duplicated key
+        "ref:o_custkey->customer": 1,  # the non-null orphan only: the
+        # null row is the completeness check's finding by design
+    }

@@ -204,6 +204,7 @@ ANSI_QUERIES = [
     "a25_partition_checksums",
     "j9_scd2_dimension",
     "a26_sliding_distinct",
+    "a27_constraint_audit",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text
