@@ -1284,6 +1284,48 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- W20: event-sequence pattern matching (MATCH_RECOGNIZE-lite) -------------
+
+def w20_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel over raw event sequences, the batch
+    MATCH_RECOGNIZE composition: each (user, day) group reduces to an
+    ORDERED journey string (listagg WITHIN GROUP — deterministic via
+    the (ts, event_id) sort key) and the conversion pattern
+    view -> ... -> click -> ... -> purchase is one anchored-subsequence
+    regex over it. One shuffle on the group key; the journey length is
+    bounded by events-per-user-per-day, so groups stay small at any
+    corpus scale (the same argument as w10's sessionize). Engines
+    without MATCH_RECOGNIZE express exactly this shape."""
+    ev = t(spark, sf_dir, "events")
+    j = ev.groupBy(
+        "user_id", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.expr(
+            "listagg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "journey",
+        F.col("journey").rlike("view.*click.*purchase").alias("converted"),
+    ).orderBy("user_id", "day")
+
+
+W20_SQL = """
+WITH j AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS STRING) AS day,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+  FROM events
+  GROUP BY user_id, CAST(CAST(ts AS DATE) AS STRING)
+)
+SELECT user_id, day, journey,
+       regexp_matches(journey, 'view.*click.*purchase') AS converted
+FROM j
+ORDER BY user_id, day
+"""
+
+
 # --- A27: declarative data-quality constraint audit --------------------------
 
 def a27_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,6 +1555,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("w20_event_pattern", w20_event_pattern, W20_SQL,
+              "W20 MATCH_RECOGNIZE-lite: ordered journey strings + "
+              "subsequence-regex conversion flags"),
     QuerySpec("a27_constraint_audit", a27_constraint_audit, A27_SQL,
               "A27 Deequ-style constraint audit: row-local checks in "
               "one scan + min-plan uniqueness/referential checks"),

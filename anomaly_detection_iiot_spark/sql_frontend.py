@@ -143,6 +143,14 @@ _TRANSPILE = [
     # DuckDB quantile_cont == Spark percentile — both the continuous
     # interpolated quantile, lower + (upper-lower)*frac, same arg order
     (r"\bquantile_cont\s*\(", "percentile("),
+    # ordered string aggregation: DuckDB takes the sort inline
+    # (string_agg(x, sep ORDER BY k)), Spark takes it as an ordered-set
+    # aggregate (string_agg(x, sep) WITHIN GROUP (ORDER BY k)) — pure
+    # reposition, same fold. Paren-free args only (w20's shape).
+    (
+        r"\bstring_agg\(([^()]+?)\s+ORDER\s+BY\s+([^()]+)\)",
+        r"string_agg(\1) WITHIN GROUP (ORDER BY \2)",
+    ),
     # hex-string -> integer: DuckDB casts a '0x'-prefixed string
     # directly; Spark's spelling is conv(hex, 16, 10). Identifier-only
     # operand (a25 hoists the hex expression into a named CTE column

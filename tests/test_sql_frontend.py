@@ -205,6 +205,9 @@ ANSI_QUERIES = [
     "j9_scd2_dimension",
     "a26_sliding_distinct",
     "a27_constraint_audit",
+    # w20 rides the inline-ORDER BY -> WITHIN GROUP string_agg
+    # reposition + the regexp_matches shim
+    "w20_event_pattern",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text

@@ -96,3 +96,13 @@ def test_hex_cast_rewrites_to_conv():
     out = _normalize_dialect("SELECT ('0x' || hex15)::BIGINT AS h FROM t")
     assert "CAST(conv(hex15, 16, 10) AS BIGINT)" in out
     assert "0x" not in out
+
+
+def test_string_agg_order_by_repositions_to_within_group():
+    out = _normalize_dialect(
+        "SELECT string_agg(event_type, ',' ORDER BY ts, event_id) FROM t"
+    )
+    assert (
+        "string_agg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id)"
+        in out
+    )
