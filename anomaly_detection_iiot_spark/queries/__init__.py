@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "a26_sliding_distinct",
     "a27_constraint_audit",
     "w20_event_pattern",
+    "t17_textrank",
     # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
     # convergence: index-explode instead of generate_subscripts,
     # list_dot_product cosine, epoch arithmetic, FLOOR division,

@@ -2830,7 +2830,161 @@ GROUP BY f.bucket ORDER BY cluster""")
 S13_SQL = _s13_sql()
 
 
+# --- T17: TextRank keyword extraction (weighted PageRank, oracle'd) ----------
+
+def t17_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword extraction: weighted
+    PageRank over the adjacent-word co-occurrence graph, 3 unrolled
+    iterations, top-20 report. The iterative-graph-analytics shape
+    with a full value oracle — rare, because the loop must be
+    decision-stable across engines AND across plan shapes within one
+    engine (double sums are partition-order-dependent; a round(…, 9)
+    per iteration still drifted 2e-6 between the DataFrame and
+    SQL-text plans). Ranks therefore live in integer MICRO-UNITS
+    (1e-9): each edge contributes floor(weight·r_int / out_w) — IEEE
+    double division then floor, bit-identical in every engine — and
+    the per-node sum is a BIGINT sum, order-free by construction. The
+    damping step is floor(0.85·x), again IEEE-deterministic. Bound:
+    weight·r_int stays < 2^53 for pair multiplicities up to ~1e5 at
+    total rank mass ≈ |vocab|; larger corpora would shift to 1e-6
+    units.
+
+    Scale shape: the graph is VOCAB-sized (edges = distinct adjacent
+    word pairs), so after one corpus scan builds the edge table every
+    iteration is one edges⋈ranks join + one dst-keyed sum — Zipf-small
+    state, corpus never rescanned (edge/out-weight tables persisted
+    via the owned-cache used by t12's count tables). Damping 0.85,
+    rank_0 = 1."""
+    from ..operators.cache import replace_owned_cache
+
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    n = F.size("tokens")
+    adj = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tokens", 1, n - 1),
+            F.slice("tokens", 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        toked.select(F.explode(adj).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = replace_owned_cache(
+        "t17_edges",
+        pairs.selectExpr("a AS src", "b AS dst")
+        .unionAll(pairs.selectExpr("b AS src", "a AS dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight")),
+    )
+    outw = replace_owned_cache(
+        "t17_outw",
+        edges.groupBy("src").agg(F.sum("weight").alias("out_w")),
+    )
+    ranks = outw.select(
+        F.col("src").alias("word"),
+        F.lit(1_000_000_000).cast("long").alias("r_int"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("word", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("weight") * F.col("r_int")).cast("double")
+                        / F.col("out_w")
+                    ).cast("long")
+                ).alias("x")
+            )
+        )
+        ranks = (
+            outw.join(contrib, outw.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("word"),
+                (
+                    F.lit(150_000_000).cast("long")
+                    + F.floor(
+                        F.lit(0.85)
+                        * F.coalesce("x", F.lit(0)).cast("double")
+                    ).cast("long")
+                ).alias("r_int"),
+            )
+        )
+    w = Window.orderBy(F.desc("r_int"), F.asc("word"))
+    return (
+        ranks.select(
+            "word",
+            F.round(F.col("r_int") / 1e9, 6).alias("rank_score"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("pos")
+        .limit(20)
+    )
+
+
+def _t17_sql(iters: int = 3) -> str:
+    parts = [
+        rf"""WITH {_TOKS}, pos AS (
+  SELECT doc_id, list_extract(tokens, p) AS tok, p
+  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok)) AS p
+        FROM toks WHERE n_tok >= 1) u
+), nx AS (
+  SELECT doc_id, tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
+  FROM pos
+), pr AS (
+  SELECT a, b FROM nx WHERE b IS NOT NULL AND a != b
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM (
+    SELECT a AS src, b AS dst FROM pr
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pr
+  ) e GROUP BY src, dst
+), outw AS (
+  SELECT src, CAST(sum(weight) AS BIGINT) AS out_w
+  FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS word, CAST(1000000000 AS BIGINT) AS r_int FROM outw
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst,
+         CAST(sum(CAST(floor(
+           CAST(e.weight * r.r_int AS DOUBLE) / o.out_w) AS BIGINT))
+           AS BIGINT) AS x
+  FROM edges e
+  JOIN outw o ON o.src = e.src
+  JOIN r{i - 1} r ON r.word = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT o.src AS word,
+         CAST(150000000 + CAST(floor(
+           0.85 * CAST(coalesce(c{i}.x, 0) AS DOUBLE)) AS BIGINT)
+           AS BIGINT) AS r_int
+  FROM outw o LEFT JOIN c{i} ON c{i}.dst = o.src
+)""")
+    parts.append(f"""
+SELECT word, round(r_int / 1000000000.0, 6) AS rank_score,
+       row_number() OVER (ORDER BY r_int DESC, word) AS pos
+FROM r{iters}
+ORDER BY pos
+LIMIT 20""")
+    return "".join(parts)
+
+
+T17_SQL = _t17_sql()
+
+
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("t17_textrank", t17_textrank, T17_SQL,
+              "TextRank keywords: weighted PageRank over the adjacent-"
+              "word graph, 3 quantized iterations, top-20"),
     QuerySpec("s13_kmeans_codebook", s13_kmeans_codebook, S13_SQL,
               "k-means codebook training: 3 Lloyd iterations, literal-"
               "centroid assignment, per-cluster inertia audit"),

@@ -97,6 +97,7 @@ HEADLINE = [
     "a26_sliding_distinct",  # windowed HLL sketch union vs exact
     "a27_constraint_audit",  # one-scan Deequ-style constraint audit
     "w20_event_pattern",  # ordered journeys + subsequence-regex funnel
+    "t17_textrank",  # weighted PageRank over the word graph, oracle'd
     "j9_scd2_dimension",  # SCD2 build + temporal fact join
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",

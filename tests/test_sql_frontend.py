@@ -208,6 +208,9 @@ ANSI_QUERIES = [
     # w20 rides the inline-ORDER BY -> WITHIN GROUP string_agg
     # reposition + the regexp_matches shim
     "w20_event_pattern",
+    # t17 rides the t12-family dialect (string_split_regex shim,
+    # list_extract, unnest(generate_series))
+    "t17_textrank",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text
