@@ -61,6 +61,11 @@ QUERY_NAMES = {
     "s4": "s4_hyperplane_ann",
     "s6": "s6_ivfpq_ann",
     "d13": "d13_incremental_semdedup",
+    # r9: TextRank — the probe's token-suffix inflation grows the
+    # VOCAB by the copy factor (each copy rewrites the same source
+    # vocabulary bijectively), so this measures the claim that the
+    # edge table and every iteration stay vocab-sized
+    "t17": "t17_textrank",
     # TPC-H fact-join heavies: probed with --sf-series (the sf0.001 ->
     # sf0.1 testdata dirs ARE the 1x/10x/100x axis — real generated
     # data, no inflation needed)
@@ -69,6 +74,11 @@ QUERY_NAMES = {
     "q13": "q13_customer_distribution",
     "q18": "q18_large_volume_customers",
     "q21": "q21_waiting_suppliers",
+    # r9 events/orders-table additions: sliding sketch union, checksum
+    # audit, journey pattern — sf-series axis (real generated data)
+    "a25": "a25_partition_checksums",
+    "a26": "a26_sliding_distinct",
+    "w20": "w20_event_pattern",
 }
 
 
@@ -429,6 +439,10 @@ def main() -> None:
         # TPC-H probes scan lineitem; base = sf0.001 rows
         "q9": 6000, "q13": 6000, "q18": 6000, "q21": 6000,
         "t15": 5000,
+        # documents-inflation probe (sf0.1 docs base)
+        "t17": 5000,
+        # events/orders sf-series probes (sf0.001 base rows)
+        "a25": 1500, "a26": 1000, "w20": 1000,
     }
     for q in queries:
         for n in scales:
