@@ -80,6 +80,28 @@ _DRIVER_PRIORITY = [
     "a27_constraint_audit",
     "w20_event_pattern",
     "t17_textrank",
+    # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
+    # these sampled THIS round) — placed directly after the no-row-yet
+    # queries because the driver samples only the first ~50 entries;
+    # their oracle edits were rename-only and are mirror-green, so the
+    # risk is low but the row age is the judge's gate
+    "p3_json_extract",
+    "p4_ts_truncate",
+    "p5_multiformat_parse",
+    "p6_round_project",
+    "p7_modulo_trim",
+    "p8_prefix_split",
+    "w3_lookback_mean",
+    "w5_rolling_min",
+    "w6_rolling_mean",
+    "w8_first_crossing",
+    "w9_asof_fraction",
+    "w12_cumsum_certainty",
+    "w13_lag_shift",
+    "o1_time_sort",
+    "m1_standard_scale",
+    "m11_threshold_flags",
+    "a9_distinct",
     # ORACLE TEXT STRUCTURALLY REWRITTEN in round 9 (shared-dialect
     # convergence: index-explode instead of generate_subscripts,
     # list_dot_product cosine, epoch arithmetic, FLOOR division,
@@ -143,25 +165,6 @@ _DRIVER_PRIORITY = [
     "d10_incremental_lsh",
     "d12_containment",
     "w15_sequence_packing",
-    # r5-stale cohort (verdict r8 task 8) — oldest driver rows; these
-    # fill remaining slots and rotate to the front next round
-    "p3_json_extract",
-    "p4_ts_truncate",
-    "p5_multiformat_parse",
-    "p6_round_project",
-    "p7_modulo_trim",
-    "p8_prefix_split",
-    "w3_lookback_mean",
-    "w5_rolling_min",
-    "w6_rolling_mean",
-    "w8_first_crossing",
-    "w9_asof_fraction",
-    "w12_cumsum_certainty",
-    "w13_lag_shift",
-    "o1_time_sort",
-    "m1_standard_scale",
-    "m11_threshold_flags",
-    "a9_distinct",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order
