@@ -283,3 +283,22 @@ def test_a27_counts_injected_violations(spark, tmp_path):
         "ref:o_custkey->customer": 1,  # the non-null orphan only: the
         # null row is the completeness check's finding by design
     }
+
+
+def test_a25_month_checksums_roll_up_to_table_checksum(spark):
+    """The merkle claim: XOR of per-partition checksums == the
+    checksum of the whole table (associative, commutative, no
+    rescan needed to audit at coarser grain)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 12).alias("part"),
+        F.md5(F.col("id").cast("string")).alias("hx"),
+    ).select(
+        "part",
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    per_part = df.groupBy("part").agg(F.bit_xor("h").alias("c"))
+    rolled = per_part.agg(F.bit_xor("c").alias("c")).collect()[0]["c"]
+    direct = df.agg(F.bit_xor("h").alias("c")).collect()[0]["c"]
+    assert rolled == direct
