@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "a27_constraint_audit",
     "w20_event_pattern",
     "t17_textrank",
+    "s14_upsert_roundtrip",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

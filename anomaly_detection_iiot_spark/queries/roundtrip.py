@@ -512,7 +512,58 @@ FROM (SELECT unnest(generate_series(1, {_S11_EPOCHS})) AS epoch)
 """
 
 
+# --- S14: merge-on-read upsert table round-trip ------------------------------
+
+def s14_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply through the REAL upsert table (sources/upsert.py):
+    base = orders at `_v=0`; delta 1 upserts every key ≡ 0 (mod 7)
+    with a doubled o_totalprice (×2 is FP-exact, so no rounding hazard
+    enters before the final aggregate); delta 2 tombstones every key
+    ≡ 0 (mod 13) — including the overlap keys delta 1 just updated,
+    so the oracle match proves version ORDER, not just set union. The
+    result is read back through merge-on-read (one key shuffle +
+    per-key row_number) and aggregated per priority; the oracle
+    recomputes last-writer-wins directly from the orders view with a
+    CASE + WHERE. The small scratch writes happen eagerly at
+    construction like every sink round-trip here."""
+    from ..sources import upsert
+
+    o = t(spark, sf_dir, "orders")
+    tbl = os.path.join(_scratch("s14_upsert_"), "tbl")
+    upsert.write_base(o, tbl)
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    upsert.append_delta(upd, tbl, 1)
+    dels = o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    upsert.append_delta(o.limit(0), tbl, 2, deletes=dels)
+    merged = upsert.read_merged(spark, tbl, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+S14_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS sum_price
+FROM orders
+WHERE o_orderkey % 13 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 ROUNDTRIP_QUERIES: list[QuerySpec] = [
+    QuerySpec("s14_upsert_roundtrip", s14_upsert_roundtrip, S14_SQL,
+              "S14 merge-on-read upsert table: CDC base+delta+tombstone "
+              "round-trip, last-writer-wins proven by value hash"),
     QuerySpec("p2_positional_select", p2_positional_select, P2_SQL,
               "P2 projection by position (trainer.py:51, config.yaml:42-47)"),
     QuerySpec("p4_ts_truncate", p4_ts_truncate, P4_SQL,

@@ -98,6 +98,7 @@ HEADLINE = [
     "a27_constraint_audit",  # one-scan Deequ-style constraint audit
     "w20_event_pattern",  # ordered journeys + subsequence-regex funnel
     "t17_textrank",  # weighted PageRank over the word graph, oracle'd
+    "s14_upsert_roundtrip",  # CDC base+delta+tombstone merge-on-read
     "j9_scd2_dimension",  # SCD2 build + temporal fact join
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",

@@ -211,6 +211,7 @@ ANSI_QUERIES = [
     # t17 rides the t12-family dialect (string_split_regex shim,
     # list_extract, unnest(generate_series))
     "t17_textrank",
+    "s14_upsert_roundtrip",  # pure-ANSI CASE/WHERE oracle
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text

@@ -1,0 +1,80 @@
+"""Merge-on-read upsert table (sources/upsert.py): last-writer-wins
+version resolution, tombstone deletes, re-insert-after-delete, and
+compaction equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_iiot_spark.sources import upsert
+
+
+def _rows(df):
+    return {
+        (r.k, r.val)
+        for r in df.select("k", "val").collect()
+    }
+
+
+def test_upsert_versions_tombstones_and_reinsert(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], "k long, val string"
+    )
+    upsert.write_base(base, tbl)
+    # v1: update k=1, insert k=4
+    upsert.append_delta(
+        spark.createDataFrame([(1, "a1"), (4, "d1")], "k long, val string"),
+        tbl,
+        1,
+    )
+    # v2: delete k=2 and k=4; tombstone for a key that never existed
+    # (k=9) must be a no-op
+    upsert.append_delta(
+        base.limit(0),
+        tbl,
+        2,
+        deletes=spark.createDataFrame([(2,), (4,), (9,)], "k long"),
+    )
+    got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    assert got == {(1, "a1"), (3, "c0")}
+    # v3: re-insert k=2 after its delete — later version wins again
+    upsert.append_delta(
+        spark.createDataFrame([(2, "b3")], "k long, val string"), tbl, 3
+    )
+    got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    assert got == {(1, "a1"), (2, "b3"), (3, "c0")}
+    # system columns never leak into the user schema
+    assert upsert.read_merged(spark, tbl, ["k"]).columns == ["k", "val"]
+
+
+def test_compaction_preserves_view_and_drops_deltas(spark, tmp_path):
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k long, val string"
+        ),
+        tbl,
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(3, "v3x")], "k long, val string"), tbl, 1
+    )
+    upsert.append_delta(
+        spark.range(0).selectExpr("id AS k", "CAST(NULL AS STRING) AS val"),
+        tbl,
+        2,
+        deletes=spark.createDataFrame([(7,)], "k long"),
+    )
+    before = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    upsert.compact(spark, tbl, ["k"])
+    after = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    assert after == before
+    # deltas collapsed into a single fresh base partition
+    assert sorted(os.listdir(tbl)) == ["_v=0"]
+    # further deltas keep working on the compacted table
+    upsert.append_delta(
+        spark.createDataFrame([(0, "z")], "k long, val string"), tbl, 1
+    )
+    assert (0, "z") in _rows(upsert.read_merged(spark, tbl, ["k"]))
