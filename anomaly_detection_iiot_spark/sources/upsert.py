@@ -76,7 +76,12 @@ def read_merged(
     One key shuffle + per-key row_number; partition discovery surfaces
     `_v` from the directory names."""
     raw = spark.read.option("basePath", path).parquet(path)
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(V_COL))
+    # deterministic within-version tie-break: if one batch carries both
+    # an upsert and a tombstone for a key (a CDC batch folding several
+    # source changes), the upsert wins — asc(_deleted) ranks it first
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(V_COL), F.asc(DEL_COL)
+    )
     return (
         raw.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (~F.col(DEL_COL)))

@@ -78,3 +78,69 @@ def test_compaction_preserves_view_and_drops_deltas(spark, tmp_path):
         spark.createDataFrame([(0, "z")], "k long, val string"), tbl, 1
     )
     assert (0, "z") in _rows(upsert.read_merged(spark, tbl, ["k"]))
+
+
+def test_cdc_stream_applies_batches_as_versions(spark, tmp_path):
+    """Streaming CDC apply (streaming/cdc_stream.py): each micro-batch
+    lands as one version partition, merged view equals the batch-
+    applied table, and a replayed batch (same version, same rows) is
+    idempotent at rest."""
+    import os
+
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame(
+            [(1, "a0"), (2, "b0"), (3, "c0")], "k long, val string"
+        ),
+        tbl,
+    )
+    # two change files -> two micro-batches (maxFilesPerTrigger=1)
+    indir = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(1, "a1", "upsert"), (4, "d1", "upsert")],
+        "k long, val string, _op string",
+    ).coalesce(1).write.mode("append").parquet(indir)
+    spark.createDataFrame(
+        [(2, None, "delete"), (5, "e2", "upsert")],
+        "k long, val string, _op string",
+    ).coalesce(1).write.mode("append").parquet(indir)
+
+    stream = (
+        spark.readStream.schema("k long, val string, _op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = cdc_stream.apply_cdc_stream(
+        stream, tbl, str(tmp_path / "ckpt"), key_cols=["k"]
+    )
+    q.awaitTermination(120)
+
+    got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    # batch order is file order only in aggregate: both batches applied,
+    # and since they touch disjoint keys the merged view is order-free
+    assert got == {(1, "a1"), (3, "c0"), (4, "d1"), (5, "e2")}
+    versions = sorted(d for d in os.listdir(tbl) if d.startswith("_v="))
+    assert len(versions) == 3  # base + 2 batches
+    # replay idempotence: rewriting version 1 with the same rows (what
+    # a foreachBatch retry does) leaves the merged view unchanged
+    upsert.append_delta(
+        spark.createDataFrame([(1, "a1"), (4, "d1")], "k long, val string"),
+        tbl,
+        1,
+    )
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == got
+
+
+def test_same_batch_upsert_beats_tombstone(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a0")], "k long, val string")
+    upsert.write_base(base, tbl)
+    upsert.append_delta(
+        spark.createDataFrame([(1, "a1")], "k long, val string"),
+        tbl,
+        1,
+        deletes=spark.createDataFrame([(1,)], "k long"),
+    )
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {(1, "a1")}
