@@ -69,13 +69,24 @@ def append_delta(
 
 
 def read_merged(
-    spark: SparkSession, path: str, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    as_of_version: int | None = None,
 ) -> DataFrame:
     """Merge-on-read: resolve last-writer-wins per key across all
     version partitions, drop tombstoned keys, return the user schema.
     One key shuffle + per-key row_number; partition discovery surfaces
-    `_v` from the directory names."""
+    `_v` from the directory names.
+
+    ``as_of_version`` is TIME TRAVEL: resolve the table as it stood
+    after that version landed. Because `_v` is a directory partition
+    column, the filter prunes whole version directories at the file
+    listing — the scan never reads later deltas (the same
+    PartitionFilters mechanics pinned for sources/partitioned.py)."""
     raw = spark.read.option("basePath", path).parquet(path)
+    if as_of_version is not None:
+        raw = raw.filter(F.col(V_COL) <= as_of_version)
     # deterministic within-version tie-break: if one batch carries both
     # an upsert and a tombstone for a key (a CDC batch folding several
     # source changes), the upsert wins — asc(_deleted) ranks it first

@@ -144,3 +144,50 @@ def test_same_batch_upsert_beats_tombstone(spark, tmp_path):
         deletes=spark.createDataFrame([(1,)], "k long"),
     )
     assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {(1, "a1")}
+
+
+def test_time_travel_reads_prune_later_versions(spark, tmp_path):
+    """as_of_version resolves the historical view AND prunes later
+    version directories at the scan (PartitionFilters on _v)."""
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, val string"),
+        tbl,
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(1, "a1")], "k long, val string"), tbl, 1
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(2, None)], "k long, val string").limit(0),
+        tbl,
+        2,
+        deletes=spark.createDataFrame([(2,)], "k long"),
+    )
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {(1, "a1")}
+    assert _rows(upsert.read_merged(spark, tbl, ["k"], as_of_version=1)) == {
+        (1, "a1"),
+        (2, "b0"),
+    }
+    assert _rows(upsert.read_merged(spark, tbl, ["k"], as_of_version=0)) == {
+        (1, "a0"),
+        (2, "b0"),
+    }
+    # pruning evidence: the scan carries a PartitionFilter on _v, and
+    # the rows actually read (input_file_name ground truth — works
+    # through AQE query stages, unlike the leaf numFiles metric) come
+    # only from <= as_of_version directories
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.sources.partitioned import (
+        partition_filters,
+    )
+
+    pinned = upsert.read_merged(spark, tbl, ["k"], as_of_version=0)
+    assert "_v" in partition_filters(pinned)
+    raw = spark.read.option("basePath", tbl).parquet(tbl).filter(
+        F.col("_v") <= 0
+    )
+    srcs = [
+        r.f for r in raw.select(F.input_file_name().alias("f")).collect()
+    ]
+    assert srcs and all("_v=0" in f for f in srcs)
