@@ -100,6 +100,20 @@ def read_merged(
     )
 
 
+def read_changes(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Incremental consumption — the downstream half of CDC: every
+    change row strictly AFTER ``since_version``, with `_v` and
+    `_deleted` exposed so a consumer can apply upserts and deletes in
+    version order. The `_v >` filter prunes at directory listing, so
+    a caught-up consumer reads only the new deltas, never the table.
+    (Compaction resets versions; consumers checkpoint against the
+    pre-compaction table like any log-compacted source.)"""
+    raw = spark.read.option("basePath", path).parquet(path)
+    return raw.filter(F.col(V_COL) > since_version)
+
+
 def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     """Rewrite the resolved view as a fresh `_v=0` base and drop the
     delta partitions — bounds future merge-on-read cost. Writes the

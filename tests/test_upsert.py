@@ -191,3 +191,33 @@ def test_time_travel_reads_prune_later_versions(spark, tmp_path):
         r.f for r in raw.select(F.input_file_name().alias("f")).collect()
     ]
     assert srcs and all("_v=0" in f for f in srcs)
+
+
+def test_read_changes_is_incremental_and_pruned(spark, tmp_path):
+    """read_changes(since) returns exactly the later deltas with ops
+    visible, and the scan lists only > since directories."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "a0")], "k long, val string"), tbl
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(2, "b1")], "k long, val string"), tbl, 1
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(3, None)], "k long, val string").limit(0),
+        tbl,
+        2,
+        deletes=spark.createDataFrame([(1,)], "k long"),
+    )
+    ch = upsert.read_changes(spark, tbl, since_version=1)
+    rows = {(r.k, r._deleted) for r in ch.collect()}
+    assert rows == {(1, True)}  # only the v2 tombstone, op visible
+    srcs = [
+        r.f for r in ch.select(F.input_file_name().alias("f")).collect()
+    ]
+    assert srcs and all("_v=2" in f for f in srcs)
+    # catching up from 0 yields both deltas in version order
+    ch_all = upsert.read_changes(spark, tbl, since_version=0)
+    assert {(r.k, r._v) for r in ch_all.collect()} == {(2, 1), (1, 2)}
