@@ -73,6 +73,7 @@ def read_merged(
     path: str,
     key_cols: list[str],
     as_of_version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Merge-on-read: resolve last-writer-wins per key across all
     version partitions, drop tombstoned keys, return the user schema.
@@ -83,8 +84,20 @@ def read_merged(
     after that version landed. Because `_v` is a directory partition
     column, the filter prunes whole version directories at the file
     listing — the scan never reads later deltas (the same
-    PartitionFilters mechanics pinned for sources/partitioned.py)."""
-    raw = spark.read.option("basePath", path).parquet(path)
+    PartitionFilters mechanics pinned for sources/partitioned.py).
+
+    ``merge_schema`` turns on additive SCHEMA EVOLUTION: a delta may
+    carry new columns (parquet mergeSchema unions the footers); rows
+    from older versions surface NULL there, the lakehouse-standard
+    semantics. Off by default — schema union costs a footer read per
+    file and steady-state tables don't need it."""
+    raw = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(path)
+        if merge_schema
+        else spark.read.option("basePath", path).parquet(path)
+    )
     if as_of_version is not None:
         raw = raw.filter(F.col(V_COL) <= as_of_version)
     # deterministic within-version tie-break: if one batch carries both
