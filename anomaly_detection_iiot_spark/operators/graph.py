@@ -249,3 +249,76 @@ def connected_components(
     return labels.select(
         F.col("u").alias(node_out), F.col("label").alias(label_out)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted PageRank in integer micro-units (damping 0.85,
+    rank_0 = 1.0 ≡ 1e9 units) — the general form of t17's fixed-3
+    loop, safe for real iteration counts.
+
+    Determinism (the t17 finding, queries/textsim.py): per-edge
+    contribution is ``floor(weight * r_int / out_w)`` — one IEEE
+    double division then floor, bit-identical across engines and plan
+    shapes — and the per-node reduction is a BIGINT sum, order-free.
+    No double is ever summed, so results don't depend on partitioning.
+
+    Scale: each iteration is one edges⋈ranks equi-join plus one
+    dst-keyed sum — O(|edges|) shuffle per round, the BSP loop shape
+    shared with connected_components above. The rank frame is
+    localCheckpoint'ed every ``checkpoint_every`` rounds so the
+    logical plan stays bounded at long iteration counts (the t16/d8
+    lineage lesson: persist caches data but plans still grow per
+    round). Bound: weight·r_int < 2^53, i.e. pair multiplicities up
+    to ~1e5 at rank mass ≈ |nodes|.
+
+    Returns (node, r_int) — callers scale by 1e-9 for display."""
+    w = (
+        F.col(weight_col)
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("weight"),
+    ).localCheckpoint(eager=True)
+    outw = (
+        e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    ).localCheckpoint(eager=True)
+    ranks = outw.select(
+        F.col("src").alias("node"),
+        F.lit(1_000_000_000).cast("long").alias("r_int"),
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("weight") * F.col("r_int")).cast("double")
+                        / F.col("out_w")
+                    ).cast("long")
+                ).alias("x")
+            )
+        )
+        ranks = outw.join(contrib, outw.src == contrib.dst, "left").select(
+            F.col("src").alias("node"),
+            (
+                F.lit(150_000_000).cast("long")
+                + F.floor(
+                    F.lit(0.85) * F.coalesce("x", F.lit(0)).cast("double")
+                ).cast("long")
+            ).alias("r_int"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -2852,10 +2852,10 @@ def t17_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the graph is VOCAB-sized (edges = distinct adjacent
     word pairs), so after one corpus scan builds the edge table every
     iteration is one edges⋈ranks join + one dst-keyed sum — Zipf-small
-    state, corpus never rescanned (edge/out-weight tables persisted
-    via the owned-cache used by t12's count tables). Damping 0.85,
-    rank_0 = 1."""
-    from ..operators.cache import replace_owned_cache
+    state, corpus never rescanned. The loop is the general
+    ``operators/graph.py::pagerank`` (same micro-unit arithmetic,
+    lineage-checkpointed for long runs). Damping 0.85, rank_0 = 1."""
+    from ..operators import graph
 
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
     n = F.size("tokens")
@@ -2872,48 +2872,15 @@ def t17_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .filter(F.col("a") != F.col("b"))
     )
-    edges = replace_owned_cache(
-        "t17_edges",
+    edges = (
         pairs.selectExpr("a AS src", "b AS dst")
         .unionAll(pairs.selectExpr("b AS src", "a AS dst"))
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("weight")),
+        .agg(F.count(F.lit(1)).alias("weight"))
     )
-    outw = replace_owned_cache(
-        "t17_outw",
-        edges.groupBy("src").agg(F.sum("weight").alias("out_w")),
+    ranks = graph.pagerank(edges, iters=3, weight_col="weight").select(
+        F.col("node").alias("word"), "r_int"
     )
-    ranks = outw.select(
-        F.col("src").alias("word"),
-        F.lit(1_000_000_000).cast("long").alias("r_int"),
-    )
-    for _ in range(3):
-        contrib = (
-            edges.join(outw, "src")
-            .join(ranks.withColumnRenamed("word", "src"), "src")
-            .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.floor(
-                        (F.col("weight") * F.col("r_int")).cast("double")
-                        / F.col("out_w")
-                    ).cast("long")
-                ).alias("x")
-            )
-        )
-        ranks = (
-            outw.join(contrib, outw.src == contrib.dst, "left")
-            .select(
-                F.col("src").alias("word"),
-                (
-                    F.lit(150_000_000).cast("long")
-                    + F.floor(
-                        F.lit(0.85)
-                        * F.coalesce("x", F.lit(0)).cast("double")
-                    ).cast("long")
-                ).alias("r_int"),
-            )
-        )
     w = Window.orderBy(F.desc("r_int"), F.asc("word"))
     return (
         ranks.select(

@@ -279,3 +279,43 @@ def test_incremental_lsh_randomized_split(spark, sf_dir):
         if r.doc_a in batch_ids or r.doc_b in batch_ids
     }
     assert got == expected
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    """graph.pagerank's integer micro-unit loop vs an independent
+    pure-Python mirror, at 12 iterations (crosses the localCheckpoint
+    boundary at 5 and 10, proving lineage truncation doesn't change
+    values). Exact integer equality — the arithmetic is IEEE
+    division + floor + bigint sums, deterministic by construction."""
+    import math
+
+    from anomaly_detection_iiot_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = [
+        ("a", "b", 3), ("b", "a", 3),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "d", 2), ("d", "c", 2),
+        ("a", "c", 1), ("c", "a", 1),
+        ("e", "a", 5), ("a", "e", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r.node: r.r_int
+        for r in graph.pagerank(
+            df, iters=12, weight_col="w", checkpoint_every=5
+        ).collect()
+    }
+
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {n: 1_000_000_000 for n in outw}
+    for _ in range(12):
+        x = {n: 0 for n in outw}
+        for s, d, w in edges:
+            x[d] += math.floor((w * r[s]) / outw[s])
+        r = {
+            n: 150_000_000 + math.floor(0.85 * x[n]) for n in outw
+        }
+    assert got == r
