@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "w20_event_pattern",
     "t17_textrank",
     "s14_upsert_roundtrip",
+    "s15_pyds_roundtrip",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

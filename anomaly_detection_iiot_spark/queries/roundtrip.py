@@ -202,6 +202,85 @@ GROUP BY user_id
 """
 
 
+# --- S15: Python DataSource round-trip (Spark 4 plugin API) -------------------
+
+def s15_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same snapshot corpus as s1, read back through the Spark 4
+    PYTHON DATASOURCE plugin (sources/pyds.py,
+    ``format("bearing_snapshots")``) instead of the CSV scanner: one
+    partition per snapshot file, filename event-time and per-file
+    sample_idx emitted by the source itself (no window, no shuffle —
+    plan pinned Exchange-free in tests/test_pyds.py). A hash match
+    against the same events-derived oracle proves the plugin's parse,
+    event-time, and ordering semantics equal the engine path's."""
+    from ..sources.pyds import BearingSnapshotDataSource
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.filter(F.col("user_id") < _S1_USERS)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < _S1_SAMPLES)
+        .select("user_id", "rn", "value")
+        .collect()
+    )
+    series = {u: [0.0] * _S1_SAMPLES for u in range(_S1_USERS)}
+    for r in head:
+        series[r.user_id][r.rn] = r.value
+    out_dir = _scratch("s15_pyds_")
+    for f, stamp in enumerate(_S1_STAMPS):
+        lines = []
+        for i in range(_S1_ROWS_PER_FILE):
+            idx = f * _S1_ROWS_PER_FILE + i
+            lines.append(
+                "\t".join("%.17g" % series[u][idx] for u in range(_S1_USERS))
+            )
+        with open(os.path.join(out_dir, stamp), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    spark.dataSource.register(BearingSnapshotDataSource)
+    raw = (
+        spark.read.format("bearing_snapshots")
+        .option("path", out_dir)
+        .option("n_cols", _S1_USERS)
+        .load()
+    )
+    long = raw.selectExpr(
+        "file_ts",
+        "sample_idx",
+        "stack({n}, {pairs}) AS (channel, value)".format(
+            n=_S1_USERS,
+            pairs=", ".join(
+                f"'{u}', vibration_{u}" for u in range(_S1_USERS)
+            ),
+        ),
+    )
+    return long.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.max("sample_idx").cast("bigint").alias("max_sample_idx"),
+        F.countDistinct("file_ts").alias("n_files"),
+    )
+
+
+S15_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events WHERE user_id < {_S1_USERS}
+)
+SELECT CAST(user_id AS STRING) AS channel,
+       count(*) AS n_samples,
+       round(sum(value), 6) AS sum_v,
+       CAST({_S1_ROWS_PER_FILE - 1} AS BIGINT) AS max_sample_idx,
+       CAST({_S1_FILES} AS BIGINT) AS n_files
+FROM ranked
+WHERE rn < {_S1_SAMPLES}
+GROUP BY user_id
+ORDER BY channel
+"""
+
+
 # --- S5: CSV sink + scan round-trip (trainer.py:51 / bearing.py:30-33) --------
 
 def s5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +640,9 @@ ORDER BY o_orderpriority
 
 
 ROUNDTRIP_QUERIES: list[QuerySpec] = [
+    QuerySpec("s15_pyds_roundtrip", s15_pyds_roundtrip, S15_SQL,
+              "S15 Spark 4 Python DataSource plugin round-trip: "
+              "partition-per-file snapshot source, no shuffle"),
     QuerySpec("s14_upsert_roundtrip", s14_upsert_roundtrip, S14_SQL,
               "S14 merge-on-read upsert table: CDC base+delta+tombstone "
               "round-trip, last-writer-wins proven by value hash"),

@@ -212,6 +212,7 @@ ANSI_QUERIES = [
     # list_extract, unnest(generate_series))
     "t17_textrank",
     "s14_upsert_roundtrip",  # pure-ANSI CASE/WHERE oracle
+    "s15_pyds_roundtrip",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text
