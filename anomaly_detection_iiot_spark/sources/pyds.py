@@ -32,7 +32,12 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -109,3 +114,61 @@ class BearingSnapshotDataSource(DataSource):
 
     def reader(self, schema):
         return BearingSnapshotReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return BearingSnapshotStreamReader(self.options)
+
+
+class BearingSnapshotStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the plugin: the snapshot DIRECTORY is the
+    log and the lexicographically-sorted FILENAME is the offset (the
+    reference's timestamp stamps sort chronologically by
+    construction, so filename order is arrival order). Offsets are
+    the JSON dict ``{"upto": "<last filename consumed>"}``:
+
+    - ``read(start)`` consumes every file strictly after
+      ``start["upto"]`` and advances the offset to the last one — a
+      micro-batch is an immutable file range;
+    - ``readBetweenOffsets(start, end)`` replays exactly that range
+      after a failure, which is what makes the source's micro-batches
+      deterministic under recovery (the engine persists the offsets
+      in the checkpoint, same contract as the built-in file source).
+    """
+
+    def __init__(self, options):
+        self.dir = options["path"]
+        self._batch = BearingSnapshotReader(options)
+
+    def _files_after(self, upto: str, end: str | None = None):
+        names = sorted(
+            f
+            for f in os.listdir(self.dir)
+            if not f.startswith(".") and _TS_RE.search(f)
+        )
+        return [
+            n for n in names if n > upto and (end is None or n <= end)
+        ]
+
+    def initialOffset(self):
+        return {"upto": ""}
+
+    def read(self, start: dict):
+        names = self._files_after(start["upto"])
+        end = {"upto": names[-1]} if names else dict(start)
+        # iterator over a materialized list (not a generator): the
+        # engine PICKLES the prefetched rows so an un-checkpointed
+        # batch can be replayed, and list iterators pickle cleanly
+        return iter(self._rows(names)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            self._rows(self._files_after(start["upto"], end["upto"]))
+        )
+
+    def _rows(self, names):
+        out = []
+        for n in names:
+            out.extend(
+                self._batch.read(_FilePartition(os.path.join(self.dir, n)))
+            )
+        return out

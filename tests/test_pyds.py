@@ -71,3 +71,46 @@ def test_pyds_positional_projection(spark, snapshot_dir):
         spark, snapshot_dir, n_cols=4, channel_positions=[0, 2]
     ).drop("experiment")
     assert _key(got.collect()) == _key(want.collect())
+
+
+def test_pyds_stream_consumes_files_exactly_once(spark, snapshot_dir, tmp_path):
+    """Streaming plugin: filenames are offsets; each file's rows arrive
+    in exactly one micro-batch, late-arriving files are picked up, and
+    nothing is re-emitted across batches."""
+    import numpy as np
+
+    spark.dataSource.register(BearingSnapshotDataSource)
+    stream = (
+        spark.readStream.format("bearing_snapshots")
+        .option("path", snapshot_dir)
+        .option("n_cols", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM pyds_stream").collect()[0].c
+        assert n1 == 3 * 50
+        # a new snapshot lands (later stamp -> later offset)
+        rng = np.random.default_rng(12)
+        np.savetxt(
+            f"{snapshot_dir}/2004.02.12.10.59.00",
+            rng.normal(size=(50, 4)),
+            fmt="%.17g",
+            delimiter="\t",
+        )
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(*) c FROM pyds_stream").collect()[0].c
+        assert n2 == 4 * 50
+        # exactly-once: distinct (file_ts, sample_idx) == total rows
+        d = spark.sql(
+            "SELECT count(DISTINCT file_ts, sample_idx) c FROM pyds_stream"
+        ).collect()[0].c
+        assert d == n2
+    finally:
+        q.stop()
