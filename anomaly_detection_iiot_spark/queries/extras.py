@@ -1284,6 +1284,82 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- A28: A/B experiment analysis (hash arms + Welch t) ----------------------
+
+def a28_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout, end to end: users are assigned to arms by
+    the o11 content-independent md5 rule (first hex char < '8' -> A,
+    else B — stable under re-runs, appends, and engine changes), and
+    each event_type gets the Welch two-sample readout: per-arm n /
+    mean / sample variance, the effect size, and the t statistic
+    ``diff / sqrt(s2a/na + s2b/nb)``. One scan, one (event_type, arm)
+    aggregate (map-side combined), one tiny pivot-join — the shape a
+    100 TB metrics warehouse runs per experiment per day. Values
+    rounded to 6 like every cross-engine mean; t to 4 (it divides two
+    rounded-order quantities, so noise is amplified one level)."""
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    per = (
+        ev.withColumn("arm", arm)
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    a = per.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = per.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.join(b, "event_type")
+    diff = F.col("mean_b") - F.col("mean_a")
+    se = F.sqrt(
+        F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(diff / se, 4).alias("t_stat"),
+    ).orderBy("event_type")
+
+
+A28_SQL = """
+WITH assigned AS (
+  SELECT event_type, value,
+         CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), per AS (
+  SELECT event_type, arm, count(*) AS n, avg(value) AS mean,
+         var_samp(value) AS s2
+  FROM assigned GROUP BY event_type, arm
+)
+SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+       round(b.mean - a.mean, 6) AS diff,
+       round((b.mean - a.mean)
+             / sqrt(a.s2 / a.n + b.s2 / b.n), 4) AS t_stat
+FROM (SELECT * FROM per WHERE arm = 'A') a
+JOIN (SELECT * FROM per WHERE arm = 'B') b ON a.event_type = b.event_type
+ORDER BY a.event_type
+"""
+
+
 # --- W20: event-sequence pattern matching (MATCH_RECOGNIZE-lite) -------------
 
 def w20_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1631,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a28_ab_test", a28_ab_test, A28_SQL,
+              "A28 A/B experiment readout: md5-hash arms + per-type "
+              "Welch t statistic, one combinable aggregate"),
     QuerySpec("w20_event_pattern", w20_event_pattern, W20_SQL,
               "W20 MATCH_RECOGNIZE-lite: ordered journey strings + "
               "subsequence-regex conversion flags"),

@@ -213,6 +213,7 @@ ANSI_QUERIES = [
     "t17_textrank",
     "s14_upsert_roundtrip",  # pure-ANSI CASE/WHERE oracle
     "s15_pyds_roundtrip",
+    "a28_ab_test",
 ]
 
 # The 4 declared-divergent oracles and WHY each cannot share one text
