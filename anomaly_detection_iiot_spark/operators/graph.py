@@ -258,6 +258,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     checkpoint_every: int = 5,
+    tol_units: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank in integer micro-units (damping 0.85,
     rank_0 = 1.0 ≡ 1e9 units) — the general form of t17's fixed-3
@@ -278,6 +279,12 @@ def pagerank(
     round). Bound: weight·r_int < 2^53, i.e. pair multiplicities up
     to ~1e5 at rank mass ≈ |nodes|.
 
+    ``tol_units`` switches to ITERATE-UNTIL-FIXPOINT: stop as soon as
+    no node moved more than that many micro-units in a round (``iters``
+    becomes the safety cap). The convergence test is an exact integer
+    max-|delta| — one 1-row collect per round, the m9/s13 driver-scalar
+    shape — so early convergence is deterministic, never epsilon-on-doubles.
+
     Returns (node, r_int) — callers scale by 1e-9 for display."""
     w = (
         F.col(weight_col)
@@ -296,6 +303,7 @@ def pagerank(
         F.col("src").alias("node"),
         F.lit(1_000_000_000).cast("long").alias("r_int"),
     )
+    prev = ranks
     for i in range(iters):
         contrib = (
             e.join(outw, "src")
@@ -319,6 +327,28 @@ def pagerank(
                 ).cast("long")
             ).alias("r_int"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+        if tol_units is not None or (
+            (i + 1) % checkpoint_every == 0 and i + 1 < iters
+        ):
+            # convergence mode needs the frame materialized anyway for
+            # the delta aggregate, so checkpoint every round there
             ranks = ranks.localCheckpoint(eager=True)
+        if tol_units is not None:
+            # fixpoint early-exit (the connected_components pattern):
+            # one 1-row max(|delta|) collect per round — integer units,
+            # so the test is exact, not epsilon-on-doubles
+            delta = (
+                ranks.join(
+                    prev.withColumnsRenamed({"r_int": "prev_r"}), "node"
+                )
+                .agg(
+                    F.max(F.abs(F.col("r_int") - F.col("prev_r"))).alias(
+                        "d"
+                    )
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol_units:
+                break
+            prev = ranks
     return ranks

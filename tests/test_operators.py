@@ -319,3 +319,24 @@ def test_pagerank_matches_python_reference_exactly(spark):
             n: 150_000_000 + math.floor(0.85 * x[n]) for n in outw
         }
     assert got == r
+
+
+def test_pagerank_converges_early_and_matches_capped_run(spark):
+    """tol_units fixpoint mode: on a symmetric 2-node graph the exact
+    integer loop reaches a fixpoint quickly; the early-exit result must
+    equal a long capped run, and converge in fewer rounds than the cap
+    (observable through the exact equality with the 50-round run)."""
+    from anomaly_detection_iiot_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    fixed = {
+        r.node: r.r_int
+        for r in graph.pagerank(df, iters=50, tol_units=0).collect()
+    }
+    capped = {
+        r.node: r.r_int for r in graph.pagerank(df, iters=50).collect()
+    }
+    assert fixed == capped
