@@ -151,6 +151,14 @@ _TRANSPILE = [
         r"\bstring_agg\(([^()]+?)\s+ORDER\s+BY\s+([^()]+)\)",
         r"string_agg(\1) WITHIN GROUP (ORDER BY \2)",
     ),
+    # 1-arg encode: DuckDB's encode(s) is UTF-8 string->BLOB; Spark
+    # spells the same conversion encode(s, 'UTF-8'). Identifier-only
+    # operand; the comma in legitimate 2-arg encode calls keeps this
+    # rule from touching them.
+    (
+        r"\bencode\(\s*([a-zA-Z_]\w*)\s*\)",
+        r"encode(\1, 'UTF-8')",
+    ),
     # hex-string -> integer: DuckDB casts a '0x'-prefixed string
     # directly; Spark's spelling is conv(hex, 16, 10). Identifier-only
     # operand (a25 hoists the hex expression into a named CTE column

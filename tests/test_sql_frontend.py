@@ -214,20 +214,24 @@ ANSI_QUERIES = [
     "s14_upsert_roundtrip",  # pure-ANSI CASE/WHERE oracle
     "s15_pyds_roundtrip",
     "a28_ab_test",
+    # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
+    "mm1_media_manifest",
+    "mm2_frame_sample",
 ]
 
-# The 4 declared-divergent oracles and WHY each cannot share one text
+# The 2 declared-divergent oracles and WHY each cannot share one text
 # (kept current so the judge can audit the boundary):
 #   d8                 - DuckDB WITH RECURSIVE uses UNION (dedup);
 #                        Spark recursive CTEs don't support UNION yet
+#                        (re-verified on 4.1.2 this round:
+#                        UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)
 #   m6                 - the transpiled literal forward pass (3 dense
 #                        layers of flattened weight-matrix literals
 #                        subscripted inside nested lambdas) hangs
 #                        Catalyst analysis/optimization (>7 min at
 #                        sf0.001; every sibling construct converges)
-#   mm1, mm2           - 1-arg encode(s) -> BLOB is DuckDB-only
-# (w16-w18 and the o10/t1/w15 lambda family converged late in r9 —
-# see the ANSI_QUERIES tail comment)
+# (mm1/mm2 converged in late r9 via the 1-arg encode rewrite; w16-w18
+# and the o10/t1/w15 lambda family converged earlier in r9)
 
 
 def _key(row):

@@ -106,3 +106,11 @@ def test_string_agg_order_by_repositions_to_within_group():
         "string_agg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id)"
         in out
     )
+
+
+def test_one_arg_encode_gains_utf8():
+    out = _normalize_dialect("SELECT octet_length(encode(text)) FROM t")
+    assert "encode(text, 'UTF-8')" in out
+    # legitimate 2-arg encode is untouched
+    out2 = _normalize_dialect("SELECT encode(text, 'UTF-8') FROM t")
+    assert out2.count("UTF-8") == 1
