@@ -41,7 +41,6 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
