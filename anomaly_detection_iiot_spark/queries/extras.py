@@ -1284,6 +1284,73 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- O14: equal-frequency binning (quantile discretizer) ---------------------
+
+def o14_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-QuantileDiscretizer-shaped feature binning: decile edges
+    of l_extendedprice from ONE exact percentile aggregate (at 100 TB
+    the same query swaps in percentile_approx — the a23 contract
+    family covers that trade), then a bin audit proving the bins are
+    near-equal. Cross-engine determinism: edges are interpolated from
+    2-decimal prices (finite decimals) and ROUNDED TO 6 before any
+    comparison, so both engines assign boundary rows identically; the
+    assignment itself is a branchless sum of edge-crossings (the
+    width_bucket shape without the function-name divergence)."""
+    li = t(spark, sf_dir, "lineitem")
+    pcts = [i / 10.0 for i in range(1, 10)]
+    edges_row = li.agg(
+        *[
+            F.round(
+                F.percentile("l_extendedprice", F.lit(p)), 6
+            ).alias(f"e{i}")
+            for i, p in enumerate(pcts, 1)
+        ]
+    )
+    e = edges_row.collect()[0]
+    edges = [float(e[f"e{i}"]) for i in range(1, 10)]
+    bin_expr = sum(
+        (F.col("l_extendedprice") > F.lit(v)).cast("int") for v in edges
+    )
+    return (
+        li.select(bin_expr.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+        .select(F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
+    )
+
+
+O14_SQL = """
+WITH edges AS (
+  SELECT {edge_cols}
+  FROM lineitem
+), binned AS (
+  SELECT l_extendedprice,
+         ({crossings}) AS bin
+  FROM lineitem CROSS JOIN edges
+)
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""".format(
+    edge_cols=", ".join(
+        f"round(quantile_cont(l_extendedprice, {i / 10.0}), 6) AS e{i}"
+        for i in range(1, 10)
+    ),
+    crossings=" + ".join(
+        f"CASE WHEN l_extendedprice > e{i} THEN 1 ELSE 0 END"
+        for i in range(1, 10)
+    ),
+)
+
+
 # --- A28: A/B experiment analysis (hash arms + Welch t) ----------------------
 
 def a28_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,6 +1698,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("o14_equal_freq_binning", o14_equal_freq_binning, O14_SQL,
+              "O14 quantile-discretizer binning: decile edges from one "
+              "percentile aggregate, branchless crossing assignment"),
     QuerySpec("a28_ab_test", a28_ab_test, A28_SQL,
               "A28 A/B experiment readout: md5-hash arms + per-type "
               "Welch t statistic, one combinable aggregate"),

@@ -245,3 +245,59 @@ def test_schema_evolution_additive_column(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, "a0", None), (2, "b1", 7.5)}
+
+
+def test_stream_static_enrichment_sees_dim_updates_mid_stream(
+    spark, tmp_path
+):
+    """The lakehouse dimension pattern: a foreachBatch pipeline that
+    re-resolves read_merged() per micro-batch sees upserts applied to
+    the dimension BETWEEN batches — fresh enrichment without restarting
+    the stream (a static broadcast join would pin the stale snapshot
+    for the query's lifetime)."""
+    from pyspark.sql import functions as F
+
+    dim = str(tmp_path / "dim")
+    upsert.write_base(
+        spark.createDataFrame([(1, "bronze")], "k long, val string"), dim
+    )
+    facts = str(tmp_path / "facts")
+    spark.createDataFrame([(100, 1)], "fact_id long, k long").coalesce(
+        1
+    ).write.mode("append").parquet(facts)
+    spark.createDataFrame([(101, 1)], "fact_id long, k long").coalesce(
+        1
+    ).write.mode("append").parquet(facts)
+
+    out = []
+
+    def enrich(batch_df, batch_id):
+        d = upsert.read_merged(spark, dim, ["k"])
+        rows = (
+            batch_df.join(F.broadcast(d), "k")
+            .select("fact_id", "val")
+            .collect()
+        )
+        out.extend((r.fact_id, r.val) for r in rows)
+        # dimension changes AFTER the first batch commits
+        if batch_id == 0:
+            upsert.append_delta(
+                spark.createDataFrame([(1, "gold")], "k long, val string"),
+                dim,
+                1,
+            )
+
+    q = (
+        spark.readStream.schema("fact_id long, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(facts)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vals = dict(out)
+    assert set(vals) == {100, 101}
+    # one fact enriched pre-update, one post-update
+    assert sorted(vals.values()) == ["bronze", "gold"]
