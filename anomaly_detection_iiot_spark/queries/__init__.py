@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "s15_pyds_roundtrip",
     "a28_ab_test",
     "o14_equal_freq_binning",
+    "j10_asof_tolerance",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

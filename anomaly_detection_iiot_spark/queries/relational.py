@@ -275,6 +275,83 @@ FROM filled WHERE is_probe = 1
 """
 
 
+# --- J10: as-of join with staleness tolerance (feature-store lookup) ---------
+
+def j10_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store read: each signup looks up the user's latest
+    purchase value AT OR BEFORE signup time, but only if it is FRESH
+    (within 3 days) — stale features surface as NULL + is_fresh=false
+    rather than silently training on outdated state. Same union-sort
+    as-of shape as j6 (one key shuffle, linear in n+m); the tolerance
+    is a post-fill predicate on the carried build timestamp, so it
+    adds zero join cost."""
+    from ..operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        probe,
+        build,
+        on="user_id",
+        probe_ts="signup_ts",
+        build_ts="purchase_ts",
+        value_cols=["purchase_value", "purchase_ts"],
+    )
+    # exact integer micros on both engines (epoch_us); integer-second
+    # truncation could flip rows within 1 s of the 3-day boundary
+    fresh = F.col("purchase_ts").isNotNull() & (
+        F.unix_micros("signup_ts") - F.unix_micros("purchase_ts")
+        <= 3 * 86400 * 1_000_000
+    )
+    return out.select(
+        "user_id",
+        "signup_id",
+        F.when(fresh, F.col("purchase_value")).alias("fresh_value"),
+        F.coalesce(fresh, F.lit(False)).alias("is_fresh"),
+    )
+
+
+J10_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 1 AS is_probe, event_id,
+         CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_probe, CAST(NULL AS BIGINT) AS event_id,
+         value AS pv, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), filled AS (
+  SELECT user_id, ts, is_probe, event_id,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_probe
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_value,
+         last_value(pts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_probe
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_ts
+  FROM u
+)
+SELECT user_id, event_id AS signup_id,
+       CASE WHEN purchase_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(purchase_ts) <= 259200000000
+            THEN purchase_value END AS fresh_value,
+       coalesce(purchase_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(purchase_ts) <= 259200000000,
+                FALSE) AS is_fresh
+FROM filled WHERE is_probe = 1
+"""
+
+
 # --- O1: global time sort (rank materialized) ------------------------------
 
 def o1_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1262,9 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
               "J4 interval/range join (calculations.py:62-66)"),
     QuerySpec("j6_asof_join", j6_asof_join, J6_SQL,
               "as-of join (generalized W9, searchsorted at scale)"),
+    QuerySpec("j10_asof_tolerance", j10_asof_tolerance, J10_SQL,
+              "J10 feature-store as-of with staleness tolerance: "
+              "stale lookups surface NULL + is_fresh=false"),
     QuerySpec("o1_time_sort", o1_time_sort, O1_SQL,
               "O1 global time sort with materialized rank (pipeline.py:32)"),
     QuerySpec("o2_threshold_grid", o2_threshold_grid, O2_SQL,
