@@ -301,3 +301,63 @@ def test_stream_static_enrichment_sees_dim_updates_mid_stream(
     assert set(vals) == {100, 101}
     # one fact enriched pre-update, one post-update
     assert sorted(vals.values()) == ["bronze", "gold"]
+
+
+def test_upsert_model_based_random_histories(spark, tmp_path):
+    """Model-based check: random CDC histories (upsert/delete over a
+    small key space across several versions) applied to the real table
+    must match a dict-model replay exactly — catches resolution-order
+    bugs no hand-written case covers. Deterministic seed; 3 histories
+    x 4 versions x 8 ops."""
+    import random
+
+    rng = random.Random(2024)
+    for h in range(3):
+        tbl = str(tmp_path / f"tbl{h}")
+        model: dict[int, str] = {}
+        base = [(k, f"b{k}") for k in range(5)]
+        model.update(base)
+        upsert.write_base(
+            spark.createDataFrame(base, "k long, val string"), tbl
+        )
+        for v in range(1, 5):
+            ups, dels = [], []
+            for _ in range(8):
+                k = rng.randrange(10)
+                if rng.random() < 0.3:
+                    dels.append(k)
+                else:
+                    ups.append((k, f"v{v}-{k}-{rng.randrange(100)}"))
+            # model replay: within one version the table resolves
+            # upsert-over-tombstone per key, and later ops in the same
+            # batch... the batch is a SET per key (last list entry for
+            # dup upserts is arbitrary), so keep one upsert per key
+            # (last wins in construction order) and drop deleted keys
+            # that also have an upsert (upsert beats tombstone)
+            per_key = {}
+            for k, val in ups:
+                per_key[k] = val
+            for k in dels:
+                if k not in per_key:
+                    per_key[k] = None
+            for k, val in per_key.items():
+                if val is None:
+                    model.pop(k, None)
+                else:
+                    model[k] = val
+            up_rows = [(k, v_) for k, v_ in per_key.items() if v_ is not None]
+            del_rows = [(k,) for k, v_ in per_key.items() if v_ is None]
+            upsert.append_delta(
+                spark.createDataFrame(
+                    up_rows or [], "k long, val string"
+                ),
+                tbl,
+                v,
+                deletes=(
+                    spark.createDataFrame(del_rows, "k long")
+                    if del_rows
+                    else None
+                ),
+            )
+        got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+        assert got == set(model.items()), f"history {h} diverged"
