@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "a28_ab_test",
     "o14_equal_freq_binning",
     "j10_asof_tolerance",
+    "w21_rolling_slope",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

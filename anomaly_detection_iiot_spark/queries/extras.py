@@ -1284,6 +1284,71 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- W21: trailing-window rolling regression slope ---------------------------
+
+def w21_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection over each user's event series: the least-squares
+    slope of value against its per-user sample index over a trailing
+    20-row frame — ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``, all four
+    moments as window sums over the SAME frame (one shuffle on
+    user_id, one partition-local sort, zero joins). x is the integer
+    row index, so Σx and Σx² are exact; only Σy/Σxy carry float noise,
+    bounded by one frame (20 terms — no cross-engine drift
+    amplification). Slope's units: value-change per event. The first
+    19 rows of each user emit NULL (frame not full) — the standard
+    warm-up contract."""
+    ev = t(spark, sf_dir, "events")
+    w_idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("y"),
+        F.row_number().over(w_idx).cast("double").alias("x"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-19, 0)
+    )
+    n = F.count(F.lit(1)).over(fr)
+    sx = F.sum("x").over(fr)
+    sy = F.sum("y").over(fr)
+    sxy = F.sum(F.col("x") * F.col("y")).over(fr)
+    sxx = F.sum(F.col("x") * F.col("x")).over(fr)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return idx.select(
+        "user_id",
+        "event_id",
+        F.when(n >= 20, F.round(slope, 6)).alias("slope20"),
+    ).orderBy("user_id", "event_id")
+
+
+W21_SQL = """
+WITH idx AS (
+  SELECT user_id, event_id, value AS y,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS DOUBLE) AS x
+  FROM events
+), m AS (
+  SELECT user_id, event_id,
+         count(*) OVER fr AS n,
+         sum(x) OVER fr AS sx,
+         sum(y) OVER fr AS sy,
+         sum(x * y) OVER fr AS sxy,
+         sum(x * x) OVER fr AS sxx
+  FROM idx
+  WINDOW fr AS (PARTITION BY user_id ORDER BY x
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN n >= 20 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope20
+FROM m
+ORDER BY user_id, event_id
+"""
+
+
 # --- O14: equal-frequency binning (quantile discretizer) ---------------------
 
 def o14_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,6 +1763,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("w21_rolling_slope", w21_rolling_slope, W21_SQL,
+              "W21 trailing-20 least-squares slope: four window "
+              "moments over one frame, integer x exact"),
     QuerySpec("o14_equal_freq_binning", o14_equal_freq_binning, O14_SQL,
               "O14 quantile-discretizer binning: decile edges from one "
               "percentile aggregate, branchless crossing assignment"),
