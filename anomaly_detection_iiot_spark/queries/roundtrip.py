@@ -281,6 +281,116 @@ ORDER BY channel
 """
 
 
+# --- S16: incremental aggregate maintenance over the upsert table ------------
+
+def s16_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — the merge-not-rescan story for
+    ALGEBRAIC aggregates (a24's sketch rollup is the distinct-count
+    sibling): a per-priority revenue dashboard over the upsert table
+    is maintained from ``read_changes`` alone. For each changed key
+    the update is ``+new − old`` where old comes from the TIME-TRAVEL
+    view at the previous version (the IVM delta rule; deletes are
+    −old only). The query computes the dashboard BOTH ways — full
+    merged-view rescan vs base-aggregate + delta application — and
+    emits their agreement as ``ivm_match``; the oracle recomputes the
+    rescan side with CASE/WHERE and pins TRUE (the a22/a25 contract
+    pattern). Sums are exact at the cent level: prices enter as
+    DECIMAL(18,2), so + and − round-trip without float residue — the
+    precondition for NEVER-rescanned accumulators at 100 TB."""
+    from ..sources import upsert
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    tbl = os.path.join(_scratch("s16_ivm_"), "tbl")
+    upsert.write_base(o, tbl)
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,2)")
+    )
+    # deletes disjoint from the updated keys: an upsert and a tombstone
+    # for one key in the SAME version resolves upsert-wins (pinned in
+    # tests/test_upsert.py), which the rescan oracle's WHERE could not
+    # express — mod-5-excluded keys keep the two sets disjoint
+    dels = o.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).select("o_orderkey")
+    upsert.append_delta(upd, tbl, 1, deletes=dels)
+
+    def dash(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("decimal(18,2)").alias("revenue"),
+        )
+
+    full = dash(upsert.read_merged(spark, tbl, ["o_orderkey"]))
+
+    # incremental side: base aggregate + (new − old) per changed key
+    base_agg = dash(upsert.read_merged(spark, tbl, ["o_orderkey"], as_of_version=0))
+    ch = upsert.read_changes(spark, tbl, since_version=0).select(
+        "o_orderkey", "o_orderpriority", "price", "_deleted"
+    )
+    old = (
+        upsert.read_merged(spark, tbl, ["o_orderkey"], as_of_version=0)
+        .join(ch.select("o_orderkey").distinct(), "o_orderkey", "left_semi")
+    )
+    minus = old.groupBy("o_orderpriority").agg(
+        (-F.count(F.lit(1))).alias("dn"),
+        (-F.sum("price")).cast("decimal(18,2)").alias("dr"),
+    )
+    plus = (
+        ch.filter(~F.col("_deleted"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("price").cast("decimal(18,2)").alias("dr"),
+        )
+    )
+    inc = (
+        base_agg.select(
+            "o_orderpriority", F.col("n").alias("dn"), F.col("revenue").alias("dr")
+        )
+        .unionByName(minus)
+        .unionByName(plus)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("dn").alias("n_inc"),
+            F.sum("dr").cast("decimal(18,2)").alias("rev_inc"),
+        )
+    )
+    return (
+        full.join(inc, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            # exact decimal compare first, then a DOUBLE carrier for
+            # the cross-engine hash (cent-exact values, no residue)
+            F.col("revenue").cast("double").alias("revenue"),
+            (
+                (F.col("n") == F.col("n_inc"))
+                & (F.col("revenue") == F.col("rev_inc"))
+            ).alias("ivm_match"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+S16_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(CAST(sum(CASE WHEN o_orderkey % 5 = 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                          AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       TRUE AS ivm_match
+FROM orders
+WHERE o_orderkey % 11 <> 0 OR o_orderkey % 5 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- S5: CSV sink + scan round-trip (trainer.py:51 / bearing.py:30-33) --------
 
 def s5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +750,9 @@ ORDER BY o_orderpriority
 
 
 ROUNDTRIP_QUERIES: list[QuerySpec] = [
+    QuerySpec("s16_incremental_agg", s16_incremental_agg, S16_SQL,
+              "S16 incremental view maintenance: base agg + (new-old) "
+              "deltas == full rescan, exact decimal accumulators"),
     QuerySpec("s15_pyds_roundtrip", s15_pyds_roundtrip, S15_SQL,
               "S15 Spark 4 Python DataSource plugin round-trip: "
               "partition-per-file snapshot source, no shuffle"),

@@ -217,6 +217,7 @@ ANSI_QUERIES = [
     "o14_equal_freq_binning",  # rides the quantile_cont rename
     "j10_asof_tolerance",  # union-sentinel as-of + epoch_us freshness
     "w21_rolling_slope",
+    "s16_incremental_agg",
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
