@@ -361,3 +361,65 @@ def test_upsert_model_based_random_histories(spark, tmp_path):
             )
         got = _rows(upsert.read_merged(spark, tbl, ["k"]))
         assert got == set(model.items()), f"history {h} diverged"
+
+
+def test_streaming_ivm_agg_equals_rescan(spark, tmp_path):
+    """apply_cdc_with_ivm: the materialized per-group aggregate,
+    folded incrementally per micro-batch (+new - old), must equal a
+    full rescan of the final merged table — across updates, inserts,
+    and deletes arriving in separate batches."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl = str(tmp_path / "tbl")
+    agg = str(tmp_path / "agg")
+    base = spark.createDataFrame(
+        [(k, "g" + str(k % 3), Decimal(f"{10 + k}.50")) for k in range(12)],
+        "k long, grp string, amt decimal(18,2)",
+    )
+    upsert.write_base(base, tbl)
+    base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total")
+    ).write.parquet(agg)
+
+    indir = str(tmp_path / "changes")
+    # batch A: update k=0 (amt 99.25), insert k=100 into g1
+    spark.createDataFrame(
+        [(0, "g0", Decimal("99.25"), "upsert"),
+         (100, "g1", Decimal("7.00"), "upsert")],
+        "k long, grp string, amt decimal(18,2), _op string",
+    ).coalesce(1).write.mode("append").parquet(indir)
+    # batch B: delete k=1 and k=100 (the batch-A insert)
+    spark.createDataFrame(
+        [(1, None, None, "delete"), (100, None, None, "delete")],
+        "k long, grp string, amt decimal(18,2), _op string",
+    ).coalesce(1).write.mode("append").parquet(indir)
+
+    stream = (
+        spark.readStream.schema(
+            "k long, grp string, amt decimal(18,2), _op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = cdc_stream.apply_cdc_with_ivm(
+        stream, tbl, agg, str(tmp_path / "ckpt"),
+        key_cols=["k"], group_col="grp", sum_col="amt",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.grp, r.n, r.total)
+        for r in spark.read.parquet(agg).collect()
+    }
+    want = {
+        (r.grp, r.n, r.total)
+        for r in upsert.read_merged(spark, tbl, ["k"])
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
