@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "j10_asof_tolerance",
     "w21_rolling_slope",
     "s16_incremental_agg",
+    "a29_market_basket",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

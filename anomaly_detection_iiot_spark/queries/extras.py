@@ -1284,6 +1284,111 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- A29: market-basket co-occurrence / lift ---------------------------------
+
+def a29_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item affinity from view events (item = the ``k`` prop):
+    for every item pair viewed by the same user, support and LIFT
+    ``P(a,b) / (P(a)·P(b))`` over the user universe — the
+    co-occurrence kernel of market-basket / item-recommendation
+    pipelines. Scale shape: reduce to DISTINCT (user, item) first
+    (basket-sized rows, not event-sized), self-join per user with
+    ``a < b`` (pair count bounded by basket² per user, never
+    corpus²), then two broadcast-sized item-count joins. All inputs
+    to lift are integers, so the only float is the final division —
+    rounded to 6, no cross-engine drift. Top-20 by (co_users, lift,
+    pair) with a total order."""
+    ev = t(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    n_users = ui.select("user_id").distinct().count()
+    a, b = ui.alias("a"), ui.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_users"))
+    )
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("nu"))
+    j = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("item").alias("item_a"),
+                                   F.col("nu").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("item").alias("item_b"),
+                                   F.col("nu").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            F.round(
+                F.col("co_users") * F.lit(n_users)
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("co_users"), F.desc("lift"), F.asc("item_a"), F.asc("item_b")
+    )
+    return (
+        j.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "item_a", "item_b", "co_users", "lift")
+        .orderBy("pos")
+    )
+
+
+A29_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+  FROM events WHERE event_type = 'view'
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ui
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS co_users
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+), cnt AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS nu_cnt FROM ui GROUP BY item
+), lifted AS (
+  SELECT item_a, item_b, co_users,
+         round(co_users * n_users * 1.0 / (ca.nu_cnt * cb.nu_cnt), 6)
+           AS lift
+  FROM pairs
+  JOIN cnt ca ON ca.item = pairs.item_a
+  JOIN cnt cb ON cb.item = pairs.item_b
+  CROSS JOIN nu
+)
+SELECT pos, item_a, item_b, co_users, lift FROM (
+  SELECT CAST(row_number() OVER (ORDER BY co_users DESC, lift DESC,
+                                 item_a, item_b) AS BIGINT) AS pos,
+         item_a, item_b, co_users, lift
+  FROM lifted
+) ranked
+WHERE pos <= 20
+ORDER BY pos
+"""
+
+
 # --- W21: trailing-window rolling regression slope ---------------------------
 
 def w21_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1763,6 +1868,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a29_market_basket", a29_market_basket, A29_SQL,
+              "A29 market-basket lift: distinct-basket self-join + "
+              "integer co-occurrence counts, top-20 total order"),
     QuerySpec("w21_rolling_slope", w21_rolling_slope, W21_SQL,
               "W21 trailing-20 least-squares slope: four window "
               "moments over one frame, integer x exact"),

@@ -218,6 +218,7 @@ ANSI_QUERIES = [
     "j10_asof_tolerance",  # union-sentinel as-of + epoch_us freshness
     "w21_rolling_slope",
     "s16_incremental_agg",
+    "a29_market_basket",  # json_extract_string shim + subquery rank
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
