@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "w21_rolling_slope",
     "s16_incremental_agg",
     "a29_market_basket",
+    "m16_kfold_threshold",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

@@ -1284,6 +1284,122 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- M16: k-fold cross-validated threshold calibration -----------------------
+
+def m16_kfold_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mean + 2·std anomaly threshold (A3/M11),
+    cross-validated: users are assigned to 5 folds by the o11 md5 rule
+    (leakage-safe — the whole USER is held out, not single events),
+    each fold's threshold is fit on the other four folds' events, and
+    the held-out flag rate is reported per fold. A stable flag rate
+    across folds is the generalization check the reference's
+    single-split threshold never had. Shape: one 5-row fold domain
+    cross-joined against per-user pre-aggregates — the corpus is
+    scanned once into user-level sums (map-side combined), and the
+    5× 'leave-fold-out' recombination happens on the tiny user table,
+    never on raw events; the test-side flag count is one conditional
+    join back. Sample std from sums: s² = (Σx² − n·mean²)/(n−1)."""
+    ev = t(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 5
+    )
+    per_user = ev.select("user_id", "value").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    ).withColumn(
+        "fold",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ),
+    )
+    folds = spark.range(5).select(F.col("id").alias("fold"))
+    train = (
+        folds.join(
+            per_user.withColumnsRenamed({"fold": "ufold"}), F.expr("fold != ufold")
+        )
+        .groupBy("fold")
+        .agg(
+            F.sum("n").alias("n_tr"),
+            F.sum("s1").alias("t1"),
+            F.sum("s2").alias("t2"),
+        )
+        .select(
+            "fold",
+            "n_tr",
+            F.round(
+                (F.col("t1") / F.col("n_tr"))
+                + 2
+                * F.sqrt(
+                    (
+                        F.col("t2")
+                        - F.col("n_tr")
+                        * F.pow(F.col("t1") / F.col("n_tr"), 2)
+                    )
+                    / (F.col("n_tr") - 1)
+                ),
+                6,
+            ).alias("threshold"),
+        )
+    )
+    test = ev.withColumn("fold", fold)
+    joined = test.join(train, "fold")
+    return (
+        joined.groupBy("fold", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg((F.col("value") > F.col("threshold")).cast("double")), 6
+            ).alias("flag_rate"),
+        )
+        .select("fold", "threshold", "n_test", "flag_rate")
+        .orderBy("fold")
+    )
+
+
+M16_SQL = """
+WITH hx AS (
+  SELECT user_id, value,
+         substr(md5(CAST(user_id AS STRING)), 1, 4) AS h4
+  FROM events
+), fu AS (
+  SELECT user_id, value,
+         CAST(('0x' || h4)::BIGINT % 5 AS BIGINT) AS fold
+  FROM hx
+), pu AS (
+  SELECT user_id, fold AS ufold,
+         count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM fu GROUP BY user_id, fold
+), folds AS (
+  SELECT CAST(f AS BIGINT) AS fold
+  FROM (SELECT unnest(generate_series(0, 4)) AS f) uf
+), train AS (
+  SELECT fold, CAST(sum(n) AS BIGINT) AS n_tr,
+         round(sum(s1) / sum(n)
+               + 2 * sqrt((sum(s2) - sum(n) * pow(sum(s1) / sum(n), 2))
+                          / (sum(n) - 1)), 6) AS threshold
+  FROM folds JOIN pu ON fold != ufold
+  GROUP BY fold
+)
+SELECT t.fold, t.threshold, count(*) AS n_test,
+       round(avg(CASE WHEN e.value > t.threshold
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+         AS flag_rate
+FROM train t
+JOIN fu e ON e.fold = t.fold
+GROUP BY t.fold, t.threshold
+ORDER BY t.fold
+"""
+
+
 # --- A29: market-basket co-occurrence / lift ---------------------------------
 
 def a29_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,6 +1984,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("m16_kfold_threshold", m16_kfold_threshold, M16_SQL,
+              "M16 k-fold cross-validated mean+2std threshold: "
+              "leakage-safe user folds, per-fold held-out flag rate"),
     QuerySpec("a29_market_basket", a29_market_basket, A29_SQL,
               "A29 market-basket lift: distinct-basket self-join + "
               "integer co-occurrence counts, top-20 total order"),

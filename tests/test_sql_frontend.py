@@ -219,6 +219,7 @@ ANSI_QUERIES = [
     "w21_rolling_slope",
     "s16_incremental_agg",
     "a29_market_basket",  # json_extract_string shim + subquery rank
+    "m16_kfold_threshold",  # hoisted-hex 0x rule + quantized threshold
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
