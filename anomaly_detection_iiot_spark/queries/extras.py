@@ -1284,6 +1284,100 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- G1: triangle counting (graph analytics trio: CC, PageRank, triangles) ---
+
+def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the item co-view graph (nodes = items,
+    edge when >= 1 user viewed both): the standard distributed
+    formulation — orient every edge low->high so each triangle
+    (a<b<c) materializes exactly once as two wedge joins plus one
+    edge-existence semi-join, O(Σ deg²) wedge work instead of the
+    naive 3-cycle enumeration. Per-node participation = each corner
+    counted via a 3-role union. Pure integer counts; top-20 under a
+    total order. Closes the graph-analytics trio next to d8's
+    connected components and t17's PageRank."""
+    ev = t(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    a, b = ui.alias("a"), ui.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("na"),
+            F.col("e1.v").alias("nb"),
+            F.col("e2.v").alias("nc"),
+        )
+    )
+    per_node = (
+        tris.selectExpr("na AS node")
+        .unionAll(tris.selectExpr("nb AS node"))
+        .unionAll(tris.selectExpr("nc AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
+    return (
+        per_node.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "node", "n_triangles")
+        .orderBy("pos")
+    )
+
+
+G1_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+  FROM events WHERE event_type = 'view'
+), edges AS (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+), tris AS (
+  SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+), pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT na AS node FROM tris
+    UNION ALL SELECT nb FROM tris
+    UNION ALL SELECT nc FROM tris
+  ) r GROUP BY node
+)
+SELECT pos, node, n_triangles FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_triangles DESC, node)
+              AS BIGINT) AS pos,
+         node, n_triangles
+  FROM pn
+) ranked
+WHERE pos <= 20
+ORDER BY pos
+"""
+
+
 # --- M16: k-fold cross-validated threshold calibration -----------------------
 
 def m16_kfold_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,6 +2078,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("g1_triangle_count", g1_triangle_count, G1_SQL,
+              "G1 triangle counting: oriented wedge join + existence "
+              "semi-join, per-node 3-role participation"),
     QuerySpec("m16_kfold_threshold", m16_kfold_threshold, M16_SQL,
               "M16 k-fold cross-validated mean+2std threshold: "
               "leakage-safe user folds, per-fold held-out flag rate"),
