@@ -1284,6 +1284,166 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- M17: population-stability-index drift monitor ---------------------------
+
+def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-ML drift check: PSI of the per-type value
+    distribution, second half of the event stream against the first.
+    Decile edges come from the REFERENCE window only (rounded to 6
+    before any comparison, the o14 rule), both windows are binned with
+    the same branchless crossing-sum, and
+    ``PSI = Σ (p−q)·ln(p/q)`` uses Laplace-smoothed shares
+    ``(cnt+1)/(n+10)`` so empty bins never produce log(0). One scan
+    builds per-(type, window, bin) integer counts; everything after is
+    a bins-sized frame. PSI > 0.2 is the conventional 'investigate'
+    flag."""
+    ev = t(spark, sf_dir, "events")
+    # exact integer micros on both engines (the j10 lesson): a
+    # truncated-seconds median vs a fractional-epoch median could
+    # split boundary events into different windows
+    mid = ev.agg(
+        F.round(F.percentile(F.unix_micros("ts").cast("double"), F.lit(0.5)), 0)
+    ).collect()[0][0]
+    tagged = ev.select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") >= F.lit(mid)).alias("is_cur"),
+    )
+    pcts = [i / 10.0 for i in range(1, 10)]
+    edges_rows = (
+        tagged.filter(~F.col("is_cur"))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", F.lit(p)), 6).alias(f"e{i}")
+                for i, p in enumerate(pcts, 1)
+            ]
+        )
+        .collect()
+    )
+    edges = {r["event_type"]: [r[f"e{i}"] for i in range(1, 10)] for r in edges_rows}
+    # per-type literal edges: the bin expression is data-dependent, so
+    # build it per type and union — types are few (5), edges tiny
+    parts = []
+    for et, es in sorted(edges.items()):
+        bin_expr = sum(
+            (F.col("value") > F.lit(v)).cast("int") for v in es
+        )
+        parts.append(
+            tagged.filter(F.col("event_type") == et).select(
+                F.lit(et).alias("event_type"),
+                "is_cur",
+                bin_expr.alias("bin"),
+            )
+        )
+    binned = parts[0]
+    for p in parts[1:]:
+        binned = binned.unionByName(p)
+    counts = binned.groupBy("event_type", "is_cur", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("event_type", "is_cur").agg(
+        F.sum("c").alias("n")
+    )
+    sh = (
+        counts.join(tot, ["event_type", "is_cur"])
+        .select(
+            "event_type",
+            "is_cur",
+            "bin",
+            ((F.col("c") + 1) / (F.col("n") + 10)).alias("share"),
+        )
+    )
+    ref = sh.filter(~F.col("is_cur")).select(
+        "event_type", "bin", F.col("share").alias("p")
+    )
+    cur = sh.filter(F.col("is_cur")).select(
+        "event_type", "bin", F.col("share").alias("q")
+    )
+    # full outer: a bin empty on one side still contributes via its
+    # smoothed floor share 1/(n+10)
+    n_ref = tot.filter(~F.col("is_cur")).select("event_type", F.col("n").alias("nr"))
+    n_cur = tot.filter(F.col("is_cur")).select("event_type", F.col("n").alias("nc"))
+    joined = (
+        ref.join(cur, ["event_type", "bin"], "full_outer")
+        .join(n_ref, "event_type")
+        .join(n_cur, "event_type")
+        .select(
+            "event_type",
+            F.coalesce("p", 1 / (F.col("nr") + 10)).alias("p"),
+            F.coalesce("q", 1 / (F.col("nc") + 10)).alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            "event_type", "psi", (F.col("psi") > 0.2).alias("drift_flag")
+        )
+        .orderBy("event_type")
+    )
+
+
+def _m17_sql() -> str:
+    return """
+WITH mid AS (
+  SELECT round(quantile_cont(epoch_us(ts), 0.5), 0) AS m FROM events
+), tagged AS (
+  SELECT event_type, value, epoch_us(ts) >= m AS is_cur
+  FROM events CROSS JOIN mid
+), edges AS (
+  SELECT event_type,
+         """ + ",\n         ".join(
+        f"round(quantile_cont(value, {i / 10.0}), 6) AS e{i}"
+        for i in range(1, 10)
+    ) + """
+  FROM tagged WHERE NOT is_cur GROUP BY event_type
+), binned AS (
+  SELECT t.event_type, t.is_cur,
+         (""" + " + ".join(
+        f"CASE WHEN t.value > e.e{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    ) + """) AS bin
+  FROM tagged t JOIN edges e ON e.event_type = t.event_type
+), counts AS (
+  SELECT event_type, is_cur, bin, count(*) AS c
+  FROM binned GROUP BY event_type, is_cur, bin
+), tot AS (
+  SELECT event_type, is_cur, sum(c) AS n
+  FROM counts GROUP BY event_type, is_cur
+), sh AS (
+  SELECT c.event_type, c.is_cur, c.bin,
+         (c.c + 1) * 1.0 / (t.n + 10) AS share
+  FROM counts c JOIN tot t
+    ON t.event_type = c.event_type AND t.is_cur = c.is_cur
+), pq AS (
+  SELECT coalesce(r.event_type, q.event_type) AS event_type,
+         coalesce(r.share, 1.0 / (nr.n + 10)) AS p,
+         coalesce(q.share, 1.0 / (nc.n + 10)) AS q
+  FROM (SELECT * FROM sh WHERE NOT is_cur) r
+  FULL OUTER JOIN (SELECT * FROM sh WHERE is_cur) q
+    ON r.event_type = q.event_type AND r.bin = q.bin
+  JOIN (SELECT event_type, n FROM tot WHERE NOT is_cur) nr
+    ON nr.event_type = coalesce(r.event_type, q.event_type)
+  JOIN (SELECT event_type, n FROM tot WHERE is_cur) nc
+    ON nc.event_type = coalesce(r.event_type, q.event_type)
+)
+SELECT event_type,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drift_flag
+FROM pq
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+M17_SQL = _m17_sql()
+
+
 # --- G1: triangle counting (graph analytics trio: CC, PageRank, triangles) ---
 
 def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,6 +2238,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("m17_psi_drift", m17_psi_drift, M17_SQL,
+              "M17 PSI drift monitor: reference-window decile bins, "
+              "Laplace-smoothed shares, per-type PSI + flag"),
     QuerySpec("g1_triangle_count", g1_triangle_count, G1_SQL,
               "G1 triangle counting: oriented wedge join + existence "
               "semi-join, per-node 3-role participation"),
