@@ -1284,6 +1284,91 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- A30: audience overlap via sketch inclusion-exclusion --------------------
+
+def a30_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap analytics at sketch cost: |A ∩ B| between the
+    user sets of every event-type pair, estimated as
+    |A| + |B| − |A ∪ B| where all three terms are HLL estimates and
+    the union is hll_union of the two PER-TYPE sketches — so the whole
+    pairwise matrix is answered from 5 k-byte sketches, never by
+    re-shuffling users (the ad-tech audience-overlap pattern; sketch
+    intersection error grows when the overlap is small relative to the
+    sets, which is why the contract is ±5% of the UNION size, the
+    standard inclusion-exclusion bound). Exact intersection rides a
+    distinct-pair self-join for the contract check; the oracle pins
+    exact + TRUE (a22 pattern)."""
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("na"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            )
+        ).alias("inter_est"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("union_est"),
+    )
+    ua = ev.select("event_type", "user_id").distinct()
+    exact = (
+        ua.alias("x")
+        .join(
+            ua.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_inter",
+            (
+                F.abs(F.col("inter_est") - F.col("n_inter"))
+                <= 0.05 * F.col("union_est")
+            ).alias("within_5pct_of_union"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+A30_SQL = """
+WITH ua AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_inter,
+       TRUE AS within_5pct_of_union
+FROM ua x JOIN ua y
+  ON x.user_id = y.user_id AND x.event_type < y.event_type
+GROUP BY x.event_type, y.event_type
+ORDER BY type_a, type_b
+"""
+
+
 # --- M17: population-stability-index drift monitor ---------------------------
 
 def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,6 +2323,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("a30_audience_overlap", a30_audience_overlap, A30_SQL,
+              "A30 audience overlap: HLL inclusion-exclusion over "
+              "per-type sketches vs exact, union-relative contract"),
     QuerySpec("m17_psi_drift", m17_psi_drift, M17_SQL,
               "M17 PSI drift monitor: reference-window decile bins, "
               "Laplace-smoothed shares, per-type PSI + flag"),

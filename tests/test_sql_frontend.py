@@ -222,6 +222,7 @@ ANSI_QUERIES = [
     "m16_kfold_threshold",  # hoisted-hex 0x rule + quantized threshold
     "g1_triangle_count",
     "m17_psi_drift",  # quantile_cont rename + epoch_us shim
+    "a30_audience_overlap",
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
