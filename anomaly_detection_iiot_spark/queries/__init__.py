@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "g1_triangle_count",
     "m17_psi_drift",
     "a30_audience_overlap",
+    "w22_cusum",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

@@ -1284,6 +1284,97 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- W22: CUSUM changepoint detection ----------------------------------------
+
+def w22_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint monitor per user series — the
+    classic drift detector for sensor streams. The textbook recurrence
+    ``S_i = max(0, S_{i-1} + (x_i − μ − k))`` is NOT a window
+    aggregate, but its closed form is: with
+    ``P_i = Σ_{j<=i} (x_j − μ − k)``,
+    ``S_i = P_i − min(0, min_{j<=i} P_j)`` — a running sum plus a
+    running min, two frames over one sort. Per-user baseline μ, σ from
+    the first 30 samples (quantized to 6 before use, the a19 rule);
+    slack k = 0.5σ, alarm h = 4σ. Output per user: alarms and the
+    first alarm's 1-based sample index (0 = never alarmed, the W8
+    sentinel contract)."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    ).withColumn("i", F.row_number().over(w_ord))
+    base = (
+        seq.filter(F.col("i") <= 30)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_samp("x"), 6).alias("sigma"),
+        )
+    )
+    j = seq.join(base, "user_id").withColumn(
+        "step", F.col("x") - F.col("mu") - 0.5 * F.col("sigma")
+    )
+    run = Window.partitionBy("user_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = j.withColumn("P", F.sum("step").over(run)).withColumn(
+        "S",
+        F.round(
+            F.col("P") - F.least(F.lit(0.0), F.min("P").over(run)), 6
+        ),
+    )
+    flagged = p.withColumn(
+        "alarm", F.col("S") > 4 * F.col("sigma")
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+            F.coalesce(
+                F.min(F.when(F.col("alarm"), F.col("i"))), F.lit(0)
+            ).cast("bigint").alias("first_alarm_i"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W22_SQL = """
+WITH seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i
+  FROM events
+), base AS (
+  SELECT user_id, round(avg(x), 6) AS mu,
+         round(stddev_samp(x), 6) AS sigma
+  FROM seq WHERE i <= 30 GROUP BY user_id
+), p1 AS (
+  SELECT s.user_id, s.i, b.sigma,
+         sum(s.x - b.mu - 0.5 * b.sigma) OVER w AS P
+  FROM seq s JOIN base b ON b.user_id = s.user_id
+  WINDOW w AS (PARTITION BY s.user_id ORDER BY s.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT user_id, i, sigma, P,
+         min(P) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS minP
+  FROM p1
+), flagged AS (
+  SELECT user_id, i,
+         round(P - least(0.0, minP), 6) > 4 * sigma AS alarm
+  FROM p
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(coalesce(min(CASE WHEN alarm THEN i END), 0) AS BIGINT)
+         AS first_alarm_i
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- A30: audience overlap via sketch inclusion-exclusion --------------------
 
 def a30_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2323,6 +2414,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("w22_cusum", w22_cusum, W22_SQL,
+              "W22 CUSUM changepoint: recurrence closed-formed as "
+              "running-sum minus running-min, per-user alarms"),
     QuerySpec("a30_audience_overlap", a30_audience_overlap, A30_SQL,
               "A30 audience overlap: HLL inclusion-exclusion over "
               "per-type sketches vs exact, union-relative contract"),
