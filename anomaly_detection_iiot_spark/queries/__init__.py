@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "m17_psi_drift",
     "a30_audience_overlap",
     "w22_cusum",
+    "w23_seasonal_anomalies",
     # r5-stale cohort (verdict r8 task 8: min driver round >= r6 needs
     # these sampled THIS round) — placed directly after the no-row-yet
     # queries because the driver samples only the first ~50 entries;

@@ -1284,6 +1284,86 @@ ORDER BY a.event_type, a.m
 """
 
 
+# --- W23: seasonal baseline + deseasonalized anomalies -----------------------
+
+def w23_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scoring, completing the monitoring
+    suite (threshold A3, MAD a19, EWMA w14, autocorr a20, slope w21,
+    CUSUM w22): an hour-of-day seasonal profile (mean, sample std per
+    (event_type, hour)) is fit on the FIRST HALF of the stream
+    (exact-micros split, the m17 rule) and the second half is scored
+    as deseasonalized z = (x − μ_hod)/σ_hod — anomalies that a global
+    threshold would miss inside high-baseline hours and false-flag in
+    quiet ones. Profile moments quantized to 6 before scoring (a19);
+    output per (type, hour): scored count and |z| > 3 exceedances.
+    One scan to the 120-cell profile, one broadcast join back."""
+    ev = t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.round(
+            F.percentile(F.unix_micros("ts").cast("double"), F.lit(0.5)), 0
+        )
+    ).collect()[0][0]
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.hour("ts").alias("hod"),
+        (F.unix_micros("ts") >= F.lit(mid)).alias("is_cur"),
+    )
+    prof = (
+        tagged.filter(~F.col("is_cur"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mu"),
+            F.round(F.stddev_samp("value"), 6).alias("sigma"),
+        )
+    )
+    scored = (
+        tagged.filter(F.col("is_cur"))
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .withColumn(
+            "z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+        )
+    )
+    return (
+        scored.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            # when-otherwise, not a bool cast: single-sample profile
+            # cells have NULL sigma -> NULL z, which must count as
+            # "not anomalous" (0) exactly like the oracle's CASE
+            F.sum(
+                F.when(F.abs("z") > 3, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+W23_SQL = """
+WITH mid AS (
+  SELECT round(quantile_cont(epoch_us(ts), 0.5), 0) AS m FROM events
+), tagged AS (
+  SELECT event_type, value,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+         epoch_us(ts) >= m AS is_cur
+  FROM events CROSS JOIN mid
+), prof AS (
+  SELECT event_type, hod,
+         round(avg(value), 6) AS mu,
+         round(stddev_samp(value), 6) AS sigma
+  FROM tagged WHERE NOT is_cur GROUP BY event_type, hod
+)
+SELECT t.event_type, t.hod, count(*) AS n_scored,
+       CAST(sum(CASE WHEN abs(round((t.value - p.mu) / p.sigma, 6)) > 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM tagged t
+JOIN prof p ON p.event_type = t.event_type AND p.hod = t.hod
+WHERE t.is_cur
+GROUP BY t.event_type, t.hod
+ORDER BY t.event_type, t.hod
+"""
+
+
 # --- W22: CUSUM changepoint detection ----------------------------------------
 
 def w22_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,6 +2494,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("a24_sketch_rollup", a24_sketch_rollup, A24_SQL,
               "A24 re-aggregatable DataSketches HLL daily rollup: "
               "merge sketches instead of rescanning facts"),
+    QuerySpec("w23_seasonal_anomalies", w23_seasonal_anomalies, W23_SQL,
+              "W23 hour-of-day seasonal profile + deseasonalized "
+              "z-score anomalies on the held-out half"),
     QuerySpec("w22_cusum", w22_cusum, W22_SQL,
               "W22 CUSUM changepoint: recurrence closed-formed as "
               "running-sum minus running-min, per-user alarms"),

@@ -224,6 +224,7 @@ ANSI_QUERIES = [
     "m17_psi_drift",  # quantile_cont rename + epoch_us shim
     "a30_audience_overlap",
     "w22_cusum",
+    "w23_seasonal_anomalies",
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
