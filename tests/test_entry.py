@@ -33,3 +33,33 @@ def test_representative_queries_run_at_sf0001(spark, sf_dir, name):
 
     df = e.queries()[name](spark, sf_dir)
     assert df.count() >= 0  # executes the full plan
+
+
+def test_parity_list_is_consistent_with_registry():
+    """Meta-invariants that keep the three query surfaces honest:
+    ANSI_QUERIES has no duplicates, names only registry queries, every
+    listed query HAS an oracle, and the declared-divergent set (oracle
+    present but not in the parity list) stays exactly the documented
+    two (d8 recursive-CTE UNION, m6 Catalyst hang)."""
+    from anomaly_detection_iiot_spark.queries import REGISTRY
+    from tests.test_sql_frontend import ANSI_QUERIES
+
+    assert len(ANSI_QUERIES) == len(set(ANSI_QUERIES)), "duplicates"
+    assert set(ANSI_QUERIES) <= set(REGISTRY), "unknown names"
+    with_oracle = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    assert set(ANSI_QUERIES) <= with_oracle, "parity without oracle"
+    divergent = with_oracle - set(ANSI_QUERIES)
+    assert divergent == {"d8_dup_clusters", "m6_reconstruction_error"}, (
+        f"undocumented divergence: {sorted(divergent)}"
+    )
+
+
+def test_driver_priority_names_are_registry_names():
+    from anomaly_detection_iiot_spark.queries import (
+        REGISTRY,
+        _DRIVER_PRIORITY,
+    )
+
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+    unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"priority entries not in registry: {unknown}"
