@@ -317,6 +317,104 @@ def _bench_bearing_pipeline(spark) -> float:
     return round(min(runs), 3)
 
 
+def _measure_query(spark, name: str, sf_dir: str) -> tuple:
+    """min-of-3 (wall, compile) for one registry query via a noop sink."""
+    spec = REGISTRY[name]
+    runs: list[float] = []
+    compile_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.schema  # force analysis into the compile bucket
+        t1 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        t2 = time.time()
+        compile_runs.append(t1 - t0)
+        runs.append(t2 - t0)
+    return round(min(runs), 3), round(min(compile_runs), 3)
+
+
+def _calibration(spark) -> float:
+    """Fixed-work host-speed probe: a pure-JVM codegen loop over
+    range() — no I/O, no Python, no shuffle — whose time tracks ONLY
+    how fast this host is running right now (bursty hypervisor CPU
+    steal has inflated whole rounds 2-7x; see BENCH_r09 vs the judge's
+    isolated re-run)."""
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 500_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        cal_runs.append(time.time() - t0)
+    return round(min(cal_runs), 3)
+
+
+_HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
+)
+
+
+def _load_history() -> dict:
+    try:
+        with open(_HISTORY_PATH) as fh:
+            return json.load(fh).get("min_sec", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_history(hist: dict) -> None:
+    with open(_HISTORY_PATH, "w") as fh:
+        json.dump(
+            {
+                "note": "per-query min wall (sec) across all rounds; "
+                "bench.py noise gate baseline",
+                "min_sec": dict(sorted(hist.items())),
+            },
+            fh,
+            indent=1,
+        )
+
+
+def _noise_repass(spark, sf_dir, times, compile_times, hist):
+    """Noise gate (r9 verdict item 1): BENCH_r09 overstated 8 queries
+    2-7x because the min-of-3 back-to-back runs all sat inside one
+    hypervisor CPU-steal burst. Any query whose wall exceeds 2x its
+    cross-round historical min is re-measured at the END of the suite
+    (temporal separation from the burst), preceded by a calibration
+    re-check. The final number is min(first pass, re-pass); a query is
+    reported noise_flagged only when the re-pass came in materially
+    lower (<0.75x) — a confirmed-slow re-pass is a real regression and
+    the slow number stands. Streaming/pipeline benches re-run through
+    their own harnesses."""
+    suspects = [
+        n
+        for n, v in times.items()
+        if n in hist and v > max(2.0 * hist[n], hist[n] + 0.25)
+    ]
+    if not suspects:
+        return [], None
+    cal2 = _calibration(spark)
+    flagged = []
+    special = {
+        "bearing_pipeline": lambda: _bench_bearing_pipeline(spark),
+        "bearing_stream": lambda: _bench_bearing_stream(spark),
+        "curation_stream": lambda: _bench_curation_stream(spark, sf_dir),
+    }
+    for name in suspects:
+        if name in special:
+            wall2, comp2 = special[name](), None
+        else:
+            wall2, comp2 = _measure_query(spark, name, sf_dir)
+        if wall2 < 0.75 * times[name]:
+            flagged.append(name)
+        if wall2 < times[name]:
+            times[name] = wall2
+            if comp2 is not None and comp2 < compile_times.get(name, 1e9):
+                compile_times[name] = comp2
+    return flagged, cal2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -338,20 +436,10 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # fixed-work host-speed calibration (r5 verdict item 2): a pure-JVM
-    # codegen loop over range() — no I/O, no Python, no shuffle — whose
-    # time tracks ONLY how fast this host is running today. Cross-round
-    # query deltas can be normalized against it before being read as
-    # regressions (this box shows bursty hypervisor CPU steal that has
-    # inflated whole rounds ~40-90%).
-    cal_runs = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(0, 500_000_000, 1, 32).selectExpr(
-            "sum(id * 2 + 1) AS s"
-        ).write.mode("overwrite").format("noop").save()
-        cal_runs.append(time.time() - t0)
-    calibration = round(min(cal_runs), 3)
+    # fixed-work host-speed calibration (r5 verdict item 2); a second
+    # check runs before the noise re-pass so mid-suite steal bursts are
+    # visible, not just session-start state.
+    calibration = _calibration(spark)
 
     # min of 3 runs per query: run 1 often pays query-shape-specific
     # warmup (codegen, exchange reuse), and this host shows bursty
@@ -370,20 +458,7 @@ def main() -> None:
     times: dict[str, float] = {}
     compile_times: dict[str, float] = {}
     for name in HEADLINE:
-        spec = REGISTRY[name]
-        runs: list[float] = []
-        compile_runs: list[float] = []
-        for _ in range(3):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            df.schema  # force analysis into the compile bucket
-            t1 = time.time()
-            df.write.mode("overwrite").format("noop").save()
-            t2 = time.time()
-            compile_runs.append(t1 - t0)
-            runs.append(t2 - t0)
-        times[name] = round(min(runs), 3)
-        compile_times[name] = round(min(compile_runs), 3)
+        times[name], compile_times[name] = _measure_query(spark, name, sf_dir)
 
     # flagship scan→window→score→threshold→crossing chain on the
     # reference's own file layout (not a testdata-table query)
@@ -392,6 +467,18 @@ def main() -> None:
     times["bearing_stream"] = _bench_bearing_stream(spark)
     # streaming curation: stateless cascade + watermark-bounded dedup
     times["curation_stream"] = _bench_curation_stream(spark, sf_dir)
+
+    # noise gate: re-measure suite-time outliers vs cross-round history
+    # (only at the driver's sf — local sf0.01 iteration runs would
+    # otherwise pollute the historical minima)
+    hist = _load_history() if sf == 0.1 else {}
+    noise_flagged, cal2 = _noise_repass(
+        spark, sf_dir, times, compile_times, hist
+    )
+    if sf == 0.1:
+        for n, v in times.items():
+            hist[n] = min(hist.get(n, float("inf")), v)
+        _save_history(hist)
 
     total = round(sum(times.values()), 3)
     # Full detail (per-query compile split, calibration) goes to a
@@ -407,6 +494,8 @@ def main() -> None:
         "compile_sec": compile_times,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_repass_sec": cal2,
+        "noise_flagged": noise_flagged,
     }
     with open(
         os.path.join(
@@ -415,10 +504,12 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(detail, fh, indent=1)
-    print(_contract_line(total, times, sf, calibration))
+    print(_contract_line(total, times, sf, calibration, noise_flagged))
 
 
-def _contract_line(total, times, sf, calibration, budget=1900) -> str:
+def _contract_line(
+    total, times, sf, calibration, noise_flagged=(), budget=1900
+) -> str:
     """ONE JSON line <= budget chars. If the per-query map would blow
     the budget, keep the largest-time queries (the ones worth reading)
     and report how many were elided; BENCH_DETAIL.json always has all
@@ -432,6 +523,7 @@ def _contract_line(total, times, sf, calibration, budget=1900) -> str:
         "queries": times,
         "sf": sf,
         "calibration_sec": calibration,
+        "noise_flagged": list(noise_flagged),
     }
     line = json.dumps(base, separators=(",", ":"))
     if len(line) <= budget:
