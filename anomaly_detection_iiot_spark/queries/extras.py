@@ -2083,68 +2083,59 @@ ORDER BY user_id, event_id
 # --- O14: equal-frequency binning (quantile discretizer) ---------------------
 
 def o14_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib-QuantileDiscretizer-shaped feature binning: decile edges
-    of l_extendedprice from ONE exact percentile aggregate (at 100 TB
-    the same query swaps in percentile_approx — the a23 contract
-    family covers that trade), then a bin audit proving the bins are
-    near-equal. Cross-engine determinism: edges are interpolated from
-    2-decimal prices (finite decimals) and ROUNDED TO 6 before any
-    comparison, so both engines assign boundary rows identically; the
-    assignment itself is a branchless sum of edge-crossings (the
-    width_bucket shape without the function-name divergence)."""
+    """MLlib-QuantileDiscretizer-shaped feature binning under the o2
+    rank-validation contract (r9 verdict item 2): decile edges come
+    from ``percentile_approx`` (GK sketch, accuracy=10000 — bounded
+    per-partition state, mergeable), NOT exact ``percentile`` (whose
+    buffer holds every value: a single-task blow-up at 100 TB). GK
+    edges aren't bitwise portable to DuckDB, so instead of hashing
+    edge-dependent bin stats the query PROVES the discretizer did its
+    job: each of the 10 bins must hold a share of rows within
+    eps=0.005 of 0.10 (GK rank error <= 1e-4; l_extendedprice has
+    2-decimal ties, hence the wider eps). The oracle pins all 10
+    flags TRUE and recomputes the exact total row count. Both passes
+    are fixed-memory single scans; the 9 edges collected are the
+    audited k-row broadcast-scalar pattern."""
     li = t(spark, sf_dir, "lineitem")
     pcts = [i / 10.0 for i in range(1, 10)]
-    edges_row = li.agg(
-        *[
-            F.round(
-                F.percentile("l_extendedprice", F.lit(p)), 6
-            ).alias(f"e{i}")
-            for i, p in enumerate(pcts, 1)
-        ]
-    )
-    e = edges_row.collect()[0]
-    edges = [float(e[f"e{i}"]) for i in range(1, 10)]
+    est = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(p) for p in pcts]), F.lit(10000)
+        ).alias("edges"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    edges = [float(v) for v in est["edges"]]
+    total = int(est["total"])
     bin_expr = sum(
         (F.col("l_extendedprice") > F.lit(v)).cast("int") for v in edges
     )
     return (
-        li.select(bin_expr.alias("bin"), "l_extendedprice")
+        li.select(bin_expr.alias("bin"))
         .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("l_extendedprice"), 2).alias("lo"),
-            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.lit(total).cast("bigint").alias("total"),
+            (
+                F.abs(F.col("n") / F.lit(float(total)) - F.lit(0.1))
+                <= F.lit(0.005)
+            ).alias("share_ok"),
         )
         .orderBy("bin")
-        .select(F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
     )
 
 
 O14_SQL = """
-WITH edges AS (
-  SELECT {edge_cols}
-  FROM lineitem
-), binned AS (
-  SELECT l_extendedprice,
-         ({crossings}) AS bin
-  FROM lineitem CROSS JOIN edges
-)
-SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
-       round(min(l_extendedprice), 2) AS lo,
-       round(max(l_extendedprice), 2) AS hi
-FROM binned
-GROUP BY bin
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       (SELECT count(*) FROM lineitem) AS total,
+       TRUE AS share_ok
+FROM (
+  SELECT 0 AS bin UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+  UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
+) b
 ORDER BY bin
-""".format(
-    edge_cols=", ".join(
-        f"round(quantile_cont(l_extendedprice, {i / 10.0}), 6) AS e{i}"
-        for i in range(1, 10)
-    ),
-    crossings=" + ".join(
-        f"CASE WHEN l_extendedprice > e{i} THEN 1 ELSE 0 END"
-        for i in range(1, 10)
-    ),
-)
+"""
 
 
 # --- A28: A/B experiment analysis (hash arms + Welch t) ----------------------

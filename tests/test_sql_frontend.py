@@ -214,7 +214,7 @@ ANSI_QUERIES = [
     "s14_upsert_roundtrip",  # pure-ANSI CASE/WHERE oracle
     "s15_pyds_roundtrip",
     "a28_ab_test",
-    "o14_equal_freq_binning",  # rides the quantile_cont rename
+    "o14_equal_freq_binning",  # r10: pure-ANSI rank-validation contract
     "j10_asof_tolerance",  # union-sentinel as-of + epoch_us freshness
     "w21_rolling_slope",
     "s16_incremental_agg",
