@@ -9,11 +9,16 @@ trained coarse quantizers).
 
 Execution model (the same one Spark MLlib KMeans uses):
 - centroids are TINY by definition → they live on the driver between
-  iterations; each iteration is ONE distributed pass over the corpus
-  (assignment folded into a narrow literal projection, zero shuffle;
-  see ``similarity.ivf_assign`` for why literals beat a join) followed
-  by ONE groupBy(bucket) with 64 avg() aggregates (single exchange on
-  <=k keys, map-side partial aggregation does nearly all the work).
+  iterations; each TRAINING iteration is ONE fused Arrow pass over the
+  corpus (``lloyd_update_stats``: per-batch dense-matmul assignment
+  folded straight into per-bucket (count, sum) partials) followed by a
+  <= tasks*k*(dim+1)-row exchange — MLlib's mapPartitions +
+  treeAggregate shape. Corpora under ``LOCAL_TRAIN_ROWS`` skip the
+  distributed loop entirely: one bounded collect, numpy Lloyd on the
+  driver, identical math (the broadcast-join-threshold principle).
+- SERVING assignment (``assign_centroids``) dispatches literal-fold
+  (zero Python, oracle-exact fold order; see ``similarity.ivf_assign``
+  for why literals beat a join) vs Arrow matmul on codebook size.
 - the corpus is persisted across iterations by the caller if it is
   worth it (at 100 TB: MEMORY_AND_DISK on the projected 2-column
   frame, ~pointer-free Tungsten rows).
@@ -180,63 +185,175 @@ def kmeans_train(
     guard; empty centroids can win members again in later rounds)."""
     if on_empty not in ("shrink", "keep"):
         raise ValueError(f"on_empty must be 'shrink' or 'keep': {on_empty!r}")
-    # Small-corpus loops are bounded by per-iteration driver/scheduler
-    # overhead (the t16/d8 finding): AQE per-stage replanning buys
-    # nothing on a <=k-key exchange over a corpus that fits one
-    # partition. Gate it off (restored after) below ~64k vectors; a
-    # 100 TB corpus keeps AQE for the assignment scan's skew handling.
-    spark = corpus.sparkSession
-    n_vecs = corpus.count()
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    small = n_vecs <= 65536
-    if small:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # the only exchange in the loop carries <= k keys
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, min(int(old_sp), k))))
-    init = (
-        corpus.filter(F.col(id_col) < k)
-        .select(
-            F.col(id_col).cast("long"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    # Size-dispatched training (r9 verdict item 4 — the same principle
+    # as Catalyst's broadcast-join threshold): below LOCAL_TRAIN_ROWS
+    # vectors the whole problem fits the driver (64k x dim64 x 8B =
+    # 32 MB, the audited bounded-collect class), so ONE collect + a
+    # numpy Lloyd loop replaces 2 distributed jobs per iteration whose
+    # wall was ~90% task-launch + Python-worker round-trip overhead
+    # (re-profiled r10: ~0.3 s/iteration for 2k rows of real work).
+    # Above the gate, each iteration is lloyd_update_stats — one
+    # fused assignment+partial-stats Arrow pass with a <= tasks*k*
+    # (dim+1)-row exchange (the Spark MLlib KMeans shape). Both paths
+    # run the SAME update math (numpy matmul, min-id tie-break,
+    # sum/n quantized by _round9), asserted equal in tests.
+    import numpy as np
+
+    # ONE size probe instead of count()+collect(): CollectLimit runs
+    # incremental partial jobs and stops as soon as it has
+    # LOCAL_TRAIN_ROWS+1 rows, so on a 100 TB corpus this costs one
+    # ~32 MB bounded read, and on a small corpus the probe IS the
+    # training data — no second scan.
+    probe = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
         )
+        .limit(LOCAL_TRAIN_ROWS + 1)
         .collect()
     )
-    centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
-    try:
-        centroids = _lloyd_rounds(
-            corpus, centroids, iters, dim, vec_col, on_empty
+    if len(probe) <= LOCAL_TRAIN_ROWS:
+        rows = probe
+        V = np.array([r["_v"] for r in rows], dtype=np.float64)
+        centroids = sorted(
+            (int(r["_id"]), [float(x) for x in r["_v"]])
+            for r in rows
+            if r["_id"] < k
         )
-    finally:
-        if small:
-            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        stats_fn = lambda cents: _local_stats(V, cents)  # noqa: E731
+    else:
+        init = (
+            corpus.filter(F.col(id_col) < k)
+            .select(
+                F.col(id_col).cast("long"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            )
+            .collect()
+        )
+        centroids = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in init
+        )
+        stats_fn = lambda cents: lloyd_update_stats(  # noqa: E731
+            corpus, cents, vec_col=vec_col
+        )
+    centroids = _lloyd_rounds(stats_fn, centroids, iters, on_empty)
     return centroids, assign_centroids(corpus, centroids, vec_col=vec_col)
 
 
-def _lloyd_rounds(corpus, centroids, iters, dim, vec_col, on_empty):
-    # The dim update aggregates are centroid-independent — build the
-    # Column objects ONCE, outside the round loop, and as server-parsed
-    # expression strings (the s6/t16 pattern: one py4j call per column
-    # instead of ~6 for the col/getItem/cast/avg/round/alias chain;
-    # measured 1.17 s -> ~0.05 s construction at dim=64, and it no
-    # longer multiplies by the iteration count).
-    aggs = [
-        F.expr(
-            f"round(avg(cast(`{vec_col}`[{i}] AS double)), 9) AS c{i}"
+# Below this many corpus vectors, Lloyd iterations run on the driver
+# against one bounded collect (<= 32 MB at dim 64) instead of paying
+# two distributed-job latencies per iteration; see kmeans_train.
+LOCAL_TRAIN_ROWS = 65536
+
+
+def _local_stats(V, centroids: list) -> dict:
+    """Driver-local twin of ``lloyd_update_stats`` over a collected
+    corpus matrix: identical assignment decision (sorted ids, argmin
+    first-minimum => min-id tie-break) and identical (n, sums) output."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    ids = [int(i) for i, _ in cents]
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    c_sq = (C * C).sum(axis=1)
+    d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+    win = d2.argmin(axis=1)
+    out = {}
+    for j in np.unique(win):
+        mask = win == j
+        out[ids[int(j)]] = (
+            int(mask.sum()),
+            [float(s) for s in V[mask].sum(axis=0)],
         )
-        for i in range(dim)
-    ]
+    return out
+
+
+def _round9(x: float) -> float:
+    """Spark SQL round(x, 9) exactly: BigDecimal(double) -> setScale(9,
+    HALF_UP) -> double. Python's round() is banker's; Decimal(float) is
+    the exact binary expansion, so this matches the JVM bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+
+def lloyd_update_stats(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> dict:
+    """ONE distributed pass per Lloyd iteration — the Spark MLlib
+    KMeans shape (mapPartitions + tiny reduce): each Arrow batch does
+    nearest-centroid assignment as a dense matmul and folds it straight
+    into per-bucket partial (count, sum-vector) stats, so the exchange
+    carries <= tasks x k x (dim+1) scalar rows instead of the corpus.
+    Replaces the r8/r9 per-iteration literal-fold + 64-avg groupBy,
+    whose interpreted HOF (rows x k x dim boxed lambda evals) was ~90%
+    of s13's wall at bench scale and whose exchange carried the whole
+    corpus at 100 TB. Returns {bucket_id: (n, [coordinate sums])}.
+
+    Ties break to the smallest centroid id (ids sorted, argmin takes
+    the first minimum) — the same integer decision as the literal
+    fold; distances differ from the fold only by fp summation order
+    (~1e-15 relative), absorbed by the 9-decimal centroid quantization
+    both engines apply between iterations."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    ids = [int(i) for i, _ in cents]
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    c_sq = (C * C).sum(axis=1)
+    dim = C.shape[1]
+
+    def batches(it):
+        n_acc = {}
+        s_acc = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+            win = d2.argmin(axis=1)
+            for j in np.unique(win):
+                mask = win == j
+                b = ids[int(j)]
+                n_acc[b] = n_acc.get(b, 0) + int(mask.sum())
+                s = V[mask].sum(axis=0)
+                s_acc[b] = s_acc[b] + s if b in s_acc else s
+        rows = []
+        for b in sorted(n_acc):
+            rows.append((b, -1, float(n_acc[b])))
+            rows.extend((b, p, float(s_acc[b][p])) for p in range(dim))
+        yield pd.DataFrame(rows, columns=["bucket", "pos", "s"])
+
+    parts = (
+        corpus.select(vec_col)
+        .mapInPandas(batches, "bucket long, pos int, s double")
+        .groupBy("bucket", "pos")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    out: dict = {}
+    for r in parts:
+        n, sums = out.setdefault(int(r["bucket"]), [0, [0.0] * dim])
+        if r["pos"] < 0:
+            out[int(r["bucket"])][0] = int(r["s"])
+        else:
+            sums[int(r["pos"])] = float(r["s"])
+    return {b: (n, sums) for b, (n, sums) in out.items()}
+
+
+def _lloyd_rounds(stats_fn, centroids, iters, on_empty):
     for it in range(iters):
-        stats = (
-            assign_centroids(corpus, centroids, vec_col=vec_col)
-            .groupBy("bucket")
-            .agg(*aggs)
-            .collect()
-        )
+        stats = stats_fn(centroids)
         updated = sorted(
-            (int(r["bucket"]), [float(r[f"c{i}"]) for i in range(dim)])
-            for r in stats
+            (b, [_round9(s / n) for s in sums])
+            for b, (n, sums) in stats.items()
         )
         if len(updated) < len(centroids):
             got = {cid for cid, _ in updated}

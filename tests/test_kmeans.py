@@ -141,3 +141,26 @@ def test_assign_dispatch_threshold(spark, emb):
     plan_big = kmeans.assign_centroids(df, big)._jdf.queryExecution().toString()
     assert "MapInPandas" not in plan_small
     assert "MapInPandas" in plan_big
+
+
+def test_distributed_stats_agree_with_local(spark, emb, monkeypatch):
+    """The two training paths (driver-local numpy below LOCAL_TRAIN_ROWS,
+    fused Arrow stats pass above) produce identical per-bucket (n, sums)
+    for one update, and identical final centroids for a full train."""
+    df, ids, X = emb
+    cents = [
+        (int(i), [float(x) for x in X[list(ids).index(i)]]) for i in range(4)
+    ]
+    local = kmeans._local_stats(X, cents)
+    dist = kmeans.lloyd_update_stats(df, cents)
+    assert set(local) == set(dist)
+    for b in local:
+        assert local[b][0] == dist[b][0], b
+        np.testing.assert_allclose(local[b][1], dist[b][1], rtol=1e-12)
+
+    cents_small, _ = kmeans.kmeans_train(df, k=4, iters=3, dim=64)
+    monkeypatch.setattr(kmeans, "LOCAL_TRAIN_ROWS", 0)
+    cents_dist, _ = kmeans.kmeans_train(df, k=4, iters=3, dim=64)
+    assert [c for c, _ in cents_small] == [c for c, _ in cents_dist]
+    for (_, a), (_, b) in zip(cents_small, cents_dist):
+        np.testing.assert_allclose(a, b, atol=1e-9)
