@@ -30,6 +30,8 @@ Semantics (pinned by tests + the s14 round-trip oracle):
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -45,14 +47,20 @@ def write_base(df: DataFrame, path: str) -> None:
     )
 
 
-def append_delta(
-    df: DataFrame, path: str, version: int, deletes: DataFrame | None = None
-) -> None:
-    """Append one CDC batch as an immutable version partition: ``df``
-    rows upsert their keys, ``deletes`` rows (key columns only)
-    tombstone theirs. O(|delta|) — the base is never touched."""
-    if version <= 0:
-        raise ValueError(f"delta versions start at 1: {version}")
+def _recover_compaction(path: str) -> None:
+    """Crash recovery for ``compact``'s two-rename swap: if the table
+    directory is missing but `.compact.old` exists, the process died
+    inside the swap window — restore the pre-compaction table. Called
+    at every entry point so readers/writers self-heal instead of
+    failing on a missing path. A stale `.compact.tmp` (crash before
+    the swap) is inert and removed by the next compact()."""
+    old = path + ".compact.old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
+def _as_batch(df: DataFrame, deletes: DataFrame | None) -> DataFrame:
+    """Upserts + tombstones as one write-ready frame."""
     batch = df.withColumn(DEL_COL, F.lit(False))
     if deletes is not None:
         # tombstones carry the key columns; remaining user columns are
@@ -63,8 +71,102 @@ def append_delta(
             *[F.lit(None).cast(dict(df.dtypes)[c]).alias(c) for c in missing],
         ).select(df.columns)
         batch = batch.unionByName(tomb.withColumn(DEL_COL, F.lit(True)))
-    batch.write.mode("overwrite").parquet(
-        os.path.join(path, f"{V_COL}={version}")
+    return batch
+
+
+def _write_staged(batch: DataFrame, path: str) -> str:
+    """Write a batch to a hidden staging dir under the table root
+    (dot-prefixed => invisible to Spark's file listing) and return it.
+    The final version directory only ever appears via an atomic
+    rename, so readers never observe a half-written partition and a
+    crash mid-write leaves only inert staging garbage."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    batch.write.mode("overwrite").parquet(staging)
+    return staging
+
+
+def append_delta(
+    df: DataFrame,
+    path: str,
+    version: int,
+    deletes: DataFrame | None = None,
+    overwrite: bool = False,
+) -> None:
+    """Append one CDC batch as an immutable version partition at an
+    EXPLICIT version: ``df`` rows upsert their keys, ``deletes`` rows
+    (key columns only) tombstone theirs. O(|delta|) — the base is
+    never touched. The partition is staged and atomically renamed into
+    place; if `_v=version` already exists the call FAILS LOUDLY
+    (r9 verdict item 5: two writers picking the same version used to
+    silently interleave). Pass ``overwrite=True`` only when the caller
+    OWNS the version by construction — the streaming CDC sink does,
+    because foreachBatch replay re-runs the same batch_id and must
+    idempotently rewrite the same partition. Writers without such an
+    ownership scheme should use ``commit_delta`` (OCC allocation)."""
+    if version <= 0:
+        raise ValueError(f"delta versions start at 1: {version}")
+    _recover_compaction(path)
+    dst = os.path.join(path, f"{V_COL}={version}")
+    if os.path.exists(dst) and not overwrite:
+        raise FileExistsError(
+            f"version partition already exists: {dst} — concurrent or "
+            "replayed writer? Use commit_delta() for OCC version "
+            "allocation, or overwrite=True if this writer owns the "
+            "version (e.g. a streaming replay of its own batch id)."
+        )
+    staging = _write_staged(_as_batch(df, deletes), path)
+    if overwrite:
+        shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.rename(staging, dst)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise FileExistsError(
+            f"lost the race for {dst}: another writer committed this "
+            "version first. Use commit_delta() for OCC allocation."
+        )
+
+
+def table_versions(path: str) -> list[int]:
+    """Committed version numbers, ascending (directory listing only)."""
+    _recover_compaction(path)
+    pre = f"{V_COL}="
+    return sorted(
+        int(d[len(pre):])
+        for d in os.listdir(path)
+        if d.startswith(pre) and d[len(pre):].isdigit()
+    )
+
+
+def commit_delta(
+    df: DataFrame,
+    path: str,
+    deletes: DataFrame | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic-concurrency append (the Delta/Iceberg commit
+    protocol, scoped to a directory table): stage the batch once, then
+    claim the next free version by ATOMIC RENAME — rename fails if a
+    concurrent writer created `_v=N` first (the OS is the arbiter), in
+    which case re-list and retry at N+1. Returns the committed
+    version. Two concurrent committers therefore serialize into
+    distinct consecutive versions instead of silently interleaving one
+    partition; last-writer-wins order across them is decided by the
+    version numbers the OS handed out."""
+    _recover_compaction(path)
+    staging = _write_staged(_as_batch(df, deletes), path)
+    for _ in range(max_retries):
+        v = (table_versions(path) or [0])[-1] + 1
+        dst = os.path.join(path, f"{V_COL}={v}")
+        try:
+            os.rename(staging, dst)
+            return v
+        except OSError:
+            continue  # lost the race — re-list and try the next slot
+    shutil.rmtree(staging, ignore_errors=True)
+    raise RuntimeError(
+        f"commit_delta: gave up after {max_retries} version-allocation "
+        f"conflicts on {path} (pathological writer contention)"
     )
 
 
@@ -91,6 +193,7 @@ def read_merged(
     from older versions surface NULL there, the lakehouse-standard
     semantics. Off by default — schema union costs a footer read per
     file and steady-state tables don't need it."""
+    _recover_compaction(path)
     raw = (
         spark.read.option("basePath", path)
         .option("mergeSchema", "true")
@@ -123,17 +226,26 @@ def read_changes(
     a caught-up consumer reads only the new deltas, never the table.
     (Compaction resets versions; consumers checkpoint against the
     pre-compaction table like any log-compacted source.)"""
+    _recover_compaction(path)
     raw = spark.read.option("basePath", path).parquet(path)
     return raw.filter(F.col(V_COL) > since_version)
 
 
 def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     """Rewrite the resolved view as a fresh `_v=0` base and drop the
-    delta partitions — bounds future merge-on-read cost. Writes the
-    new base to a sibling temp dir first, then swaps, so a crashed
-    compaction never leaves a half-table."""
-    import shutil
-
+    delta partitions — bounds future merge-on-read cost. The new base
+    is fully written to a sibling temp dir first, then swapped in via
+    two renames. The swap is NOT atomic as a whole: between
+    rename(path, .compact.old) and rename(.compact.tmp, path) there is
+    a window where no directory exists at ``path`` — a concurrent
+    reader in that window fails its file listing, and a crash inside
+    it leaves the table under `.compact.old`. Every entry point runs
+    ``_recover_compaction`` first, so the next reader/writer/compactor
+    restores the table automatically; a stale `.compact.tmp` from a
+    pre-swap crash is overwritten here. No data is ever lost — the
+    half-open states are (tmp incomplete, table intact) and (table
+    parked at .compact.old, tmp complete), both recoverable."""
+    _recover_compaction(path)
     merged = read_merged(spark, path, key_cols)
     tmp = path + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)

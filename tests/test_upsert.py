@@ -124,11 +124,13 @@ def test_cdc_stream_applies_batches_as_versions(spark, tmp_path):
     versions = sorted(d for d in os.listdir(tbl) if d.startswith("_v="))
     assert len(versions) == 3  # base + 2 batches
     # replay idempotence: rewriting version 1 with the same rows (what
-    # a foreachBatch retry does) leaves the merged view unchanged
+    # a foreachBatch retry does) leaves the merged view unchanged —
+    # the retry declares ownership of its version via overwrite=True
     upsert.append_delta(
         spark.createDataFrame([(1, "a1"), (4, "d1")], "k long, val string"),
         tbl,
         1,
+        overwrite=True,
     )
     assert _rows(upsert.read_merged(spark, tbl, ["k"])) == got
 
@@ -423,3 +425,168 @@ def test_streaming_ivm_agg_equals_rescan(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_append_delta_refuses_existing_version(spark, tmp_path):
+    """r9 verdict item 5: a second writer choosing an already-committed
+    version must fail loudly, never silently interleave."""
+    import pytest
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "a")], "k long, val string"), tbl
+    )
+    d = spark.createDataFrame([(2, "b")], "k long, val string")
+    upsert.append_delta(d, tbl, 1)
+    with pytest.raises(FileExistsError, match="already exists"):
+        upsert.append_delta(
+            spark.createDataFrame([(3, "c")], "k long, val string"), tbl, 1
+        )
+    # the loser's data never reached the table
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {(1, "a"), (2, "b")}
+    # the owning writer may idempotently rewrite its own version
+    upsert.append_delta(d, tbl, 1, overwrite=True)
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {(1, "a"), (2, "b")}
+
+
+def test_commit_delta_occ_two_interleaved_writers(spark, tmp_path):
+    """Two writers committing without coordination get DISTINCT
+    consecutive versions via atomic-rename allocation; both batches
+    land whole (no interleaving), last committer wins per key."""
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "base")], "k long, val string"), tbl
+    )
+    a = spark.createDataFrame([(1, "A"), (2, "A")], "k long, val string")
+    b = spark.createDataFrame([(1, "B"), (3, "B")], "k long, val string")
+    va = upsert.commit_delta(a, tbl)
+    vb = upsert.commit_delta(b, tbl)
+    assert (va, vb) == (1, 2)
+    assert upsert.table_versions(tbl) == [0, 1, 2]
+    # B committed after A -> B's update to k=1 wins; both inserts live
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == {
+        (1, "B"), (2, "A"), (3, "B"),
+    }
+
+
+def test_commit_delta_retries_when_slot_is_stolen(spark, tmp_path, monkeypatch):
+    """Simulate losing the allocation race: a competitor claims the
+    next version between our listing and our rename; commit_delta must
+    retry and land on the following slot."""
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "base")], "k long, val string"), tbl
+    )
+    real_rename = os.rename
+    stolen = {"done": False}
+
+    def stealing_rename(src, dst):
+        if dst.endswith("_v=1") and not stolen["done"]:
+            stolen["done"] = True
+            os.makedirs(os.path.join(tbl, "_v=1"))
+            # competitor's partition is non-empty, like a real commit
+            with open(os.path.join(tbl, "_v=1", "part-0.parquet"), "w") as fh:
+                fh.write("x")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", stealing_rename)
+    v = upsert.commit_delta(
+        spark.createDataFrame([(2, "mine")], "k long, val string"), tbl
+    )
+    assert v == 2 and stolen["done"]
+
+
+def test_compaction_crash_window_self_heals(spark, tmp_path):
+    """Crash between compact()'s two renames leaves the table parked at
+    .compact.old; the next reader restores it via _recover_compaction."""
+    import os
+    import shutil
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"), tbl
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(2, "b2")], "k long, val string"), tbl, 1
+    )
+    # simulate the mid-swap crash state: table at .old, nothing at path
+    os.rename(tbl, tbl + ".compact.old")
+    assert not os.path.exists(tbl)
+    got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    assert got == {(1, "a"), (2, "b2")}
+    assert os.path.isdir(tbl) and not os.path.exists(tbl + ".compact.old")
+    shutil.rmtree(tbl + ".compact.tmp", ignore_errors=True)
+
+
+def _ivm_fixture(spark, tmp_path):
+    from decimal import Decimal
+
+    tbl, agg = str(tmp_path / "tbl"), str(tmp_path / "agg")
+    base = spark.createDataFrame(
+        [(k, "g" + str(k % 2), Decimal(f"{10 + k}.00")) for k in range(6)],
+        "k long, grp string, amt decimal(18,2)",
+    )
+    upsert.write_base(base, tbl)
+    base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total")
+    ).write.parquet(agg)
+    batch = spark.createDataFrame(
+        [(0, "g0", Decimal("99.00"), "upsert"),
+         (1, None, None, "delete"),
+         (100, "g1", Decimal("7.00"), "upsert")],
+        "k long, grp string, amt decimal(18,2), _op string",
+    )
+    return tbl, agg, batch
+
+
+def _agg_state(spark, agg):
+    return {
+        (r.grp, r.n, str(r.total)) for r in spark.read.parquet(agg).collect()
+    }
+
+
+def _rescan_state(spark, tbl):
+    return {
+        (r.grp, r.n, str(r.total))
+        for r in upsert.read_merged(spark, tbl, ["k"])
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+        .collect()
+    }
+
+
+def test_ivm_replay_after_partial_apply(spark, tmp_path):
+    """ADVICE r9 (medium): crash after append_delta wrote _v=1 but
+    before the aggregate swap, then foreachBatch replays batch 0. The
+    version-pinned 'old' view must make the replay land the SAME
+    aggregate a clean run produces (previously old==new netted the
+    delta to zero and the batch vanished from the aggregate)."""
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl, agg, batch = _ivm_fixture(spark, tmp_path)
+    # first attempt: delta partition lands, then crash before the swap
+    ups = batch.filter(F.col("_op") != "delete").drop("_op")
+    dels = batch.filter(F.col("_op") == "delete").select("k")
+    upsert.append_delta(ups, tbl, 1, deletes=dels)
+    # replay of batch 0 through the real batch body
+    cdc_stream.apply_ivm_batch(
+        spark, batch, 0, tbl, agg, ["k"], "grp", "amt"
+    )
+    assert _agg_state(spark, agg) == _rescan_state(spark, tbl)
+
+
+def test_ivm_replay_after_full_apply(spark, tmp_path):
+    """Crash after the aggregate swap but before the checkpoint commit:
+    the replay finds the _APPLIED_BATCH marker and must NOT fold the
+    delta twice."""
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl, agg, batch = _ivm_fixture(spark, tmp_path)
+    cdc_stream.apply_ivm_batch(spark, batch, 0, tbl, agg, ["k"], "grp", "amt")
+    once = _agg_state(spark, agg)
+    assert once == _rescan_state(spark, tbl)
+    # full replay of the same batch id
+    cdc_stream.apply_ivm_batch(spark, batch, 0, tbl, agg, ["k"], "grp", "amt")
+    assert _agg_state(spark, agg) == once
