@@ -228,21 +228,21 @@ ANSI_QUERIES = [
     # mm1/mm2 converged via the 1-arg encode -> encode(s,'UTF-8') rule
     "mm1_media_manifest",
     "mm2_frame_sample",
+    # r10: m6 converged by rewriting the oracle as a RELATIONAL forward
+    # pass (weights as long-form VALUES tables + join/group-by per
+    # dense layer) — the literal-fold form hung Catalyst analysis
+    "m6_reconstruction_error",
 ]
 
-# The 2 declared-divergent oracles and WHY each cannot share one text
+# The 1 declared-divergent oracle and WHY it cannot share one text
 # (kept current so the judge can audit the boundary):
 #   d8                 - DuckDB WITH RECURSIVE uses UNION (dedup);
 #                        Spark recursive CTEs don't support UNION yet
-#                        (re-verified on 4.1.2 this round:
+#                        (re-verified on 4.1.2 in r9:
 #                        UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)
-#   m6                 - the transpiled literal forward pass (3 dense
-#                        layers of flattened weight-matrix literals
-#                        subscripted inside nested lambdas) hangs
-#                        Catalyst analysis/optimization (>7 min at
-#                        sf0.001; every sibling construct converges)
-# (mm1/mm2 converged in late r9 via the 1-arg encode rewrite; w16-w18
-# and the o10/t1/w15 lambda family converged earlier in r9)
+# (m6 converged in r10 via the relational forward pass; mm1/mm2 in
+# late r9 via the 1-arg encode rewrite; w16-w18 and the o10/t1/w15
+# lambda family earlier in r9)
 
 
 def _key(row):
