@@ -285,6 +285,15 @@ def pagerank(
     max-|delta| — one 1-row collect per round, the m9/s13 driver-scalar
     shape — so early convergence is deterministic, never epsilon-on-doubles.
 
+    Dangling nodes (ADVICE r9): ranks cover the FULL node set
+    (src ∪ dst), and each round the mass sitting on sink nodes (no
+    out-edges) is redistributed uniformly — share = dangling_total
+    div |nodes|, an exact integer division folded into the damped
+    update via a broadcast 1-row cross join (no per-round collect).
+    On a graph with no sinks (t17's undirected word graph) the
+    dangling aggregate is empty and the update reduces to the plain
+    damped sum, so existing results are unchanged.
+
     Returns (node, r_int) — callers scale by 1e-9 for display."""
     w = (
         F.col(weight_col)
@@ -299,9 +308,14 @@ def pagerank(
     outw = (
         e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     ).localCheckpoint(eager=True)
-    ranks = outw.select(
-        F.col("src").alias("node"),
-        F.lit(1_000_000_000).cast("long").alias("r_int"),
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    ranks = nodes.select(
+        "node", F.lit(1_000_000_000).cast("long").alias("r_int")
     )
     prev = ranks
     for i in range(iters):
@@ -318,14 +332,32 @@ def pagerank(
                 ).alias("x")
             )
         )
-        ranks = outw.join(contrib, outw.src == contrib.dst, "left").select(
-            F.col("src").alias("node"),
-            (
-                F.lit(150_000_000).cast("long")
-                + F.floor(
-                    F.lit(0.85) * F.coalesce("x", F.lit(0)).cast("double")
-                ).cast("long")
-            ).alias("r_int"),
+        # mass parked on sink nodes this round, spread as an exact
+        # integer per-node share (empty aggregate -> 0 on sink-free
+        # graphs); 1-row frame, broadcast into the update
+        dangling_share = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(
+                F.expr(
+                    f"coalesce(sum(r_int), 0L) DIV {int(n_nodes)}L"
+                ).alias("dang")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling_share))
+            .select(
+                "node",
+                (
+                    F.lit(150_000_000).cast("long")
+                    + F.floor(
+                        F.lit(0.85)
+                        * (
+                            F.coalesce("x", F.lit(0)) + F.col("dang")
+                        ).cast("double")
+                    ).cast("long")
+                ).alias("r_int"),
+            )
         )
         if tol_units is not None or (
             (i + 1) % checkpoint_every == 0 and i + 1 < iters

@@ -340,3 +340,46 @@ def test_pagerank_converges_early_and_matches_capped_run(spark):
         r.node: r.r_int for r in graph.pagerank(df, iters=50).collect()
     }
     assert fixed == capped
+
+
+def test_pagerank_dangling_nodes_receive_and_redistribute(spark):
+    """ADVICE r9: dst-only (sink) nodes must get rank rows, and their
+    mass must redistribute uniformly instead of silently leaking.
+    Exact-integer comparison against a pure-Python mirror of the same
+    contract (share = dangling_total DIV n, folded into the damped
+    update)."""
+    import math
+
+    from anomaly_detection_iiot_spark.operators import graph
+
+    # d is a pure sink; e feeds a and has no inbound edges
+    edges = [
+        ("a", "b", 2), ("b", "a", 1), ("a", "d", 1),
+        ("b", "d", 3), ("e", "a", 4),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r.node: r.r_int
+        for r in graph.pagerank(df, iters=7, weight_col="w").collect()
+    }
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {n: 1_000_000_000 for n in nodes}
+    for _ in range(7):
+        x = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            x[d] += math.floor((w * r[s]) / outw[s])
+        share = sum(r[n] for n in nodes if n not in outw) // len(nodes)
+        r = {
+            n: 150_000_000 + math.floor(0.85 * (x[n] + share))
+            for n in nodes
+        }
+    assert set(got) == set(nodes)  # the sink has a rank row
+    assert got == r
+    # mass is conserved up to floor truncation: each of the 7 rounds
+    # can lose < (|edges| + |nodes| + 1) units to floors
+    total = sum(got.values())
+    assert abs(total - len(nodes) * 1_000_000_000) < 7 * (5 + 5 + 1) * 2
