@@ -126,11 +126,9 @@ _TRANSPILE = [
         r"\[([^\[\]]+)\]\[([^\[\]]+)\]",
         r"element_at(array(\1), CAST(\2 AS INT))",
     ),
-    # DuckDB regexp_replace is FIRST-match unless the 'g' options flag
-    # is passed; Spark regexp_replace is always-global (its 4th arg is
-    # a start position, so the flag would be a cast error). Dropping
-    # the flag yields identical all-occurrence semantics.
-    (r",\s*'g'\s*\)", ")"),
+    # (regexp_replace's 'g' options flag is handled structurally by
+    # _rewrite_regexp_flag below — a bare `, 'g')` suffix rule would
+    # also corrupt e.g. array_contains(tokens, 'g'); ADVICE r9)
     # IGNORE NULLS placement: DuckDB puts it INSIDE the window-function
     # call (last_value(v IGNORE NULLS)), Spark AFTER it
     # (last_value(v) IGNORE NULLS). Same semantics, pure reposition.
@@ -184,12 +182,28 @@ _TRANSPILE = [
 
 
 def _split_top_level_args(s: str) -> list[str]:
-    """Split a SQL argument string on TOP-LEVEL commas (paren-aware;
-    these oracle strings contain no quoted commas in the rewritten
-    spots — guarded by the caller's pattern match)."""
+    """Split a SQL argument string on TOP-LEVEL commas — paren-aware
+    AND quote-aware: commas and parens inside single-quoted string
+    literals (regex patterns like '[,;]+', with '' as the escaped
+    quote) never count as separators."""
     parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
+    in_str = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":  # escaped ''
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -198,8 +212,32 @@ def _split_top_level_args(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     parts.append("".join(cur))
     return parts
+
+
+def _find_call_end(s: str, start: int) -> int:
+    """Index just past the ')' matching the '(' that precedes
+    ``start`` — quote-aware like _split_top_level_args, so parens
+    inside string literals (regex patterns) never unbalance the scan."""
+    depth, i, in_str = 1, start, False
+    while depth and i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
 
 
 def _rewrite_list_reduce(sql: str) -> str:
@@ -217,13 +255,7 @@ def _rewrite_list_reduce(sql: str) -> str:
         if not m:
             return out
         start = m.end()  # index just past '('
-        depth, i = 1, start
-        while depth and i < len(out):
-            if out[i] == "(":
-                depth += 1
-            elif out[i] == ")":
-                depth -= 1
-            i += 1
+        i = _find_call_end(out, start)
         args = _split_top_level_args(out[start : i - 1])
         if len(args) != 2 or not re.match(r"\s*list_prepend\s*\(", args[0]):
             return out  # unknown shape; leave verbatim
@@ -250,18 +282,38 @@ def _rewrite_list_sum(sql: str) -> str:
         if not m:
             return out
         start = m.end()
-        depth, i = 1, start
-        while depth and i < len(out):
-            if out[i] == "(":
-                depth += 1
-            elif out[i] == ")":
-                depth -= 1
-            i += 1
+        i = _find_call_end(out, start)
         arg = out[start : i - 1].strip()
         repl = (
             f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         out = out[: m.start()] + repl + out[i:]
+
+
+def _rewrite_regexp_flag(sql: str) -> str:
+    """DuckDB ``regexp_replace(s, p, r, 'g')`` is global replacement;
+    Spark's regexp_replace is ALWAYS global (its optional 4th arg is a
+    start position, so the flag would be a cast error). Drop the flag
+    STRUCTURALLY — paren-balanced, only as the 4th top-level argument
+    of a regexp_replace call — so `, 'g')` appearing in any other call
+    (array_contains(tokens, 'g'), split(s, 'g')) is never touched
+    (ADVICE r9)."""
+    import re
+
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"\bregexp_replace\s*\(", out[pos:])
+        if not m:
+            return out
+        start = pos + m.end()
+        i = _find_call_end(out, start)
+        args = _split_top_level_args(out[start : i - 1])
+        if len(args) == 4 and args[3].strip() == "'g'":
+            body = ",".join(args[:3])
+            out = out[:start] + body + out[i - 1 :]
+        pos = start  # scan forward; nested calls re-matched from here
+    return out
 
 
 def _normalize_dialect(sql: str) -> str:
@@ -274,7 +326,7 @@ def _normalize_dialect(sql: str) -> str:
         while prev != sql:
             prev = sql
             sql = re.sub(pat, repl, sql)
-    return _rewrite_list_sum(_rewrite_list_reduce(sql))
+    return _rewrite_list_sum(_rewrite_list_reduce(_rewrite_regexp_flag(sql)))
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

@@ -114,3 +114,21 @@ def test_one_arg_encode_gains_utf8():
     # legitimate 2-arg encode is untouched
     out2 = _normalize_dialect("SELECT encode(text, 'UTF-8') FROM t")
     assert out2.count("UTF-8") == 1
+
+
+def test_regexp_flag_strip_is_anchored_to_regexp_replace():
+    """ADVICE r9: the 'g'-flag drop must be scoped to regexp_replace's
+    4th argument — any other call ending in , 'g') is untouched, and
+    nested/multiple calls all rewrite."""
+    keep = "array_contains(tokens, 'g') AND split(s, 'g')[1] = 'x'"
+    out = _normalize_dialect(keep)
+    assert "array_contains(tokens, 'g')" in out
+    assert "split(s, 'g')" in out
+    out = _normalize_dialect(
+        "regexp_replace(a, 'p', regexp_replace(b, 'q', 'r', 'g'), 'g')"
+    )
+    assert "'g'" not in out
+    # 3-arg regexp_replace (no flag) passes through unchanged
+    assert _normalize_dialect("regexp_replace(a, 'p', 'r')") == (
+        "regexp_replace(a, 'p', 'r')"
+    )
