@@ -384,3 +384,94 @@ def pagerank(
                 break
             prev = ranks
     return ranks
+
+
+def orient_by_degree(und: DataFrame) -> DataFrame:
+    """Orient an undirected edge list (u, v) by TOTAL (degree, id)
+    rank: each edge points from the lower-ranked to the higher-ranked
+    endpoint, carrying both endpoints' degrees. This is the
+    'compact-forward' preparation step for triangle counting: wedges
+    are enumerated at each edge's SOURCE (the lower-degree corner), so
+    per-node wedge work is out-degree², and the degree ordering bounds
+    every out-degree by sqrt(2m) — total wedge work O(m^1.5) on ANY
+    degree distribution, where plain id-ordering degrades to
+    O(Σ deg²) = O(n·max_deg²) the moment a hub gets a small id
+    (r9 verdict item 8's skew question). Degrees come from one
+    aggregate; the struct(deg, id) comparison is Spark's native
+    lexicographic struct ordering, so no dense-rank window (which
+    would be a single-partition sort at 100 TB) is ever built."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+
+def wedge_count(und: DataFrame, orientation: str = "degree"):
+    """Number of wedges the triangle join would enumerate under the
+    given orientation ('degree' = orient_by_degree, 'id' = low-id ->
+    high-id). Σ C(out_deg, 2) — the probe/test surface for the skew
+    claim; not part of any query plan."""
+    if orientation == "degree":
+        out = orient_by_degree(und).groupBy("a").agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    else:
+        out = und.groupBy(F.col("u").alias("a")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    row = out.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("w")
+    ).collect()[0]
+    return int(row["w"] or 0)
+
+
+def triangles_per_node(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (u, v), one row per edge, u != v, each edge listed once in either
+    direction. Compact-forward enumeration: wedges fan out of each
+    edge's lower-(degree, id) endpoint and are closed by one
+    edge-existence semi-join, so every triangle materializes exactly
+    once and the wedge volume is O(m^1.5) regardless of skew (see
+    orient_by_degree). Returns (node, n_triangles)."""
+    o = orient_by_degree(und).localCheckpoint(eager=True)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tris = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a"))
+            & (
+                F.struct(F.col("e1.db"), F.col("e1.b"))
+                < F.struct(F.col("e2.db"), F.col("e2.b"))
+            ),
+        )
+        .join(
+            e3,
+            (F.col("e1.b") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.a").alias("na"),
+            F.col("e1.b").alias("nb"),
+            F.col("e2.b").alias("nc"),
+        )
+    )
+    return (
+        tris.selectExpr("na AS node")
+        .unionAll(tris.selectExpr("nb AS node"))
+        .unionAll(tris.selectExpr("nc AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

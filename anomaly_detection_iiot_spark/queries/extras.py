@@ -1704,14 +1704,20 @@ M17_SQL = _m17_sql()
 
 def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the item co-view graph (nodes = items,
-    edge when >= 1 user viewed both): the standard distributed
-    formulation — orient every edge low->high so each triangle
-    (a<b<c) materializes exactly once as two wedge joins plus one
-    edge-existence semi-join, O(Σ deg²) wedge work instead of the
-    naive 3-cycle enumeration. Per-node participation = each corner
-    counted via a 3-role union. Pure integer counts; top-20 under a
-    total order. Closes the graph-analytics trio next to d8's
-    connected components and t17's PageRank."""
+    edge when >= 1 user viewed both), via the DEGREE-ORDERED
+    compact-forward enumeration (operators/graph.py:triangles_per_node,
+    r10): edges orient low-(degree, id) -> high, wedges fan out of each
+    edge's lower-degree corner, one edge-existence semi-join closes
+    them — every triangle materializes exactly once and wedge work is
+    O(m^1.5) on ANY degree distribution, where the r9 low-id
+    orientation degraded to O(Σ deg²) whenever a hub held a small id
+    (the skew question in r9 verdict item 8; measured in
+    tests/test_operators.py::test_triangle_skew). Triangle counts are
+    orientation-invariant, so the oracle's id-oriented formulation
+    verifies the same result. Per-node participation = each corner
+    counted via a 3-role union; top-20 under a total order."""
+    from ..operators import graph
+
     ev = t(spark, sf_dir, "events")
     ui = (
         ev.filter(F.col("event_type") == "view")
@@ -1731,28 +1737,7 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
         .distinct()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e1.u") == F.col("e3.u"))
-            & (F.col("e2.v") == F.col("e3.v")),
-            "left_semi",
-        )
-        .select(
-            F.col("e1.u").alias("na"),
-            F.col("e1.v").alias("nb"),
-            F.col("e2.v").alias("nc"),
-        )
-    )
-    per_node = (
-        tris.selectExpr("na AS node")
-        .unionAll(tris.selectExpr("nb AS node"))
-        .unionAll(tris.selectExpr("nc AS node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    per_node = graph.triangles_per_node(edges)
     w = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
     return (
         per_node.withColumn("pos", F.row_number().over(w).cast("bigint"))

@@ -383,3 +383,28 @@ def test_pagerank_dangling_nodes_receive_and_redistribute(spark):
     # can lose < (|edges| + |nodes| + 1) units to floors
     total = sum(got.values())
     assert abs(total - len(nodes) * 1_000_000_000) < 7 * (5 + 5 + 1) * 2
+
+
+def test_triangle_skew_degree_ordering_bounds_wedges(spark):
+    """r9 verdict item 8 (skew): on a hub-and-spokes graph whose hub
+    holds the SMALLEST id — the id-orientation worst case — the
+    degree-ordered enumeration must (a) count triangles exactly and
+    (b) enumerate O(m) wedges where id-ordering enumerates C(hub_deg, 2).
+    """
+    from anomaly_detection_iiot_spark.operators import graph
+
+    # hub 0 connected to 1..200, plus a triangle rim 1-2, 3-4, 5-6
+    edges = [(0, i) for i in range(1, 201)] + [(1, 2), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "u int, v int")
+
+    w_id = graph.wedge_count(df, orientation="id")
+    w_deg = graph.wedge_count(df, orientation="degree")
+    assert w_id >= 200 * 199 // 2  # the hub's quadratic wedge blowup
+    assert w_deg <= len(edges)     # degree ordering stays edge-linear
+
+    got = {
+        r.node: r.n_triangles
+        for r in graph.triangles_per_node(df).collect()
+    }
+    # 3 triangles: (0,1,2), (0,3,4), (0,5,6); hub is in all three
+    assert got == {0: 3, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}

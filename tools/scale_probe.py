@@ -79,6 +79,17 @@ QUERY_NAMES = {
     "a25": "a25_partition_checksums",
     "a26": "a26_sliding_distinct",
     "w20": "w20_event_pattern",
+    # r10 (r9 verdict item 8): the monitoring/experimentation family —
+    # sf-series axis; g1's wedge-bound skew behavior gets its own
+    # skewed-graph probe below (_g1_skewed)
+    "w22": "w22_cusum",
+    "w23": "w23_seasonal_anomalies",
+    "m16": "m16_kfold_threshold",
+    "m17": "m17_psi_drift",
+    "a28": "a28_ab_test",
+    "a29": "a29_market_basket",
+    "a30": "a30_audience_overlap",
+    "g1": "g1_triangle_count",
 }
 
 
@@ -443,6 +454,9 @@ def main() -> None:
         "t17": 5000,
         # events/orders sf-series probes (sf0.001 base rows)
         "a25": 1500, "a26": 1000, "w20": 1000,
+        # r10 monitoring family: all scan events (sf0.001 = 1000 rows)
+        "w22": 1000, "w23": 1000, "m16": 1000, "m17": 1000,
+        "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
     }
     for q in queries:
         for n in scales:
