@@ -69,6 +69,8 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
+    # NEW in round 10 — no driver row yet
+    "s17_occ_committers",
     # CHANGED in round 10 — the driver must re-prove the new code /
     # oracle text at sf0.01 (o2/o14: approx-percentile rank-validation
     # contracts; s13: fused-Arrow/local Lloyd training; m6: relational

@@ -749,7 +749,61 @@ ORDER BY o_orderpriority
 """
 
 
+def s17_occ_committers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency commit protocol (sources/upsert.py:
+    commit_delta, r10): two writers upsert OVERLAPPING keys into one
+    table with NO version coordination — writer A doubles every key
+    ≡ 0 (mod 7), writer B triples every key ≡ 0 (mod 5), so keys
+    ≡ 0 (mod 35) are contended. commit_delta stages each batch and
+    claims the next version by atomic rename, so the committers
+    serialize into _v=1 and _v=2 in call order and merge-on-read
+    resolves the contended keys to the LAST committer (B). The oracle
+    recomputes that resolution directly from orders — mod-35 keys must
+    be tripled, not doubled, or the interleaving bug the OCC protocol
+    exists to prevent shows up as a hash mismatch. Asserts the
+    allocated versions as a hard protocol check at construction."""
+    from ..sources import upsert
+
+    o = t(spark, sf_dir, "orders")
+    tbl = os.path.join(_scratch("s17_occ_"), "tbl")
+    upsert.write_base(o, tbl)
+    writer_a = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    writer_b = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3
+    )
+    va = upsert.commit_delta(writer_a, tbl)
+    vb = upsert.commit_delta(writer_b, tbl)
+    assert (va, vb) == (1, 2), f"OCC allocation broke: {(va, vb)}"
+    merged = upsert.read_merged(spark, tbl, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+S17_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+                      WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 ROUNDTRIP_QUERIES: list[QuerySpec] = [
+    QuerySpec("s17_occ_committers", s17_occ_committers, S17_SQL,
+              "S17 optimistic-concurrency commits: two uncoordinated "
+              "writers with overlapping keys serialize into distinct "
+              "versions; merged view == oracle's LWW recomputation"),
     QuerySpec("s16_incremental_agg", s16_incremental_agg, S16_SQL,
               "S16 incremental view maintenance: base agg + (new-old) "
               "deltas == full rescan, exact decimal accumulators"),

@@ -232,6 +232,7 @@ ANSI_QUERIES = [
     # pass (weights as long-form VALUES tables + join/group-by per
     # dense layer) — the literal-fold form hung Catalyst analysis
     "m6_reconstruction_error",
+    "s17_occ_committers",  # r10 addition: pure-ANSI CASE/GROUP BY
 ]
 
 # The 1 declared-divergent oracle and WHY it cannot share one text
