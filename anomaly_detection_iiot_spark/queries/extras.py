@@ -1552,7 +1552,18 @@ def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(cnt+1)/(n+10)`` so empty bins never produce log(0). One scan
     builds per-(type, window, bin) integer counts; everything after is
     a bins-sized frame. PSI > 0.2 is the conventional 'investigate'
-    flag."""
+    flag.
+
+    Exact-percentile note (the o2/o14 r10 swap does NOT apply here):
+    the split median and the decile edges FEED the hashed PSI values,
+    so the oracle must reproduce them bit-for-bit — only exact
+    percentile is cross-engine deterministic. The buffers are one
+    ts-column sort and per-type value sorts: fine at test scale,
+    unbounded at 100 TB, where a deployment swaps percentile ->
+    percentile_approx and verifies under the o14 rank-validation
+    contract instead of a value hash (edges within rank-eps, PSI
+    within the eps-propagated band). Declared trade: hash-gate
+    exactness over bounded memory, scoped to this diagnostic."""
     ev = t(spark, sf_dir, "events")
     # exact integer micros on both engines (the j10 lesson): a
     # truncated-seconds median vs a fractional-epoch median could
