@@ -252,6 +252,48 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> None:
     merged.withColumn(DEL_COL, F.lit(False)).write.mode("overwrite").parquet(
         os.path.join(tmp, f"{V_COL}=0")
     )
+    _swap_in(path, tmp)
+
+
+def compact_through(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    through_version: int,
+) -> None:
+    """RETENTION compaction (the Delta/Iceberg vacuum-with-history
+    shape): fold every version <= ``through_version`` into one resolved
+    base parked AT `_v=through_version`, hardlink later deltas across
+    unchanged. Merge-on-read cost drops to (1 base + recent deltas)
+    while time travel and read_changes stay valid for every version
+    STRICTLY AFTER the horizon — only pre-horizon history is retired.
+    The folded base keeps the horizon's version number, so version
+    arithmetic (batch ids, consumer checkpoints) never renumbers —
+    unlike full ``compact``, which resets to `_v=0` and forces
+    consumers to re-baseline. Same two-rename swap + self-healing
+    recovery as compact; the horizon base carries no tombstones (a key
+    deleted before the horizon is simply absent), which is exactly the
+    state a fresh reader needs."""
+    _recover_compaction(path)
+    later = [v for v in table_versions(path) if v > through_version]
+    folded = read_merged(
+        spark, path, key_cols, as_of_version=through_version
+    )
+    tmp = path + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.withColumn(DEL_COL, F.lit(False)).write.mode("overwrite").parquet(
+        os.path.join(tmp, f"{V_COL}={through_version}")
+    )
+    for v in later:
+        src = os.path.join(path, f"{V_COL}={v}")
+        dst = os.path.join(tmp, f"{V_COL}={v}")
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+    _swap_in(path, tmp)
+
+
+def _swap_in(path: str, tmp: str) -> None:
     old = path + ".compact.old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

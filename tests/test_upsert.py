@@ -590,3 +590,52 @@ def test_ivm_replay_after_full_apply(spark, tmp_path):
     # full replay of the same batch id
     cdc_stream.apply_ivm_batch(spark, batch, 0, tbl, agg, ["k"], "grp", "amt")
     assert _agg_state(spark, agg) == once
+
+
+def test_compact_through_retains_recent_history(spark, tmp_path):
+    """Retention compaction: versions <= horizon fold into one base at
+    the horizon's version number; later deltas survive untouched, so
+    the merged view, post-horizon time travel, and read_changes
+    consumers are all byte-identical — only pre-horizon time travel is
+    retired."""
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame(
+            [(1, "a0"), (2, "b0"), (3, "c0")], "k long, val string"
+        ),
+        tbl,
+    )
+    # v1 updates k=1; v2 deletes k=2; v3 inserts k=4
+    upsert.append_delta(
+        spark.createDataFrame([(1, "a1")], "k long, val string"), tbl, 1
+    )
+    upsert.append_delta(
+        spark.createDataFrame([], "k long, val string"), tbl, 2,
+        deletes=spark.createDataFrame([(2,)], "k long"),
+    )
+    upsert.append_delta(
+        spark.createDataFrame([(4, "d3")], "k long, val string"), tbl, 3
+    )
+    want_full = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    want_asof2 = _rows(
+        upsert.read_merged(spark, tbl, ["k"], as_of_version=2)
+    )
+
+    upsert.compact_through(spark, tbl, ["k"], through_version=2)
+
+    assert upsert.table_versions(tbl) == [2, 3]
+    assert _rows(upsert.read_merged(spark, tbl, ["k"])) == want_full
+    # time travel at the horizon still answers (the folded base)
+    assert (
+        _rows(upsert.read_merged(spark, tbl, ["k"], as_of_version=2))
+        == want_asof2
+    )
+    # an incremental consumer checkpointed at the horizon sees only v3
+    ch = upsert.read_changes(spark, tbl, since_version=2)
+    assert {(r.k, r.val) for r in ch.select("k", "val").collect()} == {
+        (4, "d3")
+    }
+    # the folded base carries no tombstones: the deleted key is absent
+    base = spark.read.parquet(tbl + "/_v=2")
+    assert base.filter("k = 2").count() == 0
+    assert base.filter("_deleted").count() == 0
