@@ -1589,23 +1589,25 @@ def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     edges = {r["event_type"]: [r[f"e{i}"] for i in range(1, 10)] for r in edges_rows}
-    # per-type literal edges: the bin expression is data-dependent, so
-    # build it per type and union — types are few (5), edges tiny
-    parts = []
-    for et, es in sorted(edges.items()):
-        bin_expr = sum(
-            (F.col("value") > F.lit(v)).cast("int") for v in es
+    # one broadcast join against a |types|-row edges frame, crossing-sum
+    # over the joined edge array — replaces the r9 per-type literal
+    # parts whose unionByName scanned events once PER TYPE (5 scans +
+    # 5 plan analyses were 2.1 s of the query's 4.0 s at sf0.1)
+    edges_df = spark.createDataFrame(
+        [(et, [float(v) for v in es]) for et, es in sorted(edges.items())],
+        "event_type string, es array<double>",
+    )
+    binned = (
+        tagged.join(F.broadcast(edges_df), "event_type")
+        .select(
+            "event_type",
+            "is_cur",
+            F.expr(
+                "aggregate(es, 0, (acc, e) -> acc + "
+                "CASE WHEN value > e THEN 1 ELSE 0 END)"
+            ).alias("bin"),
         )
-        parts.append(
-            tagged.filter(F.col("event_type") == et).select(
-                F.lit(et).alias("event_type"),
-                "is_cur",
-                bin_expr.alias("bin"),
-            )
-        )
-    binned = parts[0]
-    for p in parts[1:]:
-        binned = binned.unionByName(p)
+    )
     counts = binned.groupBy("event_type", "is_cur", "bin").agg(
         F.count(F.lit(1)).alias("c")
     )

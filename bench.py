@@ -100,6 +100,17 @@ HEADLINE = [
     "t17_textrank",  # weighted PageRank over the word graph, oracle'd
     "s14_upsert_roundtrip",  # CDC base+delta+tombstone merge-on-read
     "j9_scd2_dimension",  # SCD2 build + temporal fact join
+    # round-10 additions: the monitoring/experimentation family (now
+    # scale-probed, README r10 table) + the OCC commit round-trip
+    "w22_cusum",
+    "w23_seasonal_anomalies",
+    "m16_kfold_threshold",
+    "m17_psi_drift",
+    "a28_ab_test",
+    "a29_market_basket",
+    "a30_audience_overlap",
+    "g1_triangle_count",
+    "s17_occ_committers",
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training
