@@ -259,6 +259,7 @@ def pagerank(
     weight_col: str | None = None,
     checkpoint_every: int = 5,
     tol_units: int | None = None,
+    dangling: str = "redistribute",
 ) -> DataFrame:
     """Weighted PageRank in integer micro-units (damping 0.85,
     rank_0 = 1.0 ≡ 1e9 units) — the general form of t17's fixed-3
@@ -292,9 +293,17 @@ def pagerank(
     update via a broadcast 1-row cross join (no per-round collect).
     On a graph with no sinks (t17's undirected word graph) the
     dangling aggregate is empty and the update reduces to the plain
-    damped sum, so existing results are unchanged.
+    damped sum, so existing results are unchanged. Callers whose graph
+    has no sinks BY CONSTRUCTION (undirected graphs: every node's edge
+    list is symmetric, so src covers every node) pass
+    ``dangling="none"`` to skip the node-set build, its count job, and
+    the per-round sink aggregate entirely — with a sink present that
+    mode would silently drop the sink's rank row and leak its mass,
+    so it is a documented structural precondition, not a tuning knob.
 
     Returns (node, r_int) — callers scale by 1e-9 for display."""
+    if dangling not in ("redistribute", "none"):
+        raise ValueError(f"dangling must be 'redistribute' or 'none': {dangling!r}")
     w = (
         F.col(weight_col)
         if weight_col
@@ -308,12 +317,17 @@ def pagerank(
     outw = (
         e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     ).localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    ).localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    if dangling == "redistribute":
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()
+    else:
+        # sink-free precondition: src reaches every node
+        nodes = outw.select(F.col("src").alias("node"))
+        n_nodes = None
     ranks = nodes.select(
         "node", F.lit(1_000_000_000).cast("long").alias("r_int")
     )
@@ -332,32 +346,30 @@ def pagerank(
                 ).alias("x")
             )
         )
-        # mass parked on sink nodes this round, spread as an exact
-        # integer per-node share (empty aggregate -> 0 on sink-free
-        # graphs); 1-row frame, broadcast into the update
-        dangling_share = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(
-                F.expr(
-                    f"coalesce(sum(r_int), 0L) DIV {int(n_nodes)}L"
-                ).alias("dang")
+        inbound = F.coalesce("x", F.lit(0)).cast("double")
+        updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if dangling == "redistribute":
+            # mass parked on sink nodes this round, spread as an exact
+            # integer per-node share (empty aggregate -> 0 on sink-free
+            # graphs); 1-row frame, broadcast into the update
+            dangling_share = (
+                ranks.join(outw, ranks.node == outw.src, "left_anti")
+                .agg(
+                    F.expr(
+                        f"coalesce(sum(r_int), 0L) DIV {int(n_nodes)}L"
+                    ).alias("dang")
+                )
             )
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling_share))
-            .select(
-                "node",
-                (
-                    F.lit(150_000_000).cast("long")
-                    + F.floor(
-                        F.lit(0.85)
-                        * (
-                            F.coalesce("x", F.lit(0)) + F.col("dang")
-                        ).cast("double")
-                    ).cast("long")
-                ).alias("r_int"),
+            updated = updated.crossJoin(F.broadcast(dangling_share))
+            inbound = (F.coalesce("x", F.lit(0)) + F.col("dang")).cast(
+                "double"
             )
+        ranks = updated.select(
+            "node",
+            (
+                F.lit(150_000_000).cast("long")
+                + F.floor(F.lit(0.85) * inbound).cast("long")
+            ).alias("r_int"),
         )
         if tol_units is not None or (
             (i + 1) % checkpoint_every == 0 and i + 1 < iters

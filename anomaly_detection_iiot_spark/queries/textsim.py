@@ -2878,9 +2878,13 @@ def t17_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
-    ranks = graph.pagerank(edges, iters=3, weight_col="weight").select(
-        F.col("node").alias("word"), "r_int"
-    )
+    # dangling="none": the symmetric unionAll above makes every node a
+    # src by construction (no sinks), so the node-set build + per-round
+    # sink aggregate are skipped (graph.pagerank's documented
+    # sink-free precondition)
+    ranks = graph.pagerank(
+        edges, iters=3, weight_col="weight", dangling="none"
+    ).select(F.col("node").alias("word"), "r_int")
     w = Window.orderBy(F.desc("r_int"), F.asc("word"))
     return (
         ranks.select(
