@@ -71,6 +71,8 @@ except ImportError:
 _DRIVER_PRIORITY = [
     # NEW in round 10 — no driver row yet
     "s17_occ_committers",
+    "t18_bm25",
+    "w24_changepoint",
     # CHANGED in round 10 — the driver must re-prove the new code /
     # oracle text at sf0.01 (o2/o14: approx-percentile rank-validation
     # contracts; s13: fused-Arrow/local Lloyd training; m6: relational

@@ -1455,6 +1455,96 @@ ORDER BY user_id
 """
 
 
+# --- W24: mean-shift changepoint location (r10) -------------------------------
+
+def w24_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint LOCATION per user series — the
+    binary-segmentation inner step that complements w22's online CUSUM
+    alarm: for every candidate split k the standardized two-sample
+    statistic ``sqrt(k(n−k)/n) · |mean_left − mean_right|`` comes
+    entirely from prefix sums (one running-sum window over one sort),
+    so the whole scan of candidate splits is O(n) per series with NO
+    per-candidate rescans; argmax under a rounded-stat + smallest-k
+    total order. At 100 TB each series is one window partition — the
+    same per-user ordering contract every w-family query rides.
+    Output: (user_id, cp_i, round(stat, 6), n)."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    ).withColumn("i", F.row_number().over(w_ord))
+    run = Window.partitionBy("user_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("user_id")
+    p = (
+        seq.withColumn("S", F.sum("x").over(run))
+        .withColumn("n", F.count(F.lit(1)).over(tot))
+        .withColumn("Sn", F.sum("x").over(tot))
+        .filter(F.col("i") < F.col("n"))  # splits leave both sides non-empty
+        .withColumn(
+            "stat",
+            F.round(
+                F.sqrt(
+                    F.col("i") * (F.col("n") - F.col("i")) / F.col("n")
+                )
+                * F.abs(
+                    F.col("S") / F.col("i")
+                    - (F.col("Sn") - F.col("S"))
+                    / (F.col("n") - F.col("i"))
+                ),
+                6,
+            ),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("stat"), F.asc("i")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("i").cast("bigint").alias("cp_i"),
+            "stat",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W24_SQL = """
+WITH seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i
+  FROM events
+), p AS (
+  SELECT user_id, i,
+         sum(x) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS S,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(x) OVER (PARTITION BY user_id) AS Sn
+  FROM seq
+), stats AS (
+  SELECT user_id, i, n,
+         round(sqrt(i * (n - i) * 1.0 / n)
+               * abs(S * 1.0 / i - (Sn - S) * 1.0 / (n - i)), 6) AS stat
+  FROM p WHERE i < n
+)
+SELECT user_id, CAST(cp_i AS BIGINT) AS cp_i, stat, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT user_id, i AS cp_i, stat, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY stat DESC, i) AS rk
+  FROM stats
+) ranked
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 # --- A30: audience overlap via sketch inclusion-exclusion --------------------
 
 def a30_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,6 +2579,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("w22_cusum", w22_cusum, W22_SQL,
               "W22 CUSUM changepoint: recurrence closed-formed as "
               "running-sum minus running-min, per-user alarms"),
+    QuerySpec("w24_changepoint", w24_changepoint, W24_SQL,
+              "W24 mean-shift changepoint location: standardized "
+              "two-sample stat from prefix sums, O(n) per series"),
     QuerySpec("a30_audience_overlap", a30_audience_overlap, A30_SQL,
               "A30 audience overlap: HLL inclusion-exclusion over "
               "per-type sketches vs exact, union-relative contract"),

@@ -1550,6 +1550,101 @@ SELECT doc_id, term, tf, df, tfidf, rk FROM (
 """
 
 
+# --- T18: BM25 retrieval scoring (r10) ----------------------------------------
+
+_T18_TERMS = ["merge", "stream", "window"]
+_T18_K1, _T18_B = 1.2, 0.75
+
+
+def t18_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus for a fixed 3-term query
+    — the classic search-scoring twin of t6's tf-idf (Robertson k1=1.2,
+    b=0.75; idf = ln(1 + (N - df + 0.5)/(df + 0.5)), the Lucene
+    smooth-positive form). Shuffle shape at scale: the query-term
+    filter lands BEFORE the (doc, term) aggregate, so only matching
+    postings ever shuffle (3 terms' worth, not the corpus vocabulary);
+    corpus stats (N, avgdl) are one broadcast scalar row; per-term df
+    is a |query|-row broadcast. Top-20 under a rounded-score +
+    doc_id total order."""
+    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    docs = toked.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    terms = docs.select(
+        "doc_id", "dl", F.explode("tokens").alias("term")
+    ).filter(F.col("term").isin(_T18_TERMS))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _T18_K1, _T18_B
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "doc_id", "score", "n_terms")
+        .orderBy("pos")
+    )
+
+
+T18_SQL = rf"""
+WITH {_TOKS}, q AS (
+  SELECT 'merge' AS term UNION ALL SELECT 'stream' UNION ALL SELECT 'window'
+), terms AS (
+  SELECT doc_id, n_tok AS dl, unnest(tokens) AS term FROM toks
+), tf AS (
+  SELECT terms.doc_id, terms.dl, terms.term, count(*) AS tf
+  FROM terms JOIN q ON q.term = terms.term
+  GROUP BY terms.doc_id, terms.dl, terms.term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(n_tok) AS avgdl FROM toks
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {_T18_K1 + 1.0})
+           / (tf.tf + {_T18_K1} * (1.0 - {_T18_B}
+                                   + {_T18_B} * tf.dl / stats.avgdl))
+         ), 6) AS score,
+         count(*) AS n_terms
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT pos, doc_id, score, n_terms FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS pos,
+         doc_id, score, n_terms
+  FROM scored
+) ranked
+WHERE pos <= 20
+ORDER BY pos
+"""
+
+
 # --- T7: repetition ratio (degenerate-text quality signal) --------------------
 
 def t7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2953,6 +3048,9 @@ T17_SQL = _t17_sql()
 
 
 TEXTSIM_QUERIES: list[QuerySpec] = [
+    QuerySpec("t18_bm25", t18_bm25, T18_SQL,
+              "BM25 retrieval scoring: Robertson k1/b over a fixed "
+              "query, postings filtered before the shuffle, top-20"),
     QuerySpec("t17_textrank", t17_textrank, T17_SQL,
               "TextRank keywords: weighted PageRank over the adjacent-"
               "word graph, 3 quantized iterations, top-20"),

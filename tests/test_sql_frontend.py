@@ -233,6 +233,8 @@ ANSI_QUERIES = [
     # dense layer) — the literal-fold form hung Catalyst analysis
     "m6_reconstruction_error",
     "s17_occ_committers",  # r10 addition: pure-ANSI CASE/GROUP BY
+    "t18_bm25",  # r10 addition: rides the t6 token-CTE dialect
+    "w24_changepoint",  # r10 addition: pure-ANSI prefix-sum windows
 ]
 
 # The 1 declared-divergent oracle and WHY it cannot share one text
