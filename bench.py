@@ -111,6 +111,8 @@ HEADLINE = [
     "a30_audience_overlap",
     "g1_triangle_count",
     "s17_occ_committers",
+    "t18_bm25",
+    "w24_changepoint",
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training
