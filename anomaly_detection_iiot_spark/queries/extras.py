@@ -1366,6 +1366,43 @@ ORDER BY t.event_type, t.hod
 
 # --- W22: CUSUM changepoint detection ----------------------------------------
 
+def cusum_flags(
+    ev: DataFrame,
+    base_k: int = 30,
+    slack: float = 0.5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """Per-row CUSUM decision frame (user_id, i, S, sigma, alarm) —
+    the batch kernel shared by the w22 report and the streaming-twin
+    equality test (streaming/cusum_stream.py uses the same quantized
+    baseline, fold order, and rounded decision statistic)."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    ).withColumn("i", F.row_number().over(w_ord))
+    base = (
+        seq.filter(F.col("i") <= base_k)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_samp("x"), 6).alias("sigma"),
+        )
+    )
+    j = seq.join(base, "user_id").withColumn(
+        "step", F.col("x") - F.col("mu") - slack * F.col("sigma")
+    )
+    run = Window.partitionBy("user_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = j.withColumn("P", F.sum("step").over(run)).withColumn(
+        "S",
+        F.round(
+            F.col("P") - F.least(F.lit(0.0), F.min("P").over(run)), 6
+        ),
+    )
+    return p.withColumn("alarm", F.col("S") > h_sigmas * F.col("sigma"))
+
+
 def w22_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM changepoint monitor per user series — the
     classic drift detector for sensor streams. The textbook recurrence
@@ -1378,34 +1415,7 @@ def w22_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack k = 0.5σ, alarm h = 4σ. Output per user: alarms and the
     first alarm's 1-based sample index (0 = never alarmed, the W8
     sentinel contract)."""
-    ev = t(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id", "ts", "event_id", F.col("value").alias("x")
-    ).withColumn("i", F.row_number().over(w_ord))
-    base = (
-        seq.filter(F.col("i") <= 30)
-        .groupBy("user_id")
-        .agg(
-            F.round(F.avg("x"), 6).alias("mu"),
-            F.round(F.stddev_samp("x"), 6).alias("sigma"),
-        )
-    )
-    j = seq.join(base, "user_id").withColumn(
-        "step", F.col("x") - F.col("mu") - 0.5 * F.col("sigma")
-    )
-    run = Window.partitionBy("user_id").orderBy("i").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    p = j.withColumn("P", F.sum("step").over(run)).withColumn(
-        "S",
-        F.round(
-            F.col("P") - F.least(F.lit(0.0), F.min("P").over(run)), 6
-        ),
-    )
-    flagged = p.withColumn(
-        "alarm", F.col("S") > 4 * F.col("sigma")
-    )
+    flagged = cusum_flags(t(spark, sf_dir, "events"))
     return (
         flagged.groupBy("user_id")
         .agg(
