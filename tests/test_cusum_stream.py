@@ -101,3 +101,44 @@ def test_cusum_stream_equals_batch_kernel(spark, tmp_path):
     # user 3's alarms all sit in the final chunk's samples — state
     # (baseline + P/minP) crossed two micro-batch boundaries to get there
     assert all(i >= 8 for u, i, _ in got if u == 3)
+
+
+def test_cusum_stream_state_is_key_bounded(spark, tmp_path):
+    """The operator's state is one row per key regardless of stream
+    length: 10x the samples per key must leave numRowsTotal at exactly
+    the key count (the fixed-bytes-per-key claim, asserted from the
+    query's own progress metrics)."""
+    import json as _json
+    import tempfile
+
+    def drain(rows, name):
+        indir = _write_chunks(tmp_path / name, rows)
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id bigint, user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            cusum_alarm_stream(stream, base_k=_BASE_K)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        return max(
+            sum(op["numRowsTotal"] for op in p.get("stateOperators", []))
+            for p in progress
+            if p.get("stateOperators")
+        )
+
+    short = [r for u in (1, 2, 3) for r in _series(u, [float(i % 7) for i in range(8)])]
+    long = [r for u in (1, 2, 3) for r in _series(u, [float(i % 7) for i in range(80)])]
+    s1 = drain(short, "cusum_state_short")
+    s10 = drain(long, "cusum_state_long")
+    assert s1 == s10 == 3  # one state row per key, never per sample
