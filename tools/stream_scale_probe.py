@@ -193,6 +193,62 @@ def probe_curation_length(spark, root: str, scale: int) -> dict:
     return _summarize(progress, time.time() - t0, scale)
 
 
+def make_cusum_dir(root: str, n_chunks: int, n_keys: int = 50,
+                   rows_per_key_chunk: int = 20) -> str:
+    """Parquet chunks for the CUSUM monitor: n_keys user series, each
+    chunk advancing every key's series by rows_per_key_chunk samples
+    (deterministic sinusoid + a mean shift on half the keys midway, so
+    alarms actually fire). mtimes ascend for in-order drain."""
+    import math
+
+    import pandas as pd
+
+    out = os.path.join(root, f"cusum_{n_chunks}")
+    os.makedirs(out, exist_ok=True)
+    t0 = time.mktime((2024, 3, 1, 0, 0, 0, 0, 0, -1))
+    now = time.time()
+    for c in range(n_chunks):
+        rows = []
+        for u in range(n_keys):
+            for j in range(rows_per_key_chunk):
+                i = c * rows_per_key_chunk + j
+                shift = 9.0 if (u % 2 == 0 and i >= n_chunks * 10) else 0.0
+                rows.append(
+                    {
+                        "ts": pd.Timestamp.fromtimestamp(t0 + 60 * i),
+                        "event_id": u * 1_000_000 + i,
+                        "user_id": u,
+                        "value": math.sin(0.7 * i + u) + shift,
+                    }
+                )
+        p = os.path.join(out, f"chunk_{c:04d}.parquet")
+        pd.DataFrame(rows).to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (now - 600 + c, now - 600 + c))
+    return out
+
+
+def probe_cusum_length(spark, root: str, scale: int) -> dict:
+    """Duration scaling for the online CUSUM monitor: `scale`x more
+    chunks over a FIXED key set — state must stay at |keys| rows (one
+    scalar recurrence row per key) no matter the stream length."""
+    from anomaly_detection_iiot_spark.streaming import cusum_stream
+
+    src = make_cusum_dir(root, 5 * scale)
+    sdf = cusum_stream.cusum_alarm_stream(
+        spark.readStream.schema(
+            "ts timestamp, event_id bigint, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        base_k=30,
+    )
+    t0 = time.time()
+    progress = _drain(sdf, f"probe_cusum_{scale}_{uuid.uuid4().hex[:6]}")
+    return _summarize(progress, time.time() - t0, scale)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,100")
@@ -221,7 +277,12 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="stream_scale_probe_")
     try:
-        results = {"bearing_length": [], "bearing_rate": [], "curation_length": []}
+        results = {
+            "bearing_length": [],
+            "bearing_rate": [],
+            "curation_length": [],
+            "cusum_length": [],
+        }
         for s in scales:
             results["bearing_length"].append(probe_bearing_length(spark, root, s))
             print("bearing_length", json.dumps(results["bearing_length"][-1]))
@@ -231,6 +292,9 @@ def main() -> None:
         for s in scales:
             results["curation_length"].append(probe_curation_length(spark, root, s))
             print("curation_length", json.dumps(results["curation_length"][-1]))
+        for s in scales:
+            results["cusum_length"].append(probe_cusum_length(spark, root, s))
+            print("cusum_length", json.dumps(results["cusum_length"][-1]))
 
         print("\n## Streaming scale probe (markdown)\n")
         for fam, rows in results.items():
