@@ -56,7 +56,13 @@ def _recover_compaction(path: str) -> None:
     the swap) is inert and removed by the next compact()."""
     old = path + ".compact.old"
     if not os.path.exists(path) and os.path.isdir(old):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            # two readers raced the same restore: losing the rename is
+            # fine iff the winner already put the table back
+            if not os.path.exists(path):
+                raise
 
 
 def _as_batch(df: DataFrame, deletes: DataFrame | None) -> DataFrame:
