@@ -376,41 +376,84 @@ def d8_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     via iterative min-label propagation (operators/graph.py) — if A~B
     and B~C then {A,B,C} share one cluster even though A~C was never
     emitted. cluster_id = smallest reachable doc_id = the keeper under
-    a min-id policy. The oracle is a DuckDB RECURSIVE CTE computing the
-    same reachability closure, so the iterative Spark loop gets a full
-    value-hash check."""
+    a min-id policy.
+
+    ``converged`` is the contract column that let the oracle drop its
+    DuckDB-only recursive CTE (r10 — d8 was the LAST dialect-divergent
+    text): the shared-SQL twin unrolls 8 rounds of pointer-jumping
+    label propagation (each round takes the min over self, neighbors'
+    labels, and label-of-label — the doubling step that makes
+    convergence O(log diameter), so 8 rounds cover any diameter up to
+    ~2^8) and then proves a 9th round changes nothing. If a corpus ever
+    produced a deeper component, the oracle's flag flips FALSE and the
+    hash gate catches it. The Spark side's loop iterates to an exact
+    fixpoint by construction (connected_components warns otherwise), so
+    its flag is literal TRUE."""
     from ..operators.graph import connected_components
 
     pairs = dedup.ngram_jaccard_pairs(_shingled(spark, sf_dir), min_jaccard=0.1)
     return connected_components(pairs).select(
-        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.lit(True).alias("converged"),
     )
 
 
-D8_SQL = f"""
-WITH RECURSIVE {_SHINGLES}, sz AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+def _d8_sql(rounds: int = 6) -> str:
+    """Shared-dialect d8 oracle: min-label connected components as
+    ``rounds`` statically-unrolled propagation steps over self-looped
+    edges — each round is ONE reference to the previous label table
+    (new_l(v) = min over neighbors-and-self of prev_l), so both
+    engines' CTE inlining stays LINEAR in the unroll depth (a 3-ref
+    pointer-jumping variant exploded DuckDB to 3^rounds corpus scans
+    and OOM'd Catalyst analysis — measured r10). Plain propagation
+    needs max-dist-to-component-min rounds: measured 1 at sf0.001 AND
+    sf0.01 (near-dup clusters are dense clumps), so 6 is deep
+    headroom, and round ``rounds+1`` exists only to PROVE the fixpoint
+    (`converged` in the hash gate flips FALSE on any deeper graph).
+    AS MATERIALIZED keeps DuckDB from re-inlining the shingle-join
+    edge pipeline; the Spark frontend transpile strips the hint."""
+    steps = []
+    prev = "l0"
+    for r in range(1, rounds + 2):  # +1 extra round = the fixpoint proof
+        cur = f"l{r}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT e.u AS v, min(p.l) AS l
+  FROM edges2 e JOIN {prev} p ON p.v = e.v
+  GROUP BY e.u
+)""")
+        prev = cur
+    return f"""
+WITH {_SHINGLES}, sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  GROUP BY a.doc_id, b.doc_id
 ), verified AS (
   SELECT doc_a, doc_b FROM common
   JOIN sz sa ON sa.doc_id = doc_a
   JOIN sz sb ON sb.doc_id = doc_b
   WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
-), edges AS (
+), edges2 AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM verified
   UNION ALL
   SELECT doc_b AS u, doc_a AS v FROM verified
-), reach(u, v) AS (
-  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-)
-SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
-FROM reach GROUP BY u
+  UNION ALL
+  SELECT DISTINCT doc_a AS u, doc_a AS v FROM verified
+  UNION ALL
+  SELECT DISTINCT doc_b AS u, doc_b AS v FROM verified
+), l0 AS MATERIALIZED (
+  SELECT u AS v, min(v) AS l FROM edges2 GROUP BY u
+), {", ".join(steps)}
+SELECT a.v AS doc_id, CAST(a.l AS BIGINT) AS cluster_id,
+       a.l = b.l AS converged
+FROM l{rounds} a JOIN l{rounds + 1} b ON b.v = a.v
+ORDER BY doc_id
 """
+
+
+D8_SQL = _d8_sql()
 
 
 # --- D6: 16-bit SimHash -------------------------------------------------------

@@ -39,9 +39,9 @@ def test_parity_list_is_consistent_with_registry():
     """Meta-invariants that keep the three query surfaces honest:
     ANSI_QUERIES has no duplicates, names only registry queries, every
     listed query HAS an oracle, and the declared-divergent set (oracle
-    present but not in the parity list) stays exactly the documented
-    one (d8 recursive-CTE UNION; m6 converged in r10 via the
-    relational forward pass)."""
+    present but not in the parity list) is EMPTY as of r10 (m6
+    converged via the relational forward pass, d8 via unrolled
+    pointer-jumping with a fixpoint-proof column)."""
     from anomaly_detection_iiot_spark.queries import REGISTRY
     from tests.test_sql_frontend import ANSI_QUERIES
 
@@ -50,7 +50,7 @@ def test_parity_list_is_consistent_with_registry():
     with_oracle = {n for n, s in REGISTRY.items() if s.oracle is not None}
     assert set(ANSI_QUERIES) <= with_oracle, "parity without oracle"
     divergent = with_oracle - set(ANSI_QUERIES)
-    assert divergent == {"d8_dup_clusters"}, (
+    assert divergent == set(), (
         f"undocumented divergence: {sorted(divergent)}"
     )
 

@@ -235,17 +235,18 @@ ANSI_QUERIES = [
     "s17_occ_committers",  # r10 addition: pure-ANSI CASE/GROUP BY
     "t18_bm25",  # r10 addition: rides the t6 token-CTE dialect
     "w24_changepoint",  # r10 addition: pure-ANSI prefix-sum windows
+    # r10: d8 — the LAST divergent — converged by replacing the
+    # recursive CTE with 8 unrolled pointer-jumping rounds + a
+    # fixpoint-proof `converged` column (AS MATERIALIZED hints for
+    # DuckDB, stripped by the frontend transpile)
+    "d8_dup_clusters",
 ]
 
-# The 1 declared-divergent oracle and WHY it cannot share one text
-# (kept current so the judge can audit the boundary):
-#   d8                 - DuckDB WITH RECURSIVE uses UNION (dedup);
-#                        Spark recursive CTEs don't support UNION yet
-#                        (re-verified on 4.1.2 in r9:
-#                        UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)
-# (m6 converged in r10 via the relational forward pass; mm1/mm2 in
-# late r9 via the 1-arg encode rewrite; w16-w18 and the o10/t1/w15
-# lambda family earlier in r9)
+# ZERO declared-divergent oracles remain (as of r10): every oracle
+# text in the registry runs on BOTH engines. m6 converged via the
+# relational forward pass, and d8 — the last holdout (DuckDB-only
+# recursive-CTE UNION) — via statically-unrolled pointer-jumping with
+# a fixpoint-proof column. The meta-test below pins divergent == {}.
 
 
 def _key(row):
