@@ -132,3 +132,14 @@ def test_regexp_flag_strip_is_anchored_to_regexp_replace():
     assert _normalize_dialect("regexp_replace(a, 'p', 'r')") == (
         "regexp_replace(a, 'p', 'r')"
     )
+
+
+def test_materialized_hint_stripped():
+    """DuckDB's CTE materialization hint (d8's unrolled rounds) is an
+    optimizer directive with zero semantics — Spark gets the plain CTE."""
+    out = _normalize_dialect("WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a")
+    assert out == "WITH a AS (SELECT 1) SELECT * FROM a"
+    # 'MATERIALIZED' as an identifier is untouched
+    assert _normalize_dialect("SELECT materialized FROM t") == (
+        "SELECT materialized FROM t"
+    )
