@@ -87,11 +87,11 @@ _DRIVER_PRIORITY = [
     "t17_textrank",
     "s14_upsert_roundtrip",
     "s16_incremental_agg",
+    "d8_dup_clusters",  # r10: +converged column, unrolled shared oracle
     # r5-stale cohort (r9 verdict item 3: latest driver row is r5 for
-    # these 15 — the sample must lift the minimum to >= r6 this round).
-    # All mirror-green at sf0.001 every suite run; this is row-age
-    # hygiene, not correctness risk.
-    "d8_dup_clusters",
+    # the 14 below — the sample must lift the minimum to >= r6 this
+    # round). All mirror-green at sf0.001 every suite run; this is
+    # row-age hygiene, not correctness risk.
     "j6_asof_join",
     "j7_interval_overlap",
     "m14_calibration",
