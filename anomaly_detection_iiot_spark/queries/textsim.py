@@ -639,15 +639,27 @@ def d13_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
+    # collect the 8 coarse centroids ONCE and feed every assignment
+    # through crows — this fn assigns three times (historical half,
+    # then the incremental path's batch), and each ivf_assign would
+    # otherwise run its own k-row collect job at construction
+    crows = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    ]
     first = e.filter(F.col("vec_id") < _D13_SPLIT)
-    a_first = similarity.ivf_assign(first, centroids)
+    a_first = similarity.ivf_assign(first, centroids, crows=crows)
     f_dropped = similarity.blocked_neardup_pairs(
         a_first, block_col="bucket", min_cosine=_D9_TAU
     ).select(F.col("vec_b").alias("vec_id")).distinct()
     keepers = a_first.join(f_dropped, "vec_id", "left_anti")
     batch = e.filter(F.col("vec_id") >= _D13_SPLIT)
+
+    def _assign_cached(c, cents, **kw):
+        return similarity.ivf_assign(c, cents, crows=crows, **kw)
+
     return similarity.incremental_semdedup(
-        batch, keepers, centroids, tau=_D9_TAU
+        batch, keepers, centroids, tau=_D9_TAU, assign_fn=_assign_cached
     )
 
 
