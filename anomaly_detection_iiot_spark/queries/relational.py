@@ -355,10 +355,39 @@ FROM filled WHERE is_probe = 1
 # --- O1: global time sort (rank materialized) ------------------------------
 
 def o1_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", F.row_number().over(w).cast("bigint").alias("time_rank")
+    """Materialized global time ordering via the o13 two-phase bucketed
+    rank (r10 verdict item 1): the r1-r9 form was ``row_number() OVER
+    (ORDER BY ts)`` with no partition key and no rank filter — Spark
+    plans that as ONE window task holding the whole table (top-k
+    windows get WindowGroupLimit; an unfiltered global rank does not).
+    Here the rank is assembled from ordered time buckets instead:
+    ``date_trunc('hour', ts)`` is monotone in ts, so bucket order IS
+    time order; per-bucket counts (|distinct hours| rows — calendar-
+    sized, never corpus-sized) roll into cumulative offsets through
+    the only single-partition window, broadcast back, and the global
+    rank is offset + per-bucket row_number — the expensive window runs
+    |buckets|-way parallel, the same plan a range-partitioned total
+    sort picks, with no single-task funnel. Granularity is a knob: an
+    archive spanning years at hour-grain is ~10^4 buckets (fine); a
+    single hot day would drop to minute-grain."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    keyed = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # |buckets|-row running sum: the only unpartitioned window, sized
+    # to the calendar, never to the data (o13_shuffle_shards pattern).
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    return keyed.join(F.broadcast(offsets), "bucket").select(
+        "event_id",
+        (F.col("offset") + F.row_number().over(w_in))
+        .cast("bigint")
+        .alias("time_rank"),
     )
 
 

@@ -343,3 +343,29 @@ def test_t17_corpus_consumed_once_at_checkpoint(spark, sf_dir):
     plan = _plan(spark, sf_dir, "t17_textrank")
     assert "FileScan" not in plan, "corpus scan leaked past the checkpoint"
     assert "ExistingRDD" in plan
+
+
+def test_o1_global_rank_is_bucket_partitioned(spark, sf_dir):
+    """r10 verdict item 1: o1's materialized global ordering must never
+    regress to a single-task ``row_number() OVER (ORDER BY ts)`` over
+    the corpus. Structural pins: (a) the row_number window is
+    partitioned by the hour bucket; (b) the only UNpartitioned window
+    is the offsets running-sum, whose input is the bucket-count
+    aggregate (it computes sum(n), not a rank over events); (c) the
+    offsets side joins back via broadcast, not shuffle."""
+    plan = _plan(spark, sf_dir, "o1_time_sort")
+    windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln
+    ]
+    assert len(windows) == 2, plan
+    rank_win = [ln for ln in windows if "row_number()" in ln]
+    assert len(rank_win) == 1
+    # partition spec present: windowspecdefinition(bucket#N, ts#N ASC...
+    assert "windowspecdefinition(bucket#" in rank_win[0]
+    offset_win = [ln for ln in windows if "sum(" in ln][0]
+    # the unpartitioned window aggregates bucket COUNTS (sum over n),
+    # never event rows
+    assert "sum(n#" in offset_win
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
