@@ -2878,10 +2878,19 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the merge loop then runs over the VOCAB (not the corpus) —
     driver-side below the word-count crossover (a small vocab's rounds
     are pure scheduler overhead distributed), as vocab-shuffle rounds
-    with a pure JVM fold above it. Rows-only by declared design (an
-    8-round iterative rewrite has no SQL form); pinned instead by an
-    independent pure-Python BPE reference on the same corpus, on BOTH
-    paths, in tests/test_bpe.py."""
+    with a pure JVM fold above it. Hash-gated since r11 (the s13/d8
+    unrolling recipe, r10 verdict item 2): merges are integer-
+    deterministic with explicit tie-breaks (freq DESC, left ASC, right
+    ASC — UTF-8 binary collation in both engines), so the oracle
+    unrolls 8 merge rounds as chained CTEs over the vocab. The greedy
+    leftmost non-overlapping rewrite has an exact SQL form via a
+    boundary-safe string encoding: each symbol is wrapped as
+    US||sym||US (US = chr(31), absent from whitespace-tokenized text),
+    so SQL ``replace(s, US||l||US||US||r||US, US||lr||US)`` — which
+    scans left-to-right replacing non-overlapping occurrences — IS the
+    BPE merge step, with full-symbol anchoring for free. Additionally
+    pinned by an independent pure-Python BPE reference on the same
+    corpus, on BOTH execution paths, in tests/test_bpe.py."""
     from ..operators import bpe
 
     docs = t(spark, sf_dir, "documents").select("text")
@@ -2894,6 +2903,74 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, left string, right string, merged string, "
         "pair_freq long",
     )
+
+
+def _t16_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE oracle (see t16_bpe_merges docstring): vocab →
+    US-wrapped symbol strings → n_merges rounds of (pair count, argmax
+    with the Spark tie-break, greedy replace). A round whose pair table
+    is empty yields an empty b{r} and empties all later states — the
+    same early-stop row count as train_bpe's break. Shared dialect:
+    the init avoids regexp backreferences (DuckDB \\1 vs Spark $1 —
+    genuinely divergent) by assembling the wrapped string with
+    list_transform over generate_series; MATERIALIZED hints keep
+    DuckDB from inlining the doubly-referenced round states (stripped
+    by the frontend transpile, where Spark's WithCTE dedups refs
+    itself)."""
+    sep = "chr(31)"
+    parts = [f"""WITH toks AS (
+  SELECT filter(string_split_regex(lower(trim(text)), '\\s+'),
+                w -> w != '') AS ws
+  FROM documents
+), words AS (
+  SELECT unnest(ws) AS word FROM toks
+), vocab AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY word
+),
+r0 AS (
+  SELECT array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> {sep} || substr(word, CAST(i AS INT), 1)
+                               || {sep}),
+           '') AS s,
+         freq
+  FROM vocab
+)"""]
+    for r in range(n_merges):
+        parts.append(f""",
+g{r} AS MATERIALIZED (
+  SELECT string_split_regex(substr(s, 2, length(s) - 2),
+                            {sep} || {sep}) AS L, freq
+  FROM r{r}
+),
+e{r} AS (
+  SELECT L, freq, unnest(generate_series(1, np)) AS i
+  FROM (SELECT L, freq, array_length(L) - 1 AS np FROM g{r})
+  WHERE np >= 1
+),
+p{r} AS (
+  SELECT L[i] AS lft, L[i + 1] AS rgt, sum(freq) AS pf
+  FROM e{r} GROUP BY lft, rgt
+),
+b{r} AS MATERIALIZED (
+  SELECT lft, rgt, CAST(pf AS BIGINT) AS pf
+  FROM p{r} ORDER BY pf DESC, lft ASC, rgt ASC LIMIT 1
+),
+r{r + 1} AS MATERIALIZED (
+  SELECT replace(s, {sep} || b.lft || {sep} || {sep} || b.rgt || {sep},
+                    {sep} || b.lft || b.rgt || {sep}) AS s, freq
+  FROM r{r}, b{r} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, lft AS left, "
+        f"rgt AS right, lft || rgt AS merged, pf AS pair_freq FROM b{r}"
+        for r in range(n_merges)
+    )
+    parts.append("\n" + sel + "\nORDER BY rank")
+    return "".join(parts)
+
+
+T16_SQL = _t16_sql()
 
 
 # --- S13: k-means codebook training (Lloyd's, the IVF trainer) ---------------
@@ -3112,10 +3189,10 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
     QuerySpec("s13_kmeans_codebook", s13_kmeans_codebook, S13_SQL,
               "k-means codebook training: 3 Lloyd iterations, literal-"
               "centroid assignment, per-cluster inertia audit"),
-    QuerySpec("t16_bpe_merges", t16_bpe_merges, None,
+    QuerySpec("t16_bpe_merges", t16_bpe_merges, T16_SQL,
               "BPE tokenizer training: 8 merge rounds over the vocab "
-              "table, JVM-fold rewrite (rows-only; Python-reference "
-              "pinned in tests)"),
+              "table, JVM-fold rewrite; unrolled-CTE oracle via the "
+              "US-wrapped replace() encoding"),
     QuerySpec("s9_ivf_recall", s9_ivf_recall, S9_SQL,
               "IVF recall@5 vs exact brute force: the index-drift "
               "eval harness"),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from anomaly_detection_iiot_spark.queries.mlops import (
+    _m8_scored,
     m3_ae_train_loss,
     m8_random_search,
     m10_transfer_loss,
@@ -27,12 +28,25 @@ def test_sample_search_space_seeded_and_deduped():
 
 
 def test_m8_best_config_stable_under_seed(spark, sf_dir):
-    first = m8_random_search(spark, sf_dir).orderBy("rk").collect()
-    second = m8_random_search(spark, sf_dir).orderBy("rk").collect()
+    first = _m8_scored(spark, sf_dir).orderBy("rk").collect()
+    second = _m8_scored(spark, sf_dir).orderBy("rk").collect()
     assert [r.asDict() for r in first] == [r.asDict() for r in second]
     assert first[0].rk == 1
     losses = [r.val_loss for r in first]
     assert losses == sorted(losses)
+
+
+def test_m8_selection_contract(spark, sf_dir):
+    rows = m8_random_search(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r.argmin_ok for r in rows)
+    assert all(r.n_best == 1 for r in rows)
+    # the emitted trial table is exactly the seeded sampler's output
+    trials = {
+        (t["trial"], t["lr"], t["outer"], t["depth"])
+        for t in sample_search_space(seed=101, n_trials=6)
+    }
+    assert {(r.trial, r.lr, r.outer, r.depth) for r in rows} == trials
 
 
 def test_m10_transfer_property(spark, sf_dir):

@@ -240,6 +240,14 @@ ANSI_QUERIES = [
     # fixpoint-proof `converged` column (AS MATERIALIZED hints for
     # DuckDB, stripped by the frontend transpile)
     "d8_dup_clusters",
+    # r11: t16 gained a hash-gated oracle (8 unrolled BPE merge rounds;
+    # greedy rewrite = replace() over the US-wrapped symbol encoding)
+    "t16_bpe_merges",
+    # r11: m9/m8 converged to self-consistency contract oracles
+    # (weight-coordinate domain + averaging flag; seeded trial table +
+    # argmin flag)
+    "m9_fedavg_weights",
+    "m8_random_search",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
