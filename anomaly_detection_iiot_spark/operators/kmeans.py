@@ -297,8 +297,18 @@ def lloyd_update_stats(
     Ties break to the smallest centroid id (ids sorted, argmin takes
     the first minimum) — the same integer decision as the literal
     fold; distances differ from the fold only by fp summation order
-    (~1e-15 relative), absorbed by the 9-decimal centroid quantization
-    both engines apply between iterations."""
+    (~1e-15 relative). The 9-decimal centroid quantization both
+    engines apply between iterations makes the cross-engine agreement
+    PROBABILISTIC, not absolute (ADVICE r10): a coordinate mean
+    landing within summation error of a .5e-9 HALF_UP boundary can
+    round differently across engines and then diverge in all later
+    iterations. With ~1e-15 relative error against a 1e-9 grid that
+    is ~1e-6 per rounding, ~1e-3 per full s13 run over its ~1.5k
+    roundings — rare enough for the hash gate in practice, and no
+    rounding scheme can eliminate it (every grid has boundaries; a
+    finer pre-round only densifies them). A deployment that needs a
+    hard guarantee must carry integer/DECIMAL coordinates end-to-end
+    or gate on assignment counts instead of centroid values."""
     import numpy as np
     import pandas as pd
 

@@ -380,15 +380,18 @@ def d8_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``converged`` is the contract column that let the oracle drop its
     DuckDB-only recursive CTE (r10 — d8 was the LAST dialect-divergent
-    text): the shared-SQL twin unrolls 8 rounds of pointer-jumping
-    label propagation (each round takes the min over self, neighbors'
-    labels, and label-of-label — the doubling step that makes
-    convergence O(log diameter), so 8 rounds cover any diameter up to
-    ~2^8) and then proves a 9th round changes nothing. If a corpus ever
-    produced a deeper component, the oracle's flag flips FALSE and the
-    hash gate catches it. The Spark side's loop iterates to an exact
-    fixpoint by construction (connected_components warns otherwise), so
-    its flag is literal TRUE."""
+    text): the shared-SQL twin (``_d8_sql``) unrolls 6 rounds of PLAIN
+    single-reference min-label propagation (new_l(v) = min over
+    neighbors-and-self of prev_l — one prev-table reference per round,
+    keeping CTE inlining linear; the 3-reference pointer-jumping
+    variant was abandoned after it exploded both engines, see _d8_sql)
+    and spends one extra round PROVING the fixpoint. Plain propagation
+    covers distance-to-component-min <= 6; a corpus with a deeper
+    component flips the oracle's flag FALSE and the hash gate catches
+    it (measured depth at sf0.001/sf0.01: 1). The Spark side's loop
+    iterates to an exact fixpoint by construction
+    (connected_components warns otherwise), so its flag is literal
+    TRUE."""
     from ..operators.graph import connected_components
 
     pairs = dedup.ngram_jaccard_pairs(_shingled(spark, sf_dir), min_jaccard=0.1)

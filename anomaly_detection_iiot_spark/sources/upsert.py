@@ -29,8 +29,10 @@ Semantics (pinned by tests + the s14 round-trip oracle):
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,6 +40,43 @@ from pyspark.sql import functions as F
 
 V_COL = "_v"
 DEL_COL = "_deleted"
+
+# A crashed writer (died between stage and rename) leaves its hidden
+# .staging-* dir behind forever — invisible to readers but unbounded
+# garbage under churn (r10 verdict item 5). Writers sweep stale ones on
+# entry; the grace window keeps a sweep from deleting a CONCURRENT
+# writer's in-flight staging (staging->rename is seconds, the window is
+# an hour).
+STAGING_GRACE_SEC = 3600.0
+
+
+def _sweep_stale_staging(
+    path: str, grace_sec: float = STAGING_GRACE_SEC
+) -> None:
+    """Delete crashed-writer staging dirs older than the grace window.
+    Called by writers (append_delta / commit_delta) on entry — readers
+    never pay for it, and an in-flight concurrent stage is protected
+    by the mtime grace."""
+    if not os.path.isdir(path):
+        return
+    cutoff = time.time() - grace_sec
+    for d in os.listdir(path):
+        if not d.startswith(".staging-"):
+            continue
+        full = os.path.join(path, d)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # raced with its owner finishing — leave it
+
+
+def _is_rename_race(e: OSError) -> bool:
+    """True only for the errnos an atomic-rename version conflict can
+    produce (destination already exists). EXDEV/EACCES/ENOSPC are real
+    failures and must surface as themselves, not as 'lost the race'
+    (ADVICE r10)."""
+    return e.errno in (errno.EEXIST, errno.ENOTEMPTY)
 
 
 def write_base(df: DataFrame, path: str) -> None:
@@ -120,13 +159,16 @@ def append_delta(
             "allocation, or overwrite=True if this writer owns the "
             "version (e.g. a streaming replay of its own batch id)."
         )
+    _sweep_stale_staging(path)
     staging = _write_staged(_as_batch(df, deletes), path)
     if overwrite:
         shutil.rmtree(dst, ignore_errors=True)
     try:
         os.rename(staging, dst)
-    except OSError:
+    except OSError as e:
         shutil.rmtree(staging, ignore_errors=True)
+        if not _is_rename_race(e):
+            raise  # EXDEV/EACCES/ENOSPC/...: not a version conflict
         raise FileExistsError(
             f"lost the race for {dst}: another writer committed this "
             "version first. Use commit_delta() for OCC allocation."
@@ -160,6 +202,7 @@ def commit_delta(
     partition; last-writer-wins order across them is decided by the
     version numbers the OS handed out."""
     _recover_compaction(path)
+    _sweep_stale_staging(path)
     staging = _write_staged(_as_batch(df, deletes), path)
     for _ in range(max_retries):
         v = (table_versions(path) or [0])[-1] + 1
@@ -167,7 +210,13 @@ def commit_delta(
         try:
             os.rename(staging, dst)
             return v
-        except OSError:
+        except OSError as e:
+            if not _is_rename_race(e):
+                # EXDEV/EACCES/ENOSPC/...: retrying re-lists the same
+                # versions forever and mislabels a real failure as
+                # contention (ADVICE r10) — surface it immediately
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
             continue  # lost the race — re-list and try the next slot
     shutil.rmtree(staging, ignore_errors=True)
     raise RuntimeError(

@@ -109,12 +109,12 @@ COMPAT_SHIMS = [
 # placement, ASOF JOIN, generate_subscripts) are NOT transpiled — those
 # oracles are declared dialect-divergent in tests/test_sql_frontend.py.
 _TRANSPILE = [
-    # DuckDB CTE materialization hint (d8's unrolled label-propagation
-    # rounds each reference the previous round three times — without
-    # the hint DuckDB inlines every reference into 3^rounds corpus
-    # scans). Spark has no MATERIALIZED keyword and decides
-    # materialization in its own planner, so the hint is stripped —
-    # a pure optimizer-hint rewrite, zero semantics.
+    # DuckDB CTE materialization hint (d8/t16's unrolled iteration
+    # states are referenced by BOTH the next round and a side
+    # computation — without the hint DuckDB re-inlines every reference
+    # and the expansion compounds per round). Spark has no MATERIALIZED
+    # keyword and decides materialization in its own planner, so the
+    # hint is stripped — a pure optimizer-hint rewrite, zero semantics.
     (r"\bAS\s+MATERIALIZED\s*\(", "AS ("),
     # ordered: the fused rule must fire before the generic unnest one,
     # because Spark refuses SQL-UDFs (like the generate_series shim)

@@ -96,7 +96,11 @@ def apply_cdc_with_ivm(
       the swapped aggregate carries an `_APPLIED_BATCH` marker; a
       replay that finds marker >= batch_id skips the fold (the
       aggregate already includes this batch) and only rewrites the
-      idempotent delta partition."""
+      idempotent delta partition;
+    - crash INSIDE the swap itself (old renamed away, new not yet in
+      place — agg_path momentarily missing): ``_recover_agg_swap`` at
+      the next batch entry promotes the complete marker-carrying tmp,
+      or restores old if tmp never finished (ADVICE r10)."""
     spark = changes.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -114,6 +118,37 @@ def apply_cdc_with_ivm(
 
 
 _MARKER = "_APPLIED_BATCH"
+
+
+def _recover_agg_swap(agg_path: str) -> None:
+    """Crash recovery for the aggregate's two-rename swap (ADVICE r10:
+    the TABLE got _recover_compaction self-healing but the aggregate
+    did not). A crash between ``os.rename(agg_path, old)`` and
+    ``os.rename(tmp, agg_path)`` leaves NO directory at agg_path; on
+    replay _applied_through would return -1 and the cur-read would
+    fail permanently. Restore preference when agg_path is missing:
+
+    - ``tmp`` containing the _APPLIED_BATCH marker: the swap was
+      in flight with the NEW aggregate fully written — promote it
+      (its marker makes the replay a no-op fold, matching the
+      post-swap path).
+    - else ``old``: crash before tmp was complete — restore the
+      pre-batch aggregate; the replay recomputes the fold against it
+      (version-pinned old-state read keeps that idempotent).
+
+    Called at apply_ivm_batch entry, so the next batch — replayed or
+    new — self-heals before touching either partial-apply window."""
+    import shutil
+
+    if os.path.isdir(agg_path):
+        return
+    tmp, old = agg_path + ".tmp", agg_path + ".old"
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, _MARKER)):
+        os.rename(tmp, agg_path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, agg_path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _applied_through(path: str) -> int:
@@ -139,6 +174,7 @@ def apply_ivm_batch(
     the semantics and the two idempotence guards)."""
     import shutil
 
+    _recover_agg_swap(agg_path)
     batch_df = batch_df.localCheckpoint(eager=True)
     ups = batch_df.filter(F.col(OP_COL) != "delete").drop(OP_COL)
     dels = batch_df.filter(F.col(OP_COL) == "delete").select(*key_cols)

@@ -639,3 +639,134 @@ def test_compact_through_retains_recent_history(spark, tmp_path):
     base = spark.read.parquet(tbl + "/_v=2")
     assert base.filter("k = 2").count() == 0
     assert base.filter("_deleted").count() == 0
+
+
+def test_crashed_writer_staging_swept_on_next_commit(spark, tmp_path):
+    """r10 verdict item 5: a writer that died between stage and rename
+    leaks .staging-* forever; the next committer must sweep dirs older
+    than the grace window and leave fresh (possibly in-flight) ones."""
+    import os
+    import time
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "base")], "k long, val string"), tbl
+    )
+    dead = os.path.join(tbl, ".staging-deadbeef")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    stale = time.time() - upsert.STAGING_GRACE_SEC - 60
+    os.utime(dead, (stale, stale))
+    fresh = os.path.join(tbl, ".staging-cafebabe")
+    os.makedirs(fresh)  # concurrent writer mid-stage: must survive
+    v = upsert.commit_delta(
+        spark.createDataFrame([(2, "mine")], "k long, val string"), tbl
+    )
+    assert v == 1
+    assert not os.path.exists(dead), "stale staging not swept"
+    assert os.path.exists(fresh), "in-flight staging wrongly swept"
+    # reads unaffected throughout
+    got = _rows(upsert.read_merged(spark, tbl, ["k"]))
+    assert got == {(1, "base"), (2, "mine")}
+
+
+def test_non_race_rename_failure_surfaces(spark, tmp_path, monkeypatch):
+    """ADVICE r10: EACCES/EXDEV/ENOSPC during the commit rename are
+    real failures, not version conflicts — commit_delta must raise
+    them immediately (no 20-retry spin), with the staging dir cleaned
+    up; append_delta likewise must not mislabel them FileExistsError."""
+    import errno
+    import glob
+    import os
+
+    import pytest
+
+    tbl = str(tmp_path / "tbl")
+    upsert.write_base(
+        spark.createDataFrame([(1, "base")], "k long, val string"), tbl
+    )
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        if "/_v=" in dst or dst.endswith("_v=1"):
+            calls["n"] += 1
+            raise OSError(errno.EACCES, "permission denied", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    delta = spark.createDataFrame([(2, "mine")], "k long, val string")
+    with pytest.raises(OSError) as ei:
+        upsert.commit_delta(delta, tbl)
+    assert ei.value.errno == errno.EACCES
+    assert calls["n"] == 1, "non-race OSError must not be retried"
+    with pytest.raises(OSError) as ei2:
+        upsert.append_delta(delta, tbl, 1)
+    assert ei2.value.errno == errno.EACCES
+    assert not isinstance(ei2.value, FileExistsError)
+    monkeypatch.undo()
+    assert glob.glob(os.path.join(tbl, ".staging-*")) == [], (
+        "staging not cleaned after hard failure"
+    )
+
+
+def test_ivm_replay_after_crash_inside_swap(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): crash BETWEEN the two swap renames — old
+    renamed away, new tmp (marker complete) not yet promoted, so
+    agg_path is momentarily missing. The next apply must self-heal by
+    promoting tmp and then treat the replay as already-applied."""
+    import os
+
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl, agg, batch = _ivm_fixture(spark, tmp_path)
+    real_rename = os.rename
+    crash = {"armed": True}
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        # die right after agg_path -> agg_path.old succeeded
+        if crash["armed"] and dst == agg + ".old":
+            crash["armed"] = False
+            raise Boom("crash inside swap")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        cdc_stream.apply_ivm_batch(
+            spark, batch, 0, tbl, agg, ["k"], "grp", "amt"
+        )
+    except Boom:
+        pass
+    monkeypatch.undo()
+    assert not os.path.exists(agg), "precondition: crash left agg missing"
+    assert os.path.exists(os.path.join(agg + ".tmp", "_APPLIED_BATCH"))
+    # replay of the same batch heals + no double fold
+    cdc_stream.apply_ivm_batch(spark, batch, 0, tbl, agg, ["k"], "grp", "amt")
+    assert _agg_state(spark, agg) == _rescan_state(spark, tbl)
+    assert not os.path.exists(agg + ".tmp") and not os.path.exists(
+        agg + ".old"
+    )
+
+
+def test_ivm_recovers_when_tmp_never_finished(spark, tmp_path):
+    """The other half of the swap window: agg_path missing, tmp
+    WITHOUT a marker (incomplete write) but old intact — recovery must
+    restore old and the replay recomputes the fold against it."""
+    import os
+    import shutil
+
+    from anomaly_detection_iiot_spark.streaming import cdc_stream
+
+    tbl, agg, batch = _ivm_fixture(spark, tmp_path)
+    # simulate: old renamed away, tmp incomplete (no marker)
+    os.rename(agg, agg + ".old")
+    os.makedirs(agg + ".tmp")
+    with open(os.path.join(agg + ".tmp", "part-junk"), "w") as fh:
+        fh.write("incomplete")
+    cdc_stream.apply_ivm_batch(spark, batch, 0, tbl, agg, ["k"], "grp", "amt")
+    assert _agg_state(spark, agg) == _rescan_state(spark, tbl)
+    shutil.rmtree(agg + ".tmp", ignore_errors=True)
