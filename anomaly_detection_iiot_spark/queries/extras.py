@@ -1523,6 +1523,164 @@ def w24_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w25_binary_segmentation(
+    spark: SparkSession, sf_dir: str, depth: int = 3, min_seg: int = 4
+) -> DataFrame:
+    """Recursive binary segmentation — the multi-changepoint operator
+    on top of w24's single best split (r10 verdict item 8: w22 online
+    alarm → w24 single split → THIS completes the changepoint family).
+    Level 0 locates the best split of each user's whole series; each
+    later level re-splits both halves, with a min-segment guard
+    (both sides >= min_seg) — up to 2^depth - 1 changepoints.
+
+    Scale design: the series is scanned ONCE into per-user prefix sums
+    (the w24 pass, persisted); every level's segment statistics come
+    from pure prefix-sum arithmetic — a segment [a, b] split at k
+    needs only (S_{a-1}, S_k, S_b), and each level's winning rows
+    carry (S_{a-1}, S_b) DOWN to their children, so recursion costs
+    one broadcast join (|users|·2^level segment rows — KB-scale)
+    plus one (user, segment)-partitioned rank window per level: no
+    per-segment rescans, no driver round-trips, no shuffle of the
+    series beyond the initial per-user ordering. Determinism contract
+    shared with w24: stat rounded to 6 before the argmax, ties break
+    to the smallest split index; prefix sums are order-defined
+    (same adds, same order) so the doubles match the oracle bitwise.
+    Output: (user_id, level, seg_start, seg_end, cp_i, stat)."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    ).withColumn("i", F.row_number().over(w_ord).cast("long"))
+    run = Window.partitionBy("user_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("user_id")
+    p = (
+        seq.withColumn("S", F.sum("x").over(run))
+        .withColumn("n", F.count(F.lit(1)).over(tot).cast("long"))
+        .withColumn("Sn", F.sum("x").over(tot))
+        .select("user_id", "i", "S", "n", "Sn")
+        .persist()
+    )
+    segs = p.filter(F.col("i") == 1).select(
+        "user_id",
+        F.lit(1).cast("long").alias("a"),
+        F.col("n").alias("b"),
+        F.lit(0.0).alias("sa1"),
+        F.col("Sn").alias("sb"),
+    )
+    i, a, b = F.col("i"), F.col("a"), F.col("b")
+    levels: list[DataFrame] = []
+    for lvl in range(depth):
+        cand = (
+            p.join(F.broadcast(segs), "user_id")
+            .filter((i >= a + min_seg - 1) & (i <= b - min_seg))
+            .withColumn(
+                "stat",
+                F.round(
+                    F.sqrt(
+                        (i - a + 1) * (b - i) * F.lit(1.0) / (b - a + 1)
+                    )
+                    * F.abs(
+                        (F.col("S") - F.col("sa1")) / (i - a + 1)
+                        - (F.col("sb") - F.col("S")) / (b - i)
+                    ),
+                    6,
+                ),
+            )
+        )
+        pick = Window.partitionBy("user_id", "a").orderBy(
+            F.desc("stat"), F.asc("i")
+        )
+        win = cand.withColumn("rk", F.row_number().over(pick)).filter(
+            F.col("rk") == 1
+        )
+        levels.append(
+            win.select(
+                "user_id",
+                F.lit(lvl).cast("bigint").alias("level"),
+                a.alias("seg_start"),
+                b.alias("seg_end"),
+                i.alias("cp_i"),
+                "stat",
+            )
+        )
+        segs = win.select(
+            "user_id", "a", i.alias("b"), "sa1", F.col("S").alias("sb")
+        ).unionByName(
+            win.select(
+                "user_id",
+                (i + 1).alias("a"),
+                "b",
+                F.col("S").alias("sa1"),
+                "sb",
+            )
+        )
+    out = levels[0]
+    for d in levels[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("user_id", "level", "seg_start")
+
+
+def _w25_sql(depth: int = 3, min_seg: int = 4) -> str:
+    """w25 oracle: the recursion statically unrolled — seg{r} carries
+    (a, b, S_{a-1}, S_b) down exactly like the DataFrame loop."""
+    m = min_seg
+    parts = ["""WITH seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i
+  FROM events
+), p AS (
+  SELECT user_id, i,
+         sum(x) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS S,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(x) OVER (PARTITION BY user_id) AS Sn
+  FROM seq
+), seg0 AS (
+  SELECT user_id, 1 AS a, n AS b, CAST(0 AS DOUBLE) AS sa1, Sn AS sb
+  FROM p WHERE i = 1
+)"""]
+    for r in range(depth):
+        parts.append(f""",
+c{r} AS (
+  SELECT p.user_id, s.a, s.b, s.sa1, s.sb, p.i, p.S,
+         round(sqrt((p.i - s.a + 1) * (s.b - p.i) * 1.0
+                    / (s.b - s.a + 1))
+               * abs((p.S - s.sa1) / (p.i - s.a + 1)
+                     - (s.sb - p.S) / (s.b - p.i)), 6) AS stat
+  FROM p JOIN seg{r} s ON s.user_id = p.user_id
+  WHERE p.i >= s.a + {m} - 1 AND p.i <= s.b - {m}
+),
+w{r} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT c{r}.*, row_number() OVER (PARTITION BY user_id, a
+                                      ORDER BY stat DESC, i) AS rk
+    FROM c{r}
+  ) ranked{r} WHERE rk = 1
+),
+seg{r + 1} AS (
+  SELECT user_id, a, i AS b, sa1, S AS sb FROM w{r}
+  UNION ALL
+  SELECT user_id, i + 1 AS a, b, S AS sa1, sb FROM w{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT user_id, CAST({r} AS BIGINT) AS level, "
+        f"CAST(a AS BIGINT) AS seg_start, CAST(b AS BIGINT) AS seg_end, "
+        f"CAST(i AS BIGINT) AS cp_i, stat FROM w{r}"
+        for r in range(depth)
+    )
+    parts.append(
+        "\n" + sel + "\nORDER BY user_id, level, seg_start"
+    )
+    return "".join(parts)
+
+
+W25_SQL = _w25_sql()
+
+
 W24_SQL = """
 WITH seq AS (
   SELECT user_id, value AS x,
@@ -2592,6 +2750,11 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("w24_changepoint", w24_changepoint, W24_SQL,
               "W24 mean-shift changepoint location: standardized "
               "two-sample stat from prefix sums, O(n) per series"),
+    QuerySpec("w25_binary_segmentation", w25_binary_segmentation,
+              W25_SQL,
+              "W25 recursive binary segmentation: 3 unrolled levels "
+              "re-splitting halves from carried prefix-sum bounds, "
+              "min-segment guard, up to 7 changepoints per series"),
     QuerySpec("a30_audience_overlap", a30_audience_overlap, A30_SQL,
               "A30 audience overlap: HLL inclusion-exclusion over "
               "per-type sketches vs exact, union-relative contract"),

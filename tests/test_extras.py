@@ -302,3 +302,38 @@ def test_a25_month_checksums_roll_up_to_table_checksum(spark):
     rolled = per_part.agg(F.bit_xor("c").alias("c")).collect()[0]["c"]
     direct = df.agg(F.bit_xor("h").alias("c")).collect()[0]["c"]
     assert rolled == direct
+
+
+def test_w25_recovers_planted_changepoints(spark, tmp_path):
+    """Binary segmentation semantics on a constructed series: three
+    flat regimes (mean 0 | 10 | 20, 16 samples each) must yield the
+    two regime boundaries — level 0 finds one, level 1 the other —
+    and every emitted split respects the min-segment guard."""
+    import datetime
+
+    from anomaly_detection_iiot_spark.queries.extras import (
+        w25_binary_segmentation,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for j in range(48):
+        mean = (j // 16) * 10.0
+        rows.append(
+            (j + 1, t0 + datetime.timedelta(seconds=j), 7, "t",
+             mean + (0.01 if j % 2 else -0.01), "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = w25_binary_segmentation(spark, str(tmp_path)).collect()
+    cps = {r.cp_i for r in got}
+    assert {16, 32} <= cps, got
+    lvl0 = [r for r in got if r.level == 0]
+    assert len(lvl0) == 1 and lvl0[0].cp_i in (16, 32)
+    for r in got:
+        assert r.cp_i - r.seg_start + 1 >= 4
+        assert r.seg_end - r.cp_i >= 4
+        assert r.seg_start <= r.cp_i < r.seg_end

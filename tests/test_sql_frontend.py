@@ -248,6 +248,8 @@ ANSI_QUERIES = [
     # argmin flag)
     "m9_fedavg_weights",
     "m8_random_search",
+    # r11 addition: unrolled recursion over carried prefix-sum bounds
+    "w25_binary_segmentation",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
