@@ -68,3 +68,21 @@ def test_history_roundtrip(tmp_path, monkeypatch):
     assert bench._load_history() == {}
     bench._save_history({"a": 1.5, "b": 0.25})
     assert bench._load_history() == {"a": 1.5, "b": 0.25}
+
+
+def test_multi_second_25pct_regression_is_remeasured(monkeypatch):
+    # r10 verdict item 6: 1.47 -> 1.86 (+27%) sat under the old pure-2x
+    # bound; the 25%-band gate must re-measure it
+    times = {"bp": 1.86}
+    hist = {"bp": 1.47}
+    flagged, _, calls = _run(times, hist, {"bp": 1.30}, monkeypatch)
+    assert calls == ["bp"]
+    assert flagged == ["bp"]
+    assert times["bp"] == 1.30
+
+
+def test_within_band_variation_not_remeasured(monkeypatch):
+    times = {"q": 1.70}
+    hist = {"q": 1.47}   # +16% and < +0.25s: inside the band
+    flagged, _, calls = _run(times, hist, {}, monkeypatch)
+    assert calls == [] and flagged == []
