@@ -1825,35 +1825,36 @@ def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     # exact integer micros on both engines (the j10 lesson): a
     # truncated-seconds median vs a fractional-epoch median could
-    # split boundary events into different windows
-    mid = ev.agg(
-        F.round(F.percentile(F.unix_micros("ts").cast("double"), F.lit(0.5)), 0)
-    ).collect()[0][0]
-    tagged = ev.select(
+    # split boundary events into different windows. Fully lazy since
+    # r11 (verdict item 9 — r10 ran mid+edges as TWO eager collect
+    # jobs, 1.26 s of 2.16 s booked as compile): the median rides a
+    # broadcast 1-row frame; its subtree appears under both tagged
+    # consumers but the identical BroadcastExchange is reused at
+    # runtime. This only became safe once the downstream PSI tail was
+    # collapsed to one conditional-aggregation pass — the old
+    # ref/cur/n_ref/n_cur self-join cascade re-expanded every lazy
+    # subtree (48 scans, measured).
+    mid_df = ev.agg(
+        F.round(
+            F.percentile(F.unix_micros("ts").cast("double"), F.lit(0.5)), 0
+        ).alias("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid_df)).select(
         "event_type",
         "value",
-        (F.unix_micros("ts") >= F.lit(mid)).alias("is_cur"),
+        (F.unix_micros("ts") >= F.col("m")).alias("is_cur"),
     )
     pcts = [i / 10.0 for i in range(1, 10)]
-    edges_rows = (
+    # |types|-row broadcast edges frame with the decile array built
+    # INSIDE the agg — no driver round-trip, same crossing-sum consumer
+    edges_df = (
         tagged.filter(~F.col("is_cur"))
         .groupBy("event_type")
         .agg(
-            *[
-                F.round(F.percentile("value", F.lit(p)), 6).alias(f"e{i}")
-                for i, p in enumerate(pcts, 1)
-            ]
+            F.array(
+                *[F.round(F.percentile("value", F.lit(p)), 6) for p in pcts]
+            ).alias("es")
         )
-        .collect()
-    )
-    edges = {r["event_type"]: [r[f"e{i}"] for i in range(1, 10)] for r in edges_rows}
-    # one broadcast join against a |types|-row edges frame, crossing-sum
-    # over the joined edge array — replaces the r9 per-type literal
-    # parts whose unionByName scanned events once PER TYPE (5 scans +
-    # 5 plan analyses were 2.1 s of the query's 4.0 s at sf0.1)
-    edges_df = spark.createDataFrame(
-        [(et, [float(v) for v in es]) for et, es in sorted(edges.items())],
-        "event_type string, es array<double>",
     )
     binned = (
         tagged.join(F.broadcast(edges_df), "event_type")
@@ -1866,40 +1867,21 @@ def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
     )
-    counts = binned.groupBy("event_type", "is_cur", "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    # conditional aggregation pivots ref/cur in ONE group-by — the r10
+    # ref/cur/n_ref/n_cur self-join cascade re-expanded the (now lazy)
+    # percentile subtrees into 48 scans; a bin empty on one side has
+    # c=0 here, so (0+1)/(n+10) IS the old full-outer coalesce floor
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum((~F.col("is_cur")).cast("long")).alias("c_ref"),
+        F.sum(F.col("is_cur").cast("long")).alias("c_cur"),
     )
-    tot = counts.groupBy("event_type", "is_cur").agg(
-        F.sum("c").alias("n")
-    )
-    sh = (
-        counts.join(tot, ["event_type", "is_cur"])
-        .select(
-            "event_type",
-            "is_cur",
-            "bin",
-            ((F.col("c") + 1) / (F.col("n") + 10)).alias("share"),
-        )
-    )
-    ref = sh.filter(~F.col("is_cur")).select(
-        "event_type", "bin", F.col("share").alias("p")
-    )
-    cur = sh.filter(F.col("is_cur")).select(
-        "event_type", "bin", F.col("share").alias("q")
-    )
-    # full outer: a bin empty on one side still contributes via its
-    # smoothed floor share 1/(n+10)
-    n_ref = tot.filter(~F.col("is_cur")).select("event_type", F.col("n").alias("nr"))
-    n_cur = tot.filter(F.col("is_cur")).select("event_type", F.col("n").alias("nc"))
-    joined = (
-        ref.join(cur, ["event_type", "bin"], "full_outer")
-        .join(n_ref, "event_type")
-        .join(n_cur, "event_type")
-        .select(
-            "event_type",
-            F.coalesce("p", 1 / (F.col("nr") + 10)).alias("p"),
-            F.coalesce("q", 1 / (F.col("nc") + 10)).alias("q"),
-        )
+    per_type = Window.partitionBy("event_type")
+    joined = counts.select(
+        "event_type",
+        ((F.col("c_ref") + 1) / (F.sum("c_ref").over(per_type) + 10))
+        .alias("p"),
+        ((F.col("c_cur") + 1) / (F.sum("c_cur").over(per_type) + 10))
+        .alias("q"),
     )
     return (
         joined.groupBy("event_type")
