@@ -69,69 +69,22 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 10 — no driver row yet
-    "s17_occ_committers",
-    "t18_bm25",
-    "w24_changepoint",
-    # CHANGED in round 10 — the driver must re-prove the new code /
-    # oracle text at sf0.01 (o2/o14: approx-percentile rank-validation
-    # contracts; s13: fused-Arrow/local Lloyd training; m6: relational
-    # forward-pass oracle; g1: degree-ordered triangle enumeration;
-    # t17: pagerank dangling-mass generalization; s14/s16: upsert OCC
-    # staging + CDC replay idempotence under the hood)
-    "o2_threshold_grid",
-    "o14_equal_freq_binning",
-    "s13_kmeans_codebook",
-    "m6_reconstruction_error",
-    "g1_triangle_count",
-    "t17_textrank",
-    "s14_upsert_roundtrip",
-    "s16_incremental_agg",
-    "d8_dup_clusters",  # r10: +converged column, unrolled shared oracle
-    # r5-stale cohort (r9 verdict item 3: latest driver row is r5 for
-    # the 14 below — the sample must lift the minimum to >= r6 this
-    # round). All mirror-green at sf0.001 every suite run; this is
-    # row-age hygiene, not correctness risk.
-    "j6_asof_join",
-    "j7_interval_overlap",
-    "m14_calibration",
-    "mm3_audio_roundtrip",
-    "o6_stratified_sample",
-    "o7_funnel",
-    "p11_stack_unpivot",
-    "p12_pivot",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "w10_islands",
-    "w10_sessionize",
-    "w11_gap_audit",
-    "w14_ewma",
-    # r6-stale cohort (31 — next-oldest rows; whatever fits the ~50
-    # sample slots refreshes now, the tail rolls to r11)
-    "a7_resource_aggs",
-    "a10_rollup",
-    "a11_cube",
-    "a15_histogram",
-    "a17_dedup_report",
-    "c3_quality_classifier",
-    "d10_incremental_lsh",
-    "d12_containment",
-    "j1_semi_join",
-    "j2_anti_join",
-    "j3_union_tagged",
-    "j4_range_join",
-    "m12_confusion",
-    "m13_auc",
-    "m13_best_f1",
-    "mm4_image_roundtrip",
-    "o8_quota_sample",
-    "o9_heavy_keys",
-    "o10_budget_selection",
-    "p13_zorder_key",
-    "q3_top_revenue_orders",
-    "q7_volume_shipping",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    # NEW in round 11 — no driver row yet
+    "w25_binary_segmentation",
+    # CHANGED in round 11 — the driver must re-prove the new code /
+    # oracle text at sf0.01 (o1: two-phase bucketed global rank; t16:
+    # first hash-gated oracle via the US-wrapped replace() encoding;
+    # m9/m8: contract oracles replacing rows-only; m17: fully-lazy
+    # plan + conditional-aggregation PSI tail)
+    "o1_time_sort",
+    "t16_bpe_merges",
+    "m9_fedavg_weights",
+    "m8_random_search",
+    "m17_psi_drift",
+    # r6-stale cohort (r10 verdict item 4: lift the driver-row minimum
+    # to r7 — these 7 are the oldest rows; all mirror-green at sf0.001
+    # every suite run, so this is row-age hygiene, not correctness
+    # risk)
     "q21_waiting_suppliers",
     "s1_cosine_topk",
     "t10_decontamination",
@@ -139,6 +92,49 @@ _DRIVER_PRIORITY = [
     "t14_script_profile",
     "w15_sequence_packing",
     "w16_sliding_windows",
+    # r7-stale cohort (41 — next-oldest rows; whatever fits the ~50
+    # sample slots refreshes now, the tail rolls to r12)
+    "a18_table_profile",
+    "a20_autocorr",
+    "d1_exact_dedup",
+    "d2_fingerprint_dedup",
+    "d3_minhash_signatures",
+    "d4_lsh_candidates",
+    "d5_ngram_jaccard",
+    "d7_embedding_neardup",
+    "m5_lr_decay",
+    "m7_fft_mag",
+    "m15_logloss",
+    "mm5_video_roundtrip",
+    "mm6_jpeg_roundtrip",
+    "mm7_audio_frames",
+    "o11_hash_split",
+    "o12_decile_report",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "s4_hyperplane_ann",
+    "s7_filtered_ann",
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_rolling_fingerprint",
+    "t11_pii_scan",
+    "t15_gopher_repetition",
+    "w17_gap_fill",
+    "w18_interpolate",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

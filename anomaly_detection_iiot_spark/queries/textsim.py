@@ -1622,9 +1622,14 @@ def t18_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter lands BEFORE the (doc, term) aggregate, so only matching
     postings ever shuffle (3 terms' worth, not the corpus vocabulary);
     corpus stats (N, avgdl) are one broadcast scalar row; per-term df
-    is a |query|-row broadcast. Top-20 under a rounded-score +
-    doc_id total order."""
-    toked = dedup.tokenize(_spread_docs(spark, sf_dir))
+    is a |query|-row broadcast. Reads the scan's natural splits — NOT
+    _spread_docs (r11, probe-measured): the CPU-spreading repartition
+    is right for the md5-per-shingle minhash family, but BM25's per-doc
+    work is one split+explode+filter, and the repartition was the
+    query's ONLY corpus-sized exchange (191 MB at the 100x probe,
+    exactly linear — vs the flat query-term-sized aggregate). Top-20
+    under a rounded-score + doc_id total order."""
+    toked = dedup.tokenize(_docs(spark, sf_dir).select("doc_id", "text"))
     docs = toked.select("doc_id", F.size("tokens").alias("dl"), "tokens")
     terms = docs.select(
         "doc_id", "dl", F.explode("tokens").alias("term")

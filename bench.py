@@ -113,6 +113,7 @@ HEADLINE = [
     "s17_occ_committers",
     "t18_bm25",
     "w24_changepoint",
+    "w25_binary_segmentation",  # r11: multi-changepoint recursion
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training

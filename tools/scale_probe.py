@@ -90,6 +90,20 @@ QUERY_NAMES = {
     "a29": "a29_market_basket",
     "a30": "a30_audience_overlap",
     "g1": "g1_triangle_count",
+    # r11 (r10 verdict item 7): BM25 rides the documents-inflation
+    # axis — suffix-rewritten copies share NO tokens with the fixed
+    # 3-term query, so the claim measured is exactly the docstring's
+    # "only matching postings shuffle": scan rows grow 100x, the
+    # (doc, term) shuffle stays flat
+    "t18": "t18_bm25",
+    # changepoint family: events sf-series axis (real generated data)
+    "w24": "w24_changepoint",
+    "w25": "w25_binary_segmentation",
+    # deliberately skewed graph (hub star + ring, max-degree hub):
+    # measures the degree-ordered compact-forward claim that wedge
+    # work is bounded on ANY degree distribution (r10 verdict: the
+    # O(m^1.5) bound was claimed but only sf-series-measured)
+    "g1skew": "g1_triangles_hub_star",
 }
 
 
@@ -179,7 +193,38 @@ def _d13_scaled(spark, sf_dir: str):
 # registry's fixed index params: it shuffles only the 8-byte code
 # table + broadcast queries). s4/d13 scale their index knobs with the
 # corpus per their own operational contracts (see each runner).
-RUNNERS = {"s4": _s4_scaled, "d13": _d13_scaled}
+def _g1_skewed(spark, sf_dir: str):
+    """Probe runner: triangle counting on a pathological hub graph —
+    node 0 adjacent to EVERY other node (degree n-1) plus a ring
+    i—i+1, so each ring edge closes a triangle through the hub
+    (n-2 triangles, m ≈ 2n). Under the r9 low-id orientation the hub's
+    small id made every wedge fan out of the hub: O(n^2) pairs. The
+    degree-ordered orientation points all hub edges INTO the hub, so
+    wedges fan only from degree<=4 ring corners — O(m) wedge work.
+    Node count rides the sf-series events row count (1k/10k/100k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators import graph
+
+    n = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    star = (
+        spark.range(1, n)
+        .select(F.lit(0).cast("long").alias("u"), F.col("id").alias("v"))
+    )
+    ring = spark.range(1, n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    per_node = graph.triangles_per_node(star.unionByName(ring))
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
+    return (
+        per_node.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "node", "n_triangles")
+    )
+
+
+RUNNERS = {"s4": _s4_scaled, "d13": _d13_scaled, "g1skew": _g1_skewed}
 
 
 def inflate_documents(src_dir: str, factor: int) -> str:
@@ -457,6 +502,7 @@ def main() -> None:
         # r10 monitoring family: all scan events (sf0.001 = 1000 rows)
         "w22": 1000, "w23": 1000, "m16": 1000, "m17": 1000,
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
+        "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
     }
     for q in queries:
         for n in scales:
