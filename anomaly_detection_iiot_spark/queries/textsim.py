@@ -2981,6 +2981,78 @@ r{r + 1} AS MATERIALIZED (
 T16_SQL = _t16_sql()
 
 
+def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the tokenizer
+    APPLICATION step that pairs with t16's training (together they are
+    the real pretokenizer a training-data pipeline runs; t1's
+    whitespace token counts are the pre-BPE baseline). Encoding
+    happens at the VOCAB level (each distinct word encoded once, then
+    weighted by its corpus frequency — the Sennrich trick t16's
+    training already uses), so the 8 merge applications are pure JVM
+    folds over |vocab| rows regardless of corpus size, and the corpus
+    is scanned exactly once to build (word, freq). Output: top-20
+    subword tokens by corpus frequency under a (count DESC, token ASC)
+    total order — the vocabulary-coverage report a tokenizer owner
+    reads. The merge table itself is learned at construction via
+    t16's loop (driver-side below the word-count crossover; the
+    per-round exchange is one (left, right) pair)."""
+    from ..operators import bpe
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    freqs = bpe.word_freqs(docs)
+    merges = bpe.train_bpe(freqs, n_merges=8)
+    enc = freqs.select(F.split("word", "").alias("syms"), "freq")
+    for left, right, _ in merges:
+        enc = enc.select(
+            bpe._apply_merge("syms", left, right).alias("syms"), "freq"
+        )
+    counts = (
+        enc.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "token", "n")
+    )
+
+
+def _t19_sql(n_merges: int = 8) -> str:
+    """t19 oracle: t16's unrolled merge chain, but the final select
+    reads the ENCODED STATE r{n} instead of the merge table — explode
+    the post-merge symbols, weight by word freq, top-20."""
+    base = _t16_sql(n_merges)
+    # keep everything up to (and including) the last round's state CTE,
+    # drop t16's UNION-ALL merge-table select
+    cut = base.rindex(f"r{n_merges} AS MATERIALIZED (")
+    end = base.index(")", base.index("FROM r", cut)) + 1
+    prefix = base[:end]
+    return f"""{prefix},
+enc AS (
+  SELECT string_split_regex(substr(s, 2, length(s) - 2),
+                            chr(31) || chr(31)) AS L, freq
+  FROM r{n_merges}
+),
+tok AS (
+  SELECT unnest(L) AS token, freq FROM enc
+),
+cnt AS (
+  SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM tok GROUP BY token
+)
+SELECT CAST(pos AS BIGINT) AS pos, token, n FROM (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS pos
+  FROM cnt
+) ranked WHERE pos <= 20
+ORDER BY pos
+"""
+
+
+T19_SQL = _t19_sql()
+
+
 # --- S13: k-means codebook training (Lloyd's, the IVF trainer) ---------------
 
 def s13_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3201,6 +3273,9 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "BPE tokenizer training: 8 merge rounds over the vocab "
               "table, JVM-fold rewrite; unrolled-CTE oracle via the "
               "US-wrapped replace() encoding"),
+    QuerySpec("t19_bpe_encode", t19_bpe_encode, T19_SQL,
+              "BPE tokenizer application: learned merges applied at "
+              "vocab level, freq-weighted top-20 subword report"),
     QuerySpec("s9_ivf_recall", s9_ivf_recall, S9_SQL,
               "IVF recall@5 vs exact brute force: the index-drift "
               "eval harness"),

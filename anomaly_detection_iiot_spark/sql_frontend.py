@@ -348,7 +348,14 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # through the SQL parser and are unaffected.
     old = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    # Deeply-unrolled iteration oracles (t16/t19: 8 merge rounds x ~5
+    # CTEs each) legitimately need more Resolution fixpoint iterations
+    # than the default 100 — scoped to this parse+analyze, like the
+    # parser flag above.
+    old_iter = spark.conf.get("spark.sql.analyzer.maxIterations", "100")
+    spark.conf.set("spark.sql.analyzer.maxIterations", "400")
     try:
         return spark.sql(_normalize_dialect(sql))
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
+        spark.conf.set("spark.sql.analyzer.maxIterations", old_iter)

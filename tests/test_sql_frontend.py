@@ -250,6 +250,9 @@ ANSI_QUERIES = [
     "m8_random_search",
     # r11 addition: unrolled recursion over carried prefix-sum bounds
     "w25_binary_segmentation",
+    # r11 addition: t16's merge chain re-used, final select reads the
+    # encoded state
+    "t19_bpe_encode",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
