@@ -76,12 +76,15 @@ _DRIVER_PRIORITY = [
     # oracle text at sf0.01 (o1: two-phase bucketed global rank; t16:
     # first hash-gated oracle via the US-wrapped replace() encoding;
     # m9/m8: contract oracles replacing rows-only; m17: fully-lazy
-    # plan + conditional-aggregation PSI tail)
+    # plan + conditional-aggregation PSI tail; a12: accuracy-contract
+    # oracle; t18: corpus repartition dropped)
     "o1_time_sort",
     "t16_bpe_merges",
     "m9_fedavg_weights",
     "m8_random_search",
     "m17_psi_drift",
+    "a12_approx_aggregates",
+    "t18_bm25",
     # r6-stale cohort (r10 verdict item 4: lift the driver-row minimum
     # to r7 — these 7 are the oldest rows; all mirror-green at sf0.001
     # every suite run, so this is row-age hygiene, not correctness

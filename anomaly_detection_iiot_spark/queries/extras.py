@@ -111,24 +111,44 @@ def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
     )
     agg = dist.join(F.broadcast(pct), "event_type")
+    # accuracy-CONTRACT output (hash-gated since r11; a12 was the last
+    # non-ML rows-only): sketch estimates are engine-local, so the
+    # hashed columns are the exact values plus flags proving each
+    # estimate sits inside its published bound — HLL++ at rsd=0.05
+    # within 5% rel, GK at accuracy=10000 within 1% rel of the exact
+    # median (both generous: at test SFs the HLL range is
+    # linear-counting-exact and the GK rank error is 1e-4). The oracle
+    # recomputes the exact columns and pins the flags TRUE — if a
+    # sketch ever leaves its bound the flag flips and the hash gate
+    # catches it. greatest(|exact|, 1e-12) so a zero exact median
+    # yields a (large) finite error, not NULL from 0-division
+    # (ADVICE r4).
     return agg.select(
         "event_type",
-        "approx_users",
-        F.round(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            6,
-        ).alias("distinct_rel_err"),
-        F.round("approx_p50", 6).alias("approx_p50"),
-        # greatest(|exact|, 1e-12) so a group whose exact median is 0
-        # yields a (large) finite error, not NULL from 0-division
-        # (ADVICE r4) — the test's `err <= tol` then fails loudly
-        F.round(
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("distinct_ok"),
+        F.round("exact_p50", 6).alias("exact_p50"),
+        (
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-12)),
-            6,
-        ).alias("p50_rel_err"),
+            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-12))
+            <= F.lit(0.01)
+        ).alias("p50_ok"),
     )
+
+
+A12_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS distinct_ok,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # --- A13: the EXACT half of A12, oracle-checked (VERDICT r3 item 7) -----------
@@ -2808,8 +2828,9 @@ EXTRA_QUERIES: list[QuerySpec] = [
               "W4 last timestep of each window (baseline.py:132-145)"),
     QuerySpec("a6_summary_stats", a6_summary_stats, A6_SQL,
               "A6 describe()-style summary statistics (baseline.py:268)"),
-    QuerySpec("a12_approx_aggregates", a12_approx_aggregates, None,
-              "HLL distinct + t-digest quantiles with materialized error"),
+    QuerySpec("a12_approx_aggregates", a12_approx_aggregates, A12_SQL,
+              "HLL distinct + GK median under accuracy contracts "
+              "(exact values hashed, bound flags pinned TRUE)"),
     QuerySpec("a13_exact_distinct_quantiles", a13_exact_distinct_quantiles,
               A13_SQL, "exact distinct + median (the oracle-checkable half "
               "of a12)"),

@@ -253,6 +253,9 @@ ANSI_QUERIES = [
     # r11 addition: t16's merge chain re-used, final select reads the
     # encoded state
     "t19_bpe_encode",
+    # r11: a12 converged to the a22-style accuracy contract (exact
+    # values hashed, sketch-bound flags pinned TRUE)
+    "a12_approx_aggregates",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
