@@ -3001,13 +3001,33 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("text")
     freqs = bpe.word_freqs(docs)
     merges = bpe.train_bpe(freqs, n_merges=8)
-    enc = freqs.select(F.split("word", "").alias("syms"), "freq")
+    # Encode via the US-wrapped string representation the ORACLE uses
+    # (see _t16_sql): each symbol wrapped as US||sym||US, merge =
+    # replace(s, US l US US r US, US lr US) — leftmost non-overlapping
+    # replace IS the greedy BPE step, with full-symbol anchoring free.
+    # Chaining 8 replace() calls nests LINEARLY (each references its
+    # input once); the first attempt chained bpe._apply_merge aggregate
+    # folds instead, whose lambda references the accumulator several
+    # times — ProjectCollapse inlined the 8 rounds into an
+    # exponentially-sized expression tree and optimization alone took
+    # ~13 s on a 31-row vocab (measured). train_bpe's own distributed
+    # path avoids the same blow-up with per-round lineage checkpoints.
+    us = "\x1f"
+    col = F.regexp_replace("word", "(.)", us + "$1" + us)
     for left, right, _ in merges:
-        enc = enc.select(
-            bpe._apply_merge("syms", left, right).alias("syms"), "freq"
+        col = F.replace(
+            col,
+            F.lit(us + left + us + us + right + us),
+            F.lit(us + left + right + us),
         )
+    enc = freqs.select(col.alias("s"), "freq")
     counts = (
-        enc.select(F.explode("syms").alias("token"), "freq")
+        enc.select(
+            F.explode(
+                F.split(F.expr("substring(s, 2, length(s) - 2)"), us + us)
+            ).alias("token"),
+            "freq",
+        )
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("n"))
     )

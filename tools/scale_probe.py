@@ -104,6 +104,9 @@ QUERY_NAMES = {
     # work is bounded on ANY degree distribution (r10 verdict: the
     # O(m^1.5) bound was claimed but only sf-series-measured)
     "g1skew": "g1_triangles_hub_star",
+    # r11: tokenizer application — documents-inflation axis (vocab
+    # grows with the copy factor; encode stays vocab-level folds)
+    "t19": "t19_bpe_encode",
 }
 
 
@@ -503,6 +506,7 @@ def main() -> None:
         "w22": 1000, "w23": 1000, "m16": 1000, "m17": 1000,
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
         "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
+        "t19": 5000,
     }
     for q in queries:
         for n in scales:
