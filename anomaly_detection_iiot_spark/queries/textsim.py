@@ -720,6 +720,164 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s18_mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cand: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998) — the diversity stage every retrieval pipeline puts between
+    ANN top-k and the consumer: greedily pick k results maximizing
+    ``lam·rel(c) − (1−lam)·max_sim(c, selected)``, so near-duplicate
+    hits don't crowd the result list. Scale split: the DISTRIBUTED
+    part is the corpus-wide relevance scan + top-``n_cand`` cut (one
+    broadcast query join, WindowGroupLimit top-k — s1's plan); the
+    greedy selection then runs over the n_cand-row candidate frame and
+    its n_cand² pairwise-similarity frame, both eagerly
+    localCheckpointed (bounded, the kmeans/d8 k-row pattern) so the k
+    unrolled selection rounds never re-derive the corpus scan.
+    Determinism contract (w24 rule): rel/sim/mmr all rounded to 6
+    BEFORE every argmax, ties break on candidate id — the oracle
+    unrolls the identical k rounds as CTEs. Output: (pos, cid, mmr)."""
+    from ..operators.similarity import as_double, cosine
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "v",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"),
+        )
+    )
+    w_rel = Window.orderBy(F.desc("rel"), F.asc("cid"))
+    top = (
+        scored.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= n_cand)
+        .select("cid", "v", "rel")
+        .localCheckpoint(eager=True)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = (
+        a.join(b, F.col("a.cid") != F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ac"),
+            F.col("b.cid").alias("bc"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = top.select("cid", "rel")
+    sel = (
+        cand.orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(1)
+        .select(
+            "cid",
+            F.lit(1).cast("bigint").alias("pos"),
+            F.round(F.col("rel") * F.lit(lam), 6).alias("mmr"),
+        )
+    )
+    out = sel
+    for pos in range(2, k + 1):
+        chosen = out.select("cid")
+        pen = (
+            pairs.join(
+                chosen.withColumnRenamed("cid", "bc"), "bc"
+            )
+            .groupBy("ac")
+            .agg(F.max("sim").alias("pen"))
+        )
+        nxt = (
+            cand.join(chosen, "cid", "left_anti")
+            .join(pen, cand.cid == pen.ac)
+            .select(
+                "cid",
+                F.round(
+                    F.col("rel") * F.lit(lam)
+                    - F.col("pen") * F.lit(1.0 - lam),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("cid"))
+            .limit(1)
+            .select("cid", F.lit(pos).cast("bigint").alias("pos"), "mmr")
+        )
+        out = out.unionByName(nxt)
+    return out.select("pos", "cid", "mmr").orderBy("pos")
+
+
+def _s18_sql(n_cand: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """s18 oracle: the greedy rounds statically unrolled; selall{r}
+    accumulates the chosen ids exactly like the DataFrame loop."""
+    mu = 1.0 - lam
+    parts = [f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS cid, e.v,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+  FROM e, q WHERE e.vec_id != 0
+),
+top AS MATERIALIZED (
+  SELECT cid, v, rel FROM (
+    SELECT cid, v, rel,
+           row_number() OVER (ORDER BY rel DESC, cid) AS rk
+    FROM scored) ranked
+  WHERE rk <= {n_cand}
+),
+pairs AS MATERIALIZED (
+  SELECT a.cid AS ac, b.cid AS bc,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM top a JOIN top b ON a.cid != b.cid
+),
+sel1 AS MATERIALIZED (
+  SELECT cid, round(rel * {lam!r}, 6) AS mmr FROM (
+    SELECT cid, rel, row_number() OVER (ORDER BY rel DESC, cid) AS rk
+    FROM top) r1
+  WHERE rk = 1
+),
+selall1 AS (SELECT cid FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+pen{r} AS (
+  SELECT p.ac AS cid, max(p.sim) AS pen
+  FROM pairs p JOIN selall{r - 1} s ON s.cid = p.bc
+  GROUP BY p.ac
+),
+sel{r} AS MATERIALIZED (
+  SELECT cid, mmr FROM (
+    SELECT t.cid,
+           round(t.rel * {lam!r} - n.pen * {mu!r}, 6) AS mmr,
+           row_number() OVER (
+             ORDER BY round(t.rel * {lam!r} - n.pen * {mu!r}, 6) DESC,
+                      t.cid) AS rk
+    FROM top t JOIN pen{r} n ON n.cid = t.cid
+    WHERE t.cid NOT IN (SELECT cid FROM selall{r - 1})) r{r}
+  WHERE rk = 1
+),
+selall{r} AS (
+  SELECT cid FROM selall{r - 1} UNION ALL SELECT cid FROM sel{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS pos, cid, mmr FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel + "\nORDER BY pos")
+    return "".join(parts)
+
+
+S18_SQL = _s18_sql()
+
+
 S1_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -3342,6 +3500,10 @@ TEXTSIM_QUERIES: list[QuerySpec] = [
               "embedding-cosine near-dup on label-blocked pairs"),
     QuerySpec("s1_cosine_topk", s1_cosine_topk, S1_SQL,
               "brute-force cosine top-k ANN baseline (broadcast queries)"),
+    QuerySpec("s18_mmr_rerank", s18_mmr_rerank, S18_SQL,
+              "MMR diversity reranking: distributed top-20 relevance "
+              "cut, then 5 unrolled greedy rounds over the bounded "
+              "candidate/pairwise frames"),
     QuerySpec("s2_ivf_ann", s2_ivf_ann, S2_SQL,
               "IVF-bucketed ANN: centroid assign -> partition-pruned probe"),
     QuerySpec("s3_ivf_nprobe", s3_ivf_nprobe, S3_SQL,

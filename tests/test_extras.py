@@ -336,3 +336,50 @@ def test_w25_recovers_planted_changepoints(spark, tmp_path):
         assert r.cp_i - r.seg_start + 1 >= 4
         assert r.seg_end - r.cp_i >= 4
         assert r.seg_start <= r.cp_i < r.seg_end
+
+
+def test_s18_mmr_diversifies_near_duplicates(spark, tmp_path):
+    """MMR semantics on a constructed corpus: query q = e1; candidates
+    include a tight near-duplicate cluster around e1 plus two distinct
+    directions. Pure top-k would return the whole cluster; MMR must
+    interleave the distinct directions after the first pick."""
+    import numpy as np
+
+    from anomaly_detection_iiot_spark.queries.textsim import s18_mmr_rerank
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, 64)
+    base /= np.linalg.norm(base)
+    ortho1 = rng.normal(0, 1, 64)
+    ortho1 -= ortho1 @ base * base
+    ortho1 /= np.linalg.norm(ortho1)
+    ortho2 = rng.normal(0, 1, 64)
+    ortho2 -= ortho2 @ base * base
+    ortho2 -= ortho2 @ ortho1 * ortho1
+    ortho2 /= np.linalg.norm(ortho2)
+    rows = [(0, [float(x) for x in base], 0)]
+    # ids 1..10: near-dup cluster, slightly MORE relevant than the
+    # distinct hits, all pointing off-axis the same way — so pure
+    # relevance ranks the whole cluster first, but cluster members are
+    # ~identical to each other (sim ~1) while the distinct hits' sim
+    # to the cluster (~0.62) is LESS than their relevance (~0.9),
+    # which is exactly the geometry MMR exists for
+    c_dir = 0.905 * base + np.sqrt(1 - 0.905**2) * ortho1
+    for i in range(1, 11):
+        v = c_dir + 0.002 * rng.normal(0, 1, 64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)], 0))
+    for j, o in ((11, -ortho1), (12, ortho2)):
+        v = 0.9 * base + np.sqrt(1 - 0.81) * o
+        rows.append((j, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = s18_mmr_rerank(spark, str(tmp_path)).collect()
+    assert [r.pos for r in got] == [1, 2, 3, 4, 5]
+    picked = [r.cid for r in got]
+    # first pick is the most relevant (a cluster member); the two
+    # distinct directions must both appear in the MMR top-5, which
+    # pure relevance ranking would fill entirely from the cluster
+    assert picked[0] in range(1, 11)
+    assert 11 in picked and 12 in picked, picked
+    assert len(set(picked)) == 5

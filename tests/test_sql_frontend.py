@@ -256,6 +256,9 @@ ANSI_QUERIES = [
     # r11: a12 converged to the a22-style accuracy contract (exact
     # values hashed, sketch-bound flags pinned TRUE)
     "a12_approx_aggregates",
+    # r11 addition: unrolled greedy MMR rounds over the bounded
+    # candidate frames (rides the s1 cosine dialect)
+    "s18_mmr_rerank",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
