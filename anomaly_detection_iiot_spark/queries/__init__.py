@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "w25_binary_segmentation",
     "t19_bpe_encode",
     "s18_mmr_rerank",
+    "w26_stl_decompose",
     # CHANGED in round 11 — the driver must re-prove the new code /
     # oracle text at sf0.01 (o1: two-phase bucketed global rank; t16:
     # first hash-gated oracle via the US-wrapped replace() encoding;

@@ -1642,6 +1642,102 @@ def w25_binary_segmentation(
     return out.orderBy("user_id", "level", "seg_start")
 
 
+def w26_stl_decompose(
+    spark: SparkSession, sf_dir: str, period: int = 24, half: int = 12
+) -> DataFrame:
+    """STL-lite seasonal-trend decomposition per user series — the
+    DECOMPOSITION op next to w23's seasonal anomaly flags: trend =
+    centered rolling mean (ROWS +-half, partial at the edges — same
+    frame semantics both engines), seasonal = per-phase mean of the
+    detrended series re-centered to sum to zero over phases, residual
+    = x − trend − seasonal. Output is Hyndman's strength-of-component
+    report per user: trend_strength = max(0, 1 − var(resid)/var(x −
+    seasonal)), seasonal_strength = max(0, 1 − var(resid)/var(x −
+    trend)) (FPP3 §3.4) — the numbers a monitoring owner reads to
+    decide whether a series needs seasonal adjustment. One sort per
+    user partition; the per-phase and per-user aggregates ride it.
+    var_samp doubles are rounded to 6 before hashing (a6 precedent)."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    ).withColumn("i", F.row_number().over(w_ord) - 1)
+    w_tr = Window.partitionBy("user_id").orderBy("i").rowsBetween(
+        -half, half
+    )
+    detr = seq.withColumn("trend", F.avg("x").over(w_tr)).withColumn(
+        "phase", F.pmod("i", F.lit(period))
+    ).withColumn("d", F.col("x") - F.col("trend"))
+    w_ph = Window.partitionBy("user_id", "phase")
+    w_u = Window.partitionBy("user_id")
+    comp = (
+        detr.withColumn("s_raw", F.avg("d").over(w_ph))
+        .withColumn("seasonal", F.col("s_raw") - F.avg("s_raw").over(w_u))
+        .withColumn(
+            "resid", F.col("x") - F.col("trend") - F.col("seasonal")
+        )
+    )
+    return (
+        comp.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.var_samp("resid")
+                    / F.var_samp(F.col("x") - F.col("seasonal")),
+                ),
+                6,
+            ).alias("trend_strength"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.var_samp("resid")
+                    / F.var_samp(F.col("x") - F.col("trend")),
+                ),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W26_SQL = """
+WITH seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS i
+  FROM events
+), detr AS (
+  SELECT user_id, x, i, i % 24 AS phase,
+         avg(x) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS trend
+  FROM seq
+), comp0 AS (
+  SELECT user_id, x, trend,
+         avg(x - trend) OVER (PARTITION BY user_id, phase) AS s_raw
+  FROM detr
+), comp AS (
+  SELECT user_id, x, trend,
+         s_raw - avg(s_raw) OVER (PARTITION BY user_id) AS seasonal
+  FROM comp0
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(greatest(0.0,
+             1.0 - var_samp(x - trend - seasonal)
+                   / var_samp(x - seasonal)), 6) AS trend_strength,
+       round(greatest(0.0,
+             1.0 - var_samp(x - trend - seasonal)
+                   / var_samp(x - trend)), 6) AS seasonal_strength
+FROM comp
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def _w25_sql(depth: int = 3, min_seg: int = 4) -> str:
     """w25 oracle: the recursion statically unrolled — seg{r} carries
     (a, b, S_{a-1}, S_b) down exactly like the DataFrame loop."""
@@ -2752,6 +2848,10 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("w24_changepoint", w24_changepoint, W24_SQL,
               "W24 mean-shift changepoint location: standardized "
               "two-sample stat from prefix sums, O(n) per series"),
+    QuerySpec("w26_stl_decompose", w26_stl_decompose, W26_SQL,
+              "W26 STL-lite decomposition: centered-rolling trend, "
+              "re-centered per-phase seasonal, Hyndman component "
+              "strengths per series"),
     QuerySpec("w25_binary_segmentation", w25_binary_segmentation,
               W25_SQL,
               "W25 recursive binary segmentation: 3 unrolled levels "

@@ -383,3 +383,33 @@ def test_s18_mmr_diversifies_near_duplicates(spark, tmp_path):
     assert picked[0] in range(1, 11)
     assert 11 in picked and 12 in picked, picked
     assert len(set(picked)) == 5
+
+
+def test_w26_strengths_on_constructed_series(spark, tmp_path):
+    """Decomposition semantics: a strongly seasonal series (period 24)
+    scores seasonal_strength near 1; a pure linear-trend series scores
+    trend_strength near 1 and seasonal_strength near 0."""
+    import datetime
+    import math
+
+    from anomaly_detection_iiot_spark.queries.extras import (
+        w26_stl_decompose,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for j in range(240):
+        ts = t0 + datetime.timedelta(hours=j)
+        # user 1: pure sinusoid with period 24
+        rows.append((j + 1, ts, 1, "t", 10.0 * math.sin(2 * math.pi * j / 24), "{}"))
+        # user 2: pure linear trend
+        rows.append((j + 1000, ts, 2, "t", 0.5 * j, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in w26_stl_decompose(spark, str(tmp_path)).collect()}
+    assert got[1].seasonal_strength > 0.95, got[1]
+    assert got[2].trend_strength > 0.95, got[2]
+    assert got[2].seasonal_strength < 0.2, got[2]

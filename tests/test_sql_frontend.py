@@ -259,6 +259,8 @@ ANSI_QUERIES = [
     # r11 addition: unrolled greedy MMR rounds over the bounded
     # candidate frames (rides the s1 cosine dialect)
     "s18_mmr_rerank",
+    # r11 addition: pure-ANSI windows + var_samp strengths
+    "w26_stl_decompose",
 ]
 
 # ZERO declared-divergent oracles remain (as of r10): every oracle
