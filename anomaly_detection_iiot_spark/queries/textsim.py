@@ -763,6 +763,11 @@ def s18_mmr_rerank(
         .select("cid", "v", "rel")
         .localCheckpoint(eager=True)
     )
+    # pairs is eagerly checkpointed too: lazy, its n_cand² cosine-fold
+    # subtree re-inlines under every selection round's join (plans grow
+    # per round and the interpreted fold re-evaluates 4x — measured
+    # 2.5 s -> 4.2 s when tried lazy in r11); eager, each round joins
+    # 400 frozen rows
     a, b = top.alias("a"), top.alias("b")
     pairs = (
         a.join(b, F.col("a.cid") != F.col("b.cid"))
@@ -773,29 +778,32 @@ def s18_mmr_rerank(
         )
         .localCheckpoint(eager=True)
     )
+    # Greedy rounds as a DRIVER loop over the frozen frames (the
+    # s13/m9/t16 k-row round pattern): each round is ONE micro-job on
+    # checkpointed blocks whose winner (1 row) crosses the driver and
+    # becomes the next round's literal id set. A fully-lazy union
+    # chain was tried first: `out` is referenced 3x per round
+    # (penalty join, anti-join, union), so round r re-expanded rounds
+    # 1..r-1's limit(1) subplans ~3^r ways — measured 2.5 -> 3.8 s on
+    # the 20-row frame. Every mmr double is still Spark-computed
+    # (round 6 HALF_UP), so the decisions match the oracle exactly —
+    # no Python float semantics in the path.
     cand = top.select("cid", "rel")
-    sel = (
+    first = (
         cand.orderBy(F.desc("rel"), F.asc("cid"))
         .limit(1)
-        .select(
-            "cid",
-            F.lit(1).cast("bigint").alias("pos"),
-            F.round(F.col("rel") * F.lit(lam), 6).alias("mmr"),
-        )
+        .select("cid", F.round(F.col("rel") * F.lit(lam), 6).alias("mmr"))
+        .collect()[0]
     )
-    out = sel
+    picked = [(1, int(first.cid), float(first.mmr))]
+    chosen = [int(first.cid)]
     for pos in range(2, k + 1):
-        chosen = out.select("cid")
-        pen = (
-            pairs.join(
-                chosen.withColumnRenamed("cid", "bc"), "bc"
-            )
+        nxt = (
+            pairs.filter(F.col("bc").isin(chosen))
             .groupBy("ac")
             .agg(F.max("sim").alias("pen"))
-        )
-        nxt = (
-            cand.join(chosen, "cid", "left_anti")
-            .join(pen, cand.cid == pen.ac)
+            .join(cand, F.col("ac") == cand.cid)
+            .filter(~F.col("cid").isin(chosen))
             .select(
                 "cid",
                 F.round(
@@ -806,10 +814,13 @@ def s18_mmr_rerank(
             )
             .orderBy(F.desc("mmr"), F.asc("cid"))
             .limit(1)
-            .select("cid", F.lit(pos).cast("bigint").alias("pos"), "mmr")
+            .collect()[0]
         )
-        out = out.unionByName(nxt)
-    return out.select("pos", "cid", "mmr").orderBy("pos")
+        picked.append((pos, int(nxt.cid), float(nxt.mmr)))
+        chosen.append(int(nxt.cid))
+    return spark.createDataFrame(
+        picked, "pos bigint, cid bigint, mmr double"
+    ).orderBy("pos")
 
 
 def _s18_sql(n_cand: int = 20, k: int = 5, lam: float = 0.7) -> str:
