@@ -33,12 +33,22 @@ from pyspark.sql import functions as F
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercase whitespace tokens — the BPE training
-    table. One corpus scan, one vocab-keyed shuffle."""
+    table. One corpus scan, one vocab-keyed shuffle.
+
+    U+001F (the unit separator the t16/t19 symbol encoding wraps each
+    symbol in) is STRIPPED from every token here, enforcing the
+    invariant the wrapped representation assumes rather than assuming
+    it (ADVICE r11): \\s+ does not consume chr(31), so a corpus
+    containing it would otherwise corrupt symbol boundaries in both
+    the query and oracle paths."""
     return (
         docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    F.transform(
+                        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda x: F.replace(x, F.lit("\x1f"), F.lit("")),
+                    ),
                     lambda x: x != "",
                 )
             ).alias("word")

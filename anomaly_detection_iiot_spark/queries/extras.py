@@ -114,13 +114,14 @@ def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accuracy-CONTRACT output (hash-gated since r11; a12 was the last
     # non-ML rows-only): sketch estimates are engine-local, so the
     # hashed columns are the exact values plus flags proving each
-    # estimate sits inside its published bound — HLL++ at rsd=0.05
-    # within 5% rel, GK at accuracy=10000 within 1% rel of the exact
-    # median (both generous: at test SFs the HLL range is
-    # linear-counting-exact and the GK rank error is 1e-4). The oracle
-    # recomputes the exact columns and pins the flags TRUE — if a
-    # sketch ever leaves its bound the flag flips and the hash gate
-    # catches it. greatest(|exact|, 1e-12) so a zero exact median
+    # estimate sits inside its bound. rsd is a STANDARD DEVIATION,
+    # not a hard cap (ADVICE r11), so the HLL flag allows 3*rsd
+    # (0.15) — a ~99.7% band that statistically-expected sketch
+    # error cannot flip even past the linear-counting-exact regime —
+    # while GK at accuracy=10000 stays within 1% rel of the exact
+    # median (rank error 1e-4, deterministic). The oracle recomputes
+    # the exact columns and pins the flags TRUE — if a sketch ever
+    # leaves its band the flag flips and the hash gate catches it. greatest(|exact|, 1e-12) so a zero exact median
     # yields a (large) finite error, not NULL from 0-division
     # (ADVICE r4).
     return agg.select(
@@ -129,7 +130,7 @@ def a12_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users")
-            <= F.lit(0.05)
+            <= F.lit(0.15)
         ).alias("distinct_ok"),
         F.round("exact_p50", 6).alias("exact_p50"),
         (
@@ -1575,12 +1576,14 @@ def w25_binary_segmentation(
         Window.unboundedPreceding, 0
     )
     tot = Window.partitionBy("user_id")
-    p = (
+    from ..operators.cache import replace_owned_cache
+
+    p = replace_owned_cache(
+        "w25_prefix_sums",
         seq.withColumn("S", F.sum("x").over(run))
         .withColumn("n", F.count(F.lit(1)).over(tot).cast("long"))
         .withColumn("Sn", F.sum("x").over(tot))
-        .select("user_id", "i", "S", "n", "Sn")
-        .persist()
+        .select("user_id", "i", "S", "n", "Sn"),
     )
     segs = p.filter(F.col("i") == 1).select(
         "user_id",

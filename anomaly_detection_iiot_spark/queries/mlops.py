@@ -305,10 +305,15 @@ def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted so the returned plan's avg() reads the SAME round-2
     # training output the ground-truth collect saw (|weights| x 4 rows
     # — KB-scale, the audited bounded-collect pattern)
-    trained = wins.groupBy("client_id").applyInPandas(
-        fedavg.local_train_fn(w1, epochs=1, lr=1e-4),
-        fedavg.WEIGHT_ROW_SCHEMA,
-    ).persist()
+    from ..operators.cache import replace_owned_cache
+
+    trained = replace_owned_cache(
+        "m9_trained_weights",
+        wins.groupBy("client_id").applyInPandas(
+            fedavg.local_train_fn(w1, epochs=1, lr=1e-4),
+            fedavg.WEIGHT_ROW_SCHEMA,
+        ),
+    )
     rows = trained.collect()
     ref: dict[tuple, list[float]] = {}
     for r in rows:

@@ -789,16 +789,24 @@ def s18_mmr_rerank(
     # (round 6 HALF_UP), so the decisions match the oracle exactly —
     # no Python float semantics in the path.
     cand = top.select("cid", "rel")
-    first = (
+    # Each round's winner collect is GUARDED (ADVICE r11): a corpus
+    # with fewer than k candidates — or no vec_id==0 query row at all —
+    # stops early with the positions selected so far (train_bpe's
+    # empty-round break), instead of IndexError on collect()[0].
+    first_rows = (
         cand.orderBy(F.desc("rel"), F.asc("cid"))
         .limit(1)
         .select("cid", F.round(F.col("rel") * F.lit(lam), 6).alias("mmr"))
-        .collect()[0]
+        .collect()
     )
+    schema = "pos bigint, cid bigint, mmr double"
+    if not first_rows:
+        return spark.createDataFrame([], schema)
+    first = first_rows[0]
     picked = [(1, int(first.cid), float(first.mmr))]
     chosen = [int(first.cid)]
     for pos in range(2, k + 1):
-        nxt = (
+        nxt_rows = (
             pairs.filter(F.col("bc").isin(chosen))
             .groupBy("ac")
             .agg(F.max("sim").alias("pen"))
@@ -814,13 +822,14 @@ def s18_mmr_rerank(
             )
             .orderBy(F.desc("mmr"), F.asc("cid"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt_rows:
+            break
+        nxt = nxt_rows[0]
         picked.append((pos, int(nxt.cid), float(nxt.mmr)))
         chosen.append(int(nxt.cid))
-    return spark.createDataFrame(
-        picked, "pos bigint, cid bigint, mmr double"
-    ).orderBy("pos")
+    return spark.createDataFrame(picked, schema).orderBy("pos")
 
 
 def _s18_sql(n_cand: int = 20, k: int = 5, lam: float = 0.7) -> str:
@@ -3096,7 +3105,8 @@ def _t16_sql(n_merges: int = 8) -> str:
     itself)."""
     sep = "chr(31)"
     parts = [f"""WITH toks AS (
-  SELECT filter(string_split_regex(lower(trim(text)), '\\s+'),
+  SELECT filter(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                               w -> replace(w, {sep}, '')),
                 w -> w != '') AS ws
   FROM documents
 ), words AS (
