@@ -69,69 +69,19 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 11 — no driver row yet
+    # CHANGED in round 12 — code or oracle text touched this round
+    # (owned-cache persists for w25/m9, a12 3*rsd accuracy band,
+    # t16/t19 US-separator strip in word_freqs + oracle vocab CTE,
+    # s18 empty-round guard); the driver must re-prove them at sf0.01
     "w25_binary_segmentation",
+    "m9_fedavg_weights",
+    "a12_approx_aggregates",
+    "t16_bpe_merges",
     "t19_bpe_encode",
     "s18_mmr_rerank",
-    "w26_stl_decompose",
-    # CHANGED in round 11 — the driver must re-prove the new code /
-    # oracle text at sf0.01 (o1: two-phase bucketed global rank; t16:
-    # first hash-gated oracle via the US-wrapped replace() encoding;
-    # m9/m8: contract oracles replacing rows-only; m17: fully-lazy
-    # plan + conditional-aggregation PSI tail; a12: accuracy-contract
-    # oracle; t18: corpus repartition dropped)
-    "o1_time_sort",
-    "t16_bpe_merges",
-    "m9_fedavg_weights",
-    "m8_random_search",
-    "m17_psi_drift",
-    "a12_approx_aggregates",
-    "t18_bm25",
-    # r6-stale cohort (r10 verdict item 4: lift the driver-row minimum
-    # to r7 — these 7 are the oldest rows; all mirror-green at sf0.001
-    # every suite run, so this is row-age hygiene, not correctness
-    # risk)
-    "q21_waiting_suppliers",
-    "s1_cosine_topk",
-    "t10_decontamination",
-    "t12_bigram_lm",
-    "t14_script_profile",
-    "w15_sequence_packing",
-    "w16_sliding_windows",
-    # r7-stale cohort (41 — next-oldest rows; whatever fits the ~50
-    # sample slots refreshes now, the tail rolls to r12)
-    "a18_table_profile",
-    "a20_autocorr",
-    "d1_exact_dedup",
-    "d2_fingerprint_dedup",
-    "d3_minhash_signatures",
-    "d4_lsh_candidates",
-    "d5_ngram_jaccard",
-    "d7_embedding_neardup",
-    "m5_lr_decay",
-    "m7_fft_mag",
-    "m15_logloss",
-    "mm5_video_roundtrip",
-    "mm6_jpeg_roundtrip",
-    "mm7_audio_frames",
-    "o11_hash_split",
-    "o12_decile_report",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipping_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "s4_hyperplane_ann",
+    # r7-stale cohort (VERDICT r11 item 1: lift the driver-row floor —
+    # these 9 are the oldest rows; all mirror-green at sf0.001 every
+    # suite run, so this is row-age hygiene, not correctness risk)
     "s7_filtered_ann",
     "t1_token_stats",
     "t2_quality_scores",
@@ -141,6 +91,52 @@ _DRIVER_PRIORITY = [
     "t15_gopher_repetition",
     "w17_gap_fill",
     "w18_interpolate",
+    # r8-stale cohort (44 — next-oldest rows; whatever fits the ~50
+    # sample slots refreshes now, the tail rolls to r13)
+    "a13_exact_distinct_quantiles",
+    "a19_mad_threshold",
+    "a1_resample_mean",
+    "a21_grouping_sets",
+    "a2_chunk_mse",
+    "a3_threshold_stats",
+    "a6_summary_stats",
+    "c1_corpus_curation",
+    "c2_curation_with_semdedup",
+    "d13_incremental_semdedup",
+    "d9_semdedup",
+    "j5_broadcast_dims",
+    "j8_view_click_pairs",
+    "k1_kbm_roundtrip",
+    "k2_kbm_quarantine",
+    "m10_transfer_loss",
+    "m2_lstm_train_loss",
+    "m3_ae_train_loss",
+    "m6_lstm_scores",
+    "mm1_media_manifest",
+    "mm2_frame_sample",
+    "o13_shuffle_shards",
+    "o3_loss_ranking",
+    "o4_top1_per_user",
+    "o5_head_slice",
+    "p2_positional_select",
+    "s10_resource_roundtrip",
+    "s11_log_scan",
+    "s12_orc_roundtrip",
+    "s1_snapshot_roundtrip",
+    "s2_ivf_ann",
+    "s3_ivf_nprobe",
+    "s5_csv_roundtrip",
+    "s5_pq_codes",
+    "s6_ivfpq_ann",
+    "s6_json_roundtrip",
+    "s8_filtered_ivf_ann",
+    "s9_ivf_recall",
+    "t5_winnowing",
+    "t6_tfidf",
+    "t7_repetition",
+    "t9_zipf",
+    "w19_range_frame",
+    "w4_last_timestep",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order
