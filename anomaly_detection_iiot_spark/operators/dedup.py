@@ -39,9 +39,17 @@ from .cache import replace_owned_cache as _replace_owned_cache
 
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
     """Lowercase whitespace tokenization with empty-token filtering
-    (identical semantics to DuckDB string_split_regex + list_filter)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return df.withColumn(out, F.filter(toks, lambda x: x != ""))
+    (identical semantics to DuckDB string_split_regex + list_filter).
+    One server-parsed expression — the lambda-HOF form costs ~20 ms of
+    py4j round trips per construction and this is the most-constructed
+    operator in the repo (r12 compile trim)."""
+    return df.withColumn(
+        out,
+        F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+            " x -> x != '')"
+        ),
+    )
 
 
 def word_shingles(
@@ -50,14 +58,15 @@ def word_shingles(
     """Distinct word n-grams per row, exploded to long form. Docs shorter
     than ``n`` tokens yield no shingles (CASE WHEN keeps the descending
     ``sequence(0, size-n)`` from ever evaluating)."""
-    grams = F.when(
-        F.size(tokens_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out, F.explode(F.array_distinct(grams))).drop(tokens_col)
+    grams = (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return df.withColumn(
+        out, F.expr(f"explode(array_distinct({grams}))")
+    ).drop(tokens_col)
 
 
 def shingle_array(

@@ -314,9 +314,13 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         w.alias("weight"),
     ).localCheckpoint(eager=True)
-    outw = (
-        e.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    ).localCheckpoint(eager=True)
+    # outw derives LAZILY from the frozen edge blocks: it is a
+    # vocab-sized groupBy over a checkpoint scan, so re-computing it
+    # inside each round's job is cheaper than the extra eager
+    # checkpoint job barrier it used to pay at construction (r12
+    # compile trim; the plan stays bounded because its leaf is the
+    # checkpoint, not the corpus scan).
+    outw = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
     if dangling == "redistribute":
         nodes = (
             e.select(F.col("src").alias("node"))

@@ -23,25 +23,73 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def as_double(vec: Column) -> Column:
+# --- vector primitives --------------------------------------------------------
+#
+# Each primitive has TWO construction paths with IDENTICAL Catalyst
+# semantics (same expressions after parsing, so same fp64 fold order
+# and bit-identical results):
+#
+# - ``*_sql(text)`` builders compose SQL expression TEXT; callers wrap
+#   the final composition in ONE ``F.expr`` that parses JVM-side in a
+#   single py4j call. This is the hot-path form: each Python-lambda
+#   higher-order function costs ~15-30 ms of blocking py4j round trips
+#   PER CONSTRUCTION (measured r12 — 26 HOF lambdas were 0.4 s of
+#   d13's 1.3 s driver compile), which the server-parsed string skips.
+# - The Column overloads remain for call sites holding computed
+#   Columns; passing a ``str`` routes through the text builder.
+
+
+def as_double_sql(vec: str) -> str:
+    """SQL text: float[] -> double[] (see ``as_double``)."""
+    return f"transform({vec}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text: sequential left-fold fp64 dot product."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+        "(acc, v) -> acc + v))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def as_double(vec: Column | str) -> Column:
     """float[] -> double[] so fold accumulation happens in fp64 on both
     engines (DuckDB oracle casts ``embedding::DOUBLE[]``)."""
+    if isinstance(vec, str):
+        return F.expr(as_double_sql(vec))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_sql(a))
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b))
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -59,7 +107,10 @@ def brute_force_topk(
     id asc for cross-engine determinism)."""
     scored = (
         corpus.join(F.broadcast(queries), F.col(id_col) != F.col(qid_col))
-        .withColumn("cosine", cosine(as_double(F.col(vec_col)), as_double(F.col(qvec_col))))
+        .withColumn(
+            "cosine",
+            cosine(as_double_sql(vec_col), as_double_sql(qvec_col)),
+        )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -133,24 +184,27 @@ def ivf_assign(
     def _darr(values):
         return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
 
-    cvecs = F.expr("array(" + ",".join(_darr(vv) for vv in vecs) + ")")
-    cnorms = F.expr(_darr(norms))
-    cids = F.expr("array(" + ",".join(f"{i}L" for i in ids) + ")")
-    v = as_double(F.col(vec_col))
-    vnorm = norm(v)
-    entries = F.transform(
-        F.sequence(F.lit(1), F.lit(len(crows))),
-        lambda i: F.struct(
-            (
-                dot(v, F.element_at(cvecs, i))
-                / (vnorm * F.element_at(cnorms, i))
-            ).alias("s"),
-            (-F.element_at(cids, i)).cast("long").alias("negid"),
-        ),
+    cvecs = "array(" + ",".join(_darr(vv) for vv in vecs) + ")"
+    cnorms = _darr(norms)
+    cids = "array(" + ",".join(f"{i}L" for i in ids) + ")"
+    # the WHOLE projection is one server-parsed expression string
+    # (r12: the lambda-HOF form of this transform alone cost ~0.2 s of
+    # py4j chatter per construction; the text parses in one call).
+    # named_struct field order (s, negid) preserves the lexicographic
+    # array_max argmax-with-min-id-tie-break.
+    v = as_double_sql(vec_col)
+    vnorm = norm_sql(v)
+    entries = (
+        f"transform(sequence(1, {len(crows)}), i -> named_struct("
+        f"'s', {dot_sql(v, f'element_at({cvecs}, i)')}"
+        f" / ({vnorm} * element_at({cnorms}, i)), "
+        f"'negid', CAST(-element_at({cids}, i) AS BIGINT)))"
     )
-    best = F.array_max(entries)
     return corpus.select(
-        "*", (-best["negid"]).cast("long").alias("bucket")
+        "*",
+        F.expr(
+            f"CAST(-(array_max({entries}).negid) AS BIGINT)"
+        ).alias("bucket"),
     )
 
 
@@ -242,7 +296,7 @@ def ivf_probe(
     dedup is needed."""
     qcells = queries.join(F.broadcast(centroids)).withColumn(
         "_qsim",
-        cosine(as_double(F.col(qvec_col)), as_double(F.col(centroid_vec))),
+        cosine(as_double_sql(qvec_col), as_double_sql(centroid_vec)),
     )
     wq = Window.partitionBy(qid_col).orderBy(F.desc("_qsim"), F.asc(centroid_id))
     probes = (
@@ -255,7 +309,7 @@ def ivf_probe(
         (F.col("bucket") == F.col("_probe_bucket"))
         & (F.col(id_col) != F.col(qid_col)),
     ).withColumn(
-        "cosine", cosine(as_double(F.col(qvec_col)), as_double(F.col(vec_col)))
+        "cosine", cosine(as_double_sql(qvec_col), as_double_sql(vec_col))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -337,20 +391,15 @@ def blocked_neardup_pairs(
         )
 
     base = df.select(id_col, vec_col, block_col)
-    wb = Window.partitionBy(block_col).orderBy(id_col)
-    chunked = (
-        base.withColumn("__rn", F.row_number().over(wb) - F.lit(1))
-        .withColumn(
-            "__nchunks",
-            F.ceil(
-                F.count(F.lit(1)).over(Window.partitionBy(block_col))
-                / F.lit(max_block_rows)
-            ).cast("int"),
-        )
-        .withColumn(
-            "__chunk", (F.col("__rn") / F.lit(max_block_rows)).cast("int")
-        )
-    )
+    # window + chunk columns as server-parsed text (r12 compile trim —
+    # identical expressions to the Window-API form they replace)
+    chunked = base.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {block_col} ORDER BY {id_col})"
+        " - 1 AS __rn",
+        f"CAST(ceil(count(1) OVER (PARTITION BY {block_col})"
+        f" / {max_block_rows}) AS INT) AS __nchunks",
+    ).selectExpr("*", f"CAST(__rn / {max_block_rows} AS INT) AS __chunk")
 
     small_pairs = (
         chunked.filter(F.col("__nchunks") <= 1)
@@ -364,20 +413,21 @@ def blocked_neardup_pairs(
     # of tiles (0..c-1, c). Chunks are id-ordered, so every id in chunk
     # i is < every id in chunk j for i < j — the (vec_a < vec_b) pair
     # contract falls out of tile orientation with no per-pair compare.
-    a_tiles = F.transform(
-        F.sequence(F.col("__chunk"), F.col("__nchunks") - F.lit(1)),
-        lambda j: F.struct(F.col("__chunk").alias("ta"), j.alias("tb")),
+    a_tiles = (
+        "transform(sequence(__chunk, __nchunks - 1), "
+        "j -> named_struct('ta', __chunk, 'tb', j))"
     )
-    b_tiles = F.when(
-        F.col("__chunk") > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__chunk") - F.lit(1)),
-            lambda i: F.struct(i.alias("ta"), F.col("__chunk").alias("tb")),
-        ),
-    ).otherwise(F.array().cast("array<struct<ta:int,tb:int>>"))
+    b_tiles = (
+        "CASE WHEN __chunk > 0 THEN "
+        "transform(sequence(0, __chunk - 1), "
+        "i -> named_struct('ta', i, 'tb', __chunk)) "
+        "ELSE CAST(array() AS array<struct<ta:int,tb:int>>) END"
+    )
     tiled = (
         chunked.filter(F.col("__nchunks") > 1)
-        .withColumn("__tile", F.explode(F.concat(a_tiles, b_tiles)))
+        .withColumn(
+            "__tile", F.expr(f"explode(concat({a_tiles}, {b_tiles}))")
+        )
         .select(
             id_col,
             vec_col,
@@ -816,22 +866,23 @@ def incremental_semdedup(
     a_new = (assign_fn or ivf_assign)(
         new_vecs, centroids, id_col=id_col, vec_col=vec_col
     )
+    dv = as_double_sql(vec_col)
     kv = keeper_index.select(
         F.col("bucket").alias("kb"),
-        as_double(F.col(vec_col)).alias("kvec"),
-        norm(as_double(F.col(vec_col))).alias("kn"),
+        F.expr(dv).alias("kvec"),
+        F.expr(norm_sql(dv)).alias("kn"),
     )
     nv = a_new.select(
         id_col,
         "bucket",
-        as_double(F.col(vec_col)).alias("nvec"),
-        norm(as_double(F.col(vec_col))).alias("nn_"),
+        F.expr(dv).alias("nvec"),
+        F.expr(norm_sql(dv)).alias("nn_"),
     )
     near_keeper = (
         nv.join(kv, nv["bucket"] == kv["kb"])
         .withColumn(
             "cos",
-            dot(F.col("nvec"), F.col("kvec")) / (F.col("nn_") * F.col("kn")),
+            F.expr(f"{dot_sql('nvec', 'kvec')} / (nn_ * kn)"),
         )
         .filter(F.col("cos") >= tau)
         .select(id_col)

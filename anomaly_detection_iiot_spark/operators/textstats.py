@@ -18,14 +18,21 @@ STOPWORDS = {
 }
 
 
+def _tokens_sql(text_col: str) -> str:
+    """Tokenizer as SQL text — composed into ONE server-parsed F.expr
+    per consumer (r12 compile trim: each Python-lambda HOF costs
+    ~20 ms of py4j round trips per construction)."""
+    return f"filter(split(trim(lower({text_col})), '\\\\s+'), x -> x != '')"
+
+
 def _tokens(text_col: str) -> Column:
-    return F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
-    )
+    return F.expr(_tokens_sql(text_col))
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
-    return df.withColumn(out, F.size(_tokens(text_col)).cast("bigint"))
+    return df.withColumn(
+        out, F.expr(f"CAST(size({_tokens_sql(text_col)}) AS BIGINT)")
+    )
 
 
 # GPT-2-style pre-tokenizer, simplified to explicit ASCII classes so the
@@ -48,7 +55,17 @@ def bpe_token_count(
     pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
     return df.withColumn(
         out,
-        F.size(F.filter(pieces, lambda p: p.rlike(r"\S"))).cast("bigint"),
+        F.size(
+            F.filter(pieces, lambda p: p.rlike(r"\S"))
+        ).cast("bigint"),
+    )
+
+
+def _stop_hits_sql(text_col: str, words: list[str]) -> str:
+    inlist = ",".join("'" + w.replace("'", "\\'") + "'" for w in words)
+    return (
+        f"CAST(size(filter({_tokens_sql(text_col)}, "
+        f"x -> x IN ({inlist}))) AS BIGINT)"
     )
 
 
@@ -59,12 +76,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     text_len = F.length(text_col)
     punct_removed = F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
-    stop_hits = F.size(
-        F.filter(
-            toks,
-            lambda x: x.isin(*STOPWORDS["en"]),
-        )
-    )
+    stop_hits = F.expr(_stop_hits_sql(text_col, STOPWORDS["en"]))
     return (
         df.withColumn("n_tokens", n_tokens.cast("bigint"))
         .withColumn("n_chars_txt", text_len.cast("bigint"))
@@ -88,13 +100,13 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit counts per language + argmax prediction with a
     deterministic tie-break (language name asc, 'und' if no hits)."""
-    toks = _tokens(text_col)
-    out = df
-    for lang, words in STOPWORDS.items():
-        out = out.withColumn(
-            f"hits_{lang}",
-            F.size(F.filter(toks, lambda x: x.isin(*words))).cast("bigint"),
-        )
+    out = df.select(
+        "*",
+        *[
+            F.expr(_stop_hits_sql(text_col, words)).alias(f"hits_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
     best = None
     for lang in sorted(STOPWORDS):
         c = F.col(f"hits_{lang}")
@@ -134,13 +146,12 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    grams = F.when(
-        F.size(tokens_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
     g = df.select(id_col, F.posexplode(grams).alias("p", "shingle"))
     h = g.select(
         id_col, "p", F.substring(F.md5("shingle"), 1, 8).alias("h")

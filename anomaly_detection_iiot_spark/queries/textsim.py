@@ -741,10 +741,10 @@ def s18_mmr_rerank(
     Determinism contract (w24 rule): rel/sim/mmr all rounded to 6
     BEFORE every argmax, ties break on candidate id — the oracle
     unrolls the identical k rounds as CTEs. Output: (pos, cid, mmr)."""
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import as_double, cosine_sql
 
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+        "vec_id", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     scored = (
@@ -753,7 +753,7 @@ def s18_mmr_rerank(
         .select(
             F.col("vec_id").alias("cid"),
             "v",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"),
+            F.expr(f"round({cosine_sql('v', 'qv')}, 6)").alias("rel"),
         )
     )
     w_rel = Window.orderBy(F.desc("rel"), F.asc("cid"))
@@ -774,7 +774,7 @@ def s18_mmr_rerank(
         .select(
             F.col("a.cid").alias("ac"),
             F.col("b.cid").alias("bc"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            F.expr(f"round({cosine_sql('a.v', 'b.v')}, 6)").alias("sim"),
         )
         .localCheckpoint(eager=True)
     )
@@ -788,17 +788,24 @@ def s18_mmr_rerank(
     # the 20-row frame. Every mmr double is still Spark-computed
     # (round 6 HALF_UP), so the decisions match the oracle exactly —
     # no Python float semantics in the path.
-    cand = top.select("cid", "rel")
+    # Each greedy round is ONE server-parsed SQL text over temp views
+    # of the frozen frames (r12 compile trim: the DataFrame-API round
+    # construction was ~200 py4j round trips per round). The double
+    # literals go through CAST('<repr>' AS DOUBLE) — exact shortest-
+    # repr round trip, bit-identical to the F.lit doubles they replace,
+    # so round(rel*lam - pen*mu, 6) decisions are unchanged.
+    top.select("cid", "rel").createOrReplaceTempView("__s18_cand")
+    pairs.createOrReplaceTempView("__s18_pairs")
+    lam_sql = f"CAST('{lam!r}' AS DOUBLE)"
+    mu_sql = f"CAST('{(1.0 - lam)!r}' AS DOUBLE)"
     # Each round's winner collect is GUARDED (ADVICE r11): a corpus
     # with fewer than k candidates — or no vec_id==0 query row at all —
     # stops early with the positions selected so far (train_bpe's
     # empty-round break), instead of IndexError on collect()[0].
-    first_rows = (
-        cand.orderBy(F.desc("rel"), F.asc("cid"))
-        .limit(1)
-        .select("cid", F.round(F.col("rel") * F.lit(lam), 6).alias("mmr"))
-        .collect()
-    )
+    first_rows = spark.sql(
+        f"SELECT cid, round(rel * {lam_sql}, 6) AS mmr "
+        "FROM __s18_cand ORDER BY rel DESC, cid ASC LIMIT 1"
+    ).collect()
     schema = "pos bigint, cid bigint, mmr double"
     if not first_rows:
         return spark.createDataFrame([], schema)
@@ -806,24 +813,16 @@ def s18_mmr_rerank(
     picked = [(1, int(first.cid), float(first.mmr))]
     chosen = [int(first.cid)]
     for pos in range(2, k + 1):
-        nxt_rows = (
-            pairs.filter(F.col("bc").isin(chosen))
-            .groupBy("ac")
-            .agg(F.max("sim").alias("pen"))
-            .join(cand, F.col("ac") == cand.cid)
-            .filter(~F.col("cid").isin(chosen))
-            .select(
-                "cid",
-                F.round(
-                    F.col("rel") * F.lit(lam)
-                    - F.col("pen") * F.lit(1.0 - lam),
-                    6,
-                ).alias("mmr"),
-            )
-            .orderBy(F.desc("mmr"), F.asc("cid"))
-            .limit(1)
-            .collect()
-        )
+        ids = ",".join(str(c) for c in chosen)
+        nxt_rows = spark.sql(
+            f"SELECT c.cid, round(c.rel * {lam_sql} - p.pen * {mu_sql}, 6)"
+            " AS mmr "
+            "FROM (SELECT ac, max(sim) AS pen FROM __s18_pairs "
+            f"      WHERE bc IN ({ids}) GROUP BY ac) p "
+            "JOIN __s18_cand c ON p.ac = c.cid "
+            f"WHERE c.cid NOT IN ({ids}) "
+            "ORDER BY mmr DESC, cid ASC LIMIT 1"
+        ).collect()
         if not nxt_rows:
             break
         nxt = nxt_rows[0]
@@ -3364,17 +3363,15 @@ def t17_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
-    n = F.size("tokens")
-    adj = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("tokens", 1, n - 1),
-            F.slice("tokens", 2, n - 1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    adj = (
+        "CASE WHEN size(tokens) >= 2 THEN "
+        "zip_with(slice(tokens, 1, size(tokens) - 1), "
+        "slice(tokens, 2, size(tokens) - 1), "
+        "(a, b) -> named_struct('a', a, 'b', b)) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )
     pairs = (
-        toked.select(F.explode(adj).alias("p"))
+        toked.select(F.expr(f"explode({adj})").alias("p"))
         .select("p.a", "p.b")
         .filter(F.col("a") != F.col("b"))
     )
