@@ -237,6 +237,43 @@ def task_metrics_from_event_log(spark: SparkSession, log_path: str) -> DataFrame
     )
 
 
+_STAGE_COMPLETED = '"SparkListenerStageCompleted"'
+
+_STAGE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Stage Info",
+            T.StructType(
+                [
+                    T.StructField("Stage ID", T.LongType()),
+                    T.StructField("Stage Name", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def stage_names_from_event_log(
+    spark: SparkSession, log_path: str
+) -> DataFrame:
+    """(stage_id, stage_name) from StageCompleted events — the label
+    that lets per-stage executor time (VERDICT r11 item 3: name
+    d12_containment's dominating stage) be attributed to an operator
+    in the plan instead of an opaque stage id. Same partial-schema
+    from_json parse as task_metrics_from_event_log."""
+    return (
+        spark.read.text(log_path)
+        .filter(F.col("value").contains(_STAGE_COMPLETED))
+        .select(F.from_json("value", _STAGE_SCHEMA).alias("e"))
+        .select(
+            F.col("e.`Stage Info`.`Stage ID`").alias("stage_id"),
+            F.col("e.`Stage Info`.`Stage Name`").alias("stage_name"),
+        )
+        .dropDuplicates(["stage_id"])
+    )
+
+
 def stage_metrics_summary(task_metrics: DataFrame) -> DataFrame:
     """Roll tasks up to stages — the table the scale probe reports."""
     return (

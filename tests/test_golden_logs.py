@@ -291,6 +291,87 @@ def test_baseline_golden_values_with_lag_and_scale(spark):
     assert first == exp_first
 
 
+def test_golden_mse_tail_through_fixed_weights_scoring(spark):
+    """VERDICT r11 item 7: tolerance-banded replay of the committed
+    3,936-period MSE tail (bearing_experiment-2/centralized.json)
+    through the FIXED-WEIGHTS SCORING PATH — not just the evaluation
+    chain over pre-made numbers. Construction: a zero-weight
+    autoencoder reconstructs everything to 0, so a window whose
+    elements are all sqrt(m) scores reconstruction MSE m through the
+    REAL W1 window assembly + M6 Arrow-batch scoring UDF
+    (ml/scoring.py::score_windows). Feeding sqrt(mse[b][p]) per period
+    therefore must reproduce the reference log's per-period MSE within
+    float tolerance, and the W5→W8 chain over THOSE Spark-scored
+    values must land on the same thresholds/crossings as the chain
+    over the committed series itself."""
+    import numpy as np
+
+    from anomaly_detection_iiot_spark.ml import scoring
+    from anomaly_detection_iiot_spark.operators import windowing
+
+    d = json.load(open(f"{LOGS}/bearing_experiment-2/centralized.json"))
+    mse = d["lstm"]["mse"]
+    n_bearings, win = 4, 4
+    periods = len(mse) // n_bearings  # 984
+    # long-form input: per bearing, per period, `win` samples whose
+    # value is sqrt(target mse) — contiguous idx per key, the
+    # window_arrays precondition
+    rows = pd.DataFrame(
+        {
+            "bearing": np.repeat(np.arange(n_bearings), periods * win),
+            "sample_idx": np.tile(np.arange(periods * win), n_bearings),
+            "value": np.sqrt(
+                np.repeat(np.asarray(mse, dtype=np.float64), win)
+            ),
+        }
+    )
+    df = spark.createDataFrame(rows)
+    wins = windowing.window_arrays(
+        df, size=win, step=win, keys=["bearing"]
+    )
+    zero_weights = [
+        (np.zeros((win, win), dtype=np.float64), np.zeros(win))
+    ]
+    scored = scoring.score_windows(wins, zero_weights).select(
+        "bearing",
+        F.col("window_idx").alias("period_idx"),
+        "mse",
+    )
+    got = (
+        scored.toPandas().sort_values(["bearing", "period_idx"])
+    )
+    assert len(got) == n_bearings * periods
+    # per-period MSE within rtol vs the committed log (order='F':
+    # bearing b's series is mse[b*periods:(b+1)*periods])
+    np.testing.assert_allclose(
+        got["mse"].to_numpy(),
+        np.asarray(mse, dtype=np.float64),
+        rtol=1e-12,
+    )
+    # W5 -> W8 over the SPARK-SCORED values matches the chain over the
+    # committed series
+    thr = threshold.fit_threshold(
+        scored, "mse", n_std=4.0, keys=["bearing"],
+        validation_filter=F.col("period_idx") < int(periods * 0.1),
+    )
+    smoothed = rolling.rolling_min(
+        scored.join(F.broadcast(thr), ["bearing"]), "mse", window=3,
+        partition_by=["bearing"], idx_col="period_idx", out="mse_smooth",
+    )
+    first = crossing.first_crossing(
+        smoothed, "mse_smooth", F.col("threshold"),
+        idx_col="period_idx", keys=["bearing", "threshold"],
+        out="first_anomaly",
+    )
+    got_thr = {r.bearing: r.threshold for r in thr.collect()}
+    got_first = {r.bearing: r.first_anomaly for r in first.collect()}
+    for b in range(n_bearings):
+        series = mse[b * periods : (b + 1) * periods]
+        exp_thr, _, exp_first = _expected_chain(series)
+        np.testing.assert_allclose(got_thr[b], exp_thr, rtol=1e-9)
+        assert got_first[b] == exp_first
+
+
 def _numpy_episodes(flag_idx):
     """Run-length episodes over a sorted index list: (start, end, len)."""
     eps, start, prev = [], None, None

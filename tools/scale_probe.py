@@ -396,6 +396,17 @@ def parse_eventlog(spark, eventlog_dir: str) -> dict:
     top = (
         stages.orderBy(F.desc("shuffle_write_bytes")).limit(3).collect()
     )
+    # per-stage EXECUTOR TIME breakdown (r11 verdict item 3): the wall
+    # can go superlinear while shuffle stays linear — naming the
+    # hottest stages by summed executor run time (with the stage's
+    # plan-derived name) tells WHICH operator burns the CPU.
+    names = {
+        r.stage_id: r.stage_name
+        for r in rl.stage_names_from_event_log(spark, logs[0]).collect()
+    }
+    top_time = (
+        stages.orderBy(F.desc("run_time_ms")).limit(5).collect()
+    )
     return {
         "shuffle_read_mb": round((tot.r or 0) / 1e6, 2),
         "shuffle_write_mb": round((tot.w or 0) / 1e6, 2),
@@ -408,6 +419,17 @@ def parse_eventlog(spark, eventlog_dir: str) -> dict:
                 "tasks": s.n_tasks,
             }
             for s in top
+        ],
+        "top_time_stages": [
+            {
+                "stage": s.stage_id,
+                "name": names.get(s.stage_id),
+                "exec_sec": round((s.run_time_ms or 0) / 1e3, 1),
+                "tasks": s.n_tasks,
+                "read_mb": round((s.shuffle_read_bytes or 0) / 1e6, 2),
+                "write_mb": round((s.shuffle_write_bytes or 0) / 1e6, 2),
+            }
+            for s in top_time
         ],
     }
 
