@@ -1588,14 +1588,29 @@ def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency > max_df dropped) bounds every postings list, so the
     pair blow-up is sum(df²) with df <= max_df, AQE-skew-splittable;
     then one pair-count agg and a broadcast of the |docs|-row
-    fingerprint-size table."""
+    fingerprint-size table.
+
+    The fingerprint table (fp) and its pruned postings (fpk) are
+    owned-cache persisted: fp feeds 2 consumers and fpk feeds 3 (both
+    self-join sides + the size table), so the un-cached plan re-ran
+    the tokenize→md5→window winnowing chain up to 5x — the r11 100x
+    probe's 89.9 s wall was exactly that recomputation (the decomposed
+    chain runs ~40 s; pair volume itself is linear, 6.7M→67M for
+    10x→100x). At 100 TB the fingerprint table is the artifact you
+    materialize once, never re-derive per consumer."""
+    from ..operators.cache import replace_owned_cache
+
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
-    fp = textstats.winnowing_fingerprints(toked, n=3, window=4)
+    fp = replace_owned_cache(
+        "d12_fingerprints",
+        textstats.winnowing_fingerprints(toked, n=3, window=4),
+    )
     df_counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("nd"))
-    fpk = (
+    fpk = replace_owned_cache(
+        "d12_postings",
         fp.join(df_counts, "fingerprint")
         .filter(F.col("nd") <= _D12_MAX_DF)
-        .select("doc_id", "fingerprint")
+        .select("doc_id", "fingerprint"),
     )
     sizes = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("fpn"))
     a = fpk.select(F.col("doc_id").alias("doc_a"), "fingerprint")

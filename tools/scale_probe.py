@@ -107,6 +107,13 @@ QUERY_NAMES = {
     # r11: tokenizer application — documents-inflation axis (vocab
     # grows with the copy factor; encode stays vocab-level folds)
     "t19": "t19_bpe_encode",
+    # r12 (r11 verdict item 8): MMR rerank — embeddings-inflation
+    # axis; the distributed rel scan + top-20 cut grows linearly, the
+    # greedy rounds stay 20-row driver micro-jobs regardless of corpus
+    "s18": "s18_mmr_rerank",
+    # r12: STL decomposition — events sf-series axis; one sort per
+    # user partition, per-phase/per-user aggregates ride it
+    "w26": "w26_stl_decompose",
 }
 
 
@@ -529,6 +536,7 @@ def main() -> None:
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
         "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
         "t19": 5000,
+        "s18": 2000, "w26": 1000,
     }
     for q in queries:
         for n in scales:
