@@ -309,11 +309,16 @@ def pagerank(
         if weight_col
         else F.lit(1).cast("long")
     )
+    # LAZY checkpoint (r12): the edge build (a corpus scan for t17)
+    # materializes inside the caller's first action instead of paying
+    # a separate construction-time job barrier; every later stage and
+    # iteration reads the saved blocks. Plan freezing — the reason the
+    # checkpoint exists — is identical either way.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         w.alias("weight"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # outw derives LAZILY from the frozen edge blocks: it is a
     # vocab-sized groupBy over a checkpoint scan, so re-computing it
     # inside each round's job is cheaper than the extra eager

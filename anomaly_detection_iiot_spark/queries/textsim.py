@@ -736,7 +736,9 @@ def s18_mmr_rerank(
     broadcast query join, WindowGroupLimit top-k — s1's plan); the
     greedy selection then runs over the n_cand-row candidate frame and
     its n_cand² pairwise-similarity frame, both eagerly
-    localCheckpointed (bounded, the kmeans/d8 k-row pattern) so the k
+    localCheckpointed (lazily since r12 — materialized inside the
+    first greedy collect, no construction-time job barrier; bounded,
+    the kmeans/d8 k-row pattern) so the k
     unrolled selection rounds never re-derive the corpus scan.
     Determinism contract (w24 rule): rel/sim/mmr all rounded to 6
     BEFORE every argmax, ties break on candidate id — the oracle
@@ -761,7 +763,7 @@ def s18_mmr_rerank(
         scored.withColumn("rk", F.row_number().over(w_rel))
         .filter(F.col("rk") <= n_cand)
         .select("cid", "v", "rel")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # pairs is eagerly checkpointed too: lazy, its n_cand² cosine-fold
     # subtree re-inlines under every selection round's join (plans grow
@@ -776,7 +778,7 @@ def s18_mmr_rerank(
             F.col("b.cid").alias("bc"),
             F.expr(f"round({cosine_sql('a.v', 'b.v')}, 6)").alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Greedy rounds as a DRIVER loop over the frozen frames (the
     # s13/m9/t16 k-row round pattern): each round is ONE micro-job on
