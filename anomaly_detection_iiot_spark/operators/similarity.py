@@ -862,9 +862,19 @@ def incremental_semdedup(
     pruned) keeper index, and the tiled within-batch near-dup stage.
     """
     # assign_fn: ivf_assign (literal-expression, small k — the oracle
-    # path) or ivf_assign_arrow (matmul, large k deployments)
-    a_new = (assign_fn or ivf_assign)(
-        new_vecs, centroids, id_col=id_col, vec_col=vec_col
+    # path) or ivf_assign_arrow (matmul, large k deployments).
+    # Owned-cache: a_new feeds the keeper join, the within-batch gram
+    # stage, AND the final verdict join — uncached, the batch scan +
+    # assignment projection runs three times (the d12 multi-consumer
+    # recompute pattern, r12). Batch-only operator (no streaming call
+    # sites), so persist is safe.
+    from .cache import replace_owned_cache
+
+    a_new = replace_owned_cache(
+        "incremental_semdedup_assigned",
+        (assign_fn or ivf_assign)(
+            new_vecs, centroids, id_col=id_col, vec_col=vec_col
+        ),
     )
     dv = as_double_sql(vec_col)
     kv = keeper_index.select(

@@ -574,7 +574,14 @@ def d9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    assigned = similarity.ivf_assign(e, centroids)
+    # owned-cache: assigned feeds the gram stage AND the final verdict
+    # join — uncached, the scan+assignment projection runs twice (the
+    # d12 multi-consumer recompute pattern, r12)
+    from ..operators.cache import replace_owned_cache
+
+    assigned = replace_owned_cache(
+        "d9_assigned", similarity.ivf_assign(e, centroids)
+    )
     pairs = similarity.blocked_neardup_pairs(
         assigned, block_col="bucket", min_cosine=_D9_TAU
     )
@@ -651,7 +658,14 @@ def d13_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in centroids.collect()
     ]
     first = e.filter(F.col("vec_id") < _D13_SPLIT)
-    a_first = similarity.ivf_assign(first, centroids, crows=crows)
+    # owned-cache: a_first feeds the historical gram stage AND the
+    # keeper anti-join (the d12 multi-consumer recompute pattern, r12)
+    from ..operators.cache import replace_owned_cache
+
+    a_first = replace_owned_cache(
+        "d13_assigned_hist",
+        similarity.ivf_assign(first, centroids, crows=crows),
+    )
     f_dropped = similarity.blocked_neardup_pairs(
         a_first, block_col="bucket", min_cosine=_D9_TAU
     ).select(F.col("vec_b").alias("vec_id")).distinct()
