@@ -33,11 +33,16 @@ def replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
     prev = _OWNED_CACHES.get(site)
     if prev is not None:
         try:
-            if (
+            if prev.is_cached and (
                 prev._jdf.queryExecution()
                 .analyzed()
                 .sameResult(frame._jdf.queryExecution().analyzed())
             ):
+                # is_cached guard (r12): an external
+                # spark.catalog.clearCache() (test plan pins) may have
+                # dropped the persist out from under the registry —
+                # returning the stale handle would silently run the
+                # query uncached; fall through and re-persist instead.
                 return prev
             prev.unpersist(blocking=False)
         except Exception:

@@ -10,6 +10,11 @@ from anomaly_detection_iiot_spark.queries import REGISTRY
 
 
 def _plan(spark, sf_dir, name, mode="formatted"):
+    # Plan pins must read each operator's OWN plan: owned caches from
+    # queries run earlier in the session (d12/d9/d13 fingerprint and
+    # assignment frames, r12) would otherwise substitute
+    # InMemoryRelations for the very subtrees the pins inspect.
+    spark.catalog.clearCache()
     df = REGISTRY[name].fn(spark, sf_dir)
     qe = df._jdf.queryExecution()
     if mode == "formatted":
@@ -195,7 +200,14 @@ def test_t5_winnowing_single_shuffle(spark, sf_dir):
     """Winnowing is one hash-partition shuffle on doc_id: the explode,
     both window functions, and the trailing distinct all reuse that
     partitioning — a second Exchange would mean the distinct or a
-    window re-shuffled (operators/textstats.py::winnowing_fingerprints)."""
+    window re-shuffled (operators/textstats.py::winnowing_fingerprints).
+
+    Cache isolation (r12): d12's owned fingerprint cache shares this
+    exact subtree, so if d12 ran earlier in the session the
+    CacheManager substitutes an InMemoryRelation here (desired reuse,
+    wrong fixture for a shuffle-count pin) — clear the cache so the
+    pin reads the operator's own plan."""
+    spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "t5_winnowing", mode="executed")
     assert plan.count("Exchange hashpartitioning") == 1
 
