@@ -87,21 +87,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-native: one row per doc throughout, zero shuffle after the
-    # CPU-spreading repartition (vs explode → groupBy in the long form).
-    # Owned-cache: d10 consumes this frame TWICE (at-rest index + new
-    # batch split — the d12 multi-consumer recompute pattern, r12), and
-    # the CacheManager also reuses it across d3/d4/d10 within a session
-    # since all three build the identical plan.
-    from ..operators.cache import replace_owned_cache
-
-    return replace_owned_cache(
-        "minhash_signatures",
-        dedup.minhash_signature_arrays(
-            dedup.shingle_array(
-                dedup.tokenize(_spread_docs(spark, sf_dir)), n=3
-            ),
-            num_hashes=4,
-        ),
+    # CPU-spreading repartition (vs explode → groupBy in the long form)
+    return dedup.minhash_signature_arrays(
+        dedup.shingle_array(dedup.tokenize(_spread_docs(spark, sf_dir)), n=3),
+        num_hashes=4,
     )
 
 
