@@ -1592,52 +1592,43 @@ def w25_binary_segmentation(
         F.lit(0.0).alias("sa1"),
         F.col("Sn").alias("sb"),
     )
-    i, a, b = F.col("i"), F.col("a"), F.col("b")
+    # level-loop expressions as server-parsed text (r12 compile trim —
+    # 1.1 s of py4j chatter measured in the Column-API form; same
+    # Catalyst expressions after parsing: * and / are left-assoc in
+    # both, 1.0D forces the double division exactly where F.lit(1.0)
+    # did, DESC defaults to NULLS LAST like F.desc)
+    stat_txt = (
+        "round(sqrt((i - a + 1) * (b - i) * 1.0D / (b - a + 1)) * "
+        "abs((S - sa1) / (i - a + 1) - (sb - S) / (b - i)), 6)"
+    )
     levels: list[DataFrame] = []
     for lvl in range(depth):
         cand = (
             p.join(F.broadcast(segs), "user_id")
-            .filter((i >= a + min_seg - 1) & (i <= b - min_seg))
-            .withColumn(
-                "stat",
-                F.round(
-                    F.sqrt(
-                        (i - a + 1) * (b - i) * F.lit(1.0) / (b - a + 1)
-                    )
-                    * F.abs(
-                        (F.col("S") - F.col("sa1")) / (i - a + 1)
-                        - (F.col("sb") - F.col("S")) / (b - i)
-                    ),
-                    6,
-                ),
+            .filter(
+                F.expr(f"i >= a + {min_seg} - 1 AND i <= b - {min_seg}")
             )
+            .withColumn("stat", F.expr(stat_txt))
         )
-        pick = Window.partitionBy("user_id", "a").orderBy(
-            F.desc("stat"), F.asc("i")
-        )
-        win = cand.withColumn("rk", F.row_number().over(pick)).filter(
-            F.col("rk") == 1
-        )
+        win = cand.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY user_id, a "
+            "ORDER BY stat DESC, i ASC) AS rk",
+        ).filter("rk = 1")
         levels.append(
-            win.select(
+            win.selectExpr(
                 "user_id",
-                F.lit(lvl).cast("bigint").alias("level"),
-                a.alias("seg_start"),
-                b.alias("seg_end"),
-                i.alias("cp_i"),
+                f"CAST({lvl} AS BIGINT) AS level",
+                "a AS seg_start",
+                "b AS seg_end",
+                "i AS cp_i",
                 "stat",
             )
         )
-        segs = win.select(
-            "user_id", "a", i.alias("b"), "sa1", F.col("S").alias("sb")
+        segs = win.selectExpr(
+            "user_id", "a", "i AS b", "sa1", "S AS sb"
         ).unionByName(
-            win.select(
-                "user_id",
-                (i + 1).alias("a"),
-                "b",
-                F.col("S").alias("sa1"),
-                "sb",
-            )
+            win.selectExpr("user_id", "i + 1 AS a", "b", "S AS sa1", "sb")
         )
     out = levels[0]
     for d in levels[1:]:
