@@ -341,21 +341,22 @@ def pagerank(
         "node", F.lit(1_000_000_000).cast("long").alias("r_int")
     )
     prev = ranks
+    # loop expressions as server-parsed text (r12 compile trim; same
+    # Catalyst expressions as the Column-API form they replace: floor
+    # on DOUBLE returns BIGINT, 0.85D is the double literal F.lit(0.85)
+    # built, long/double division promotes identically)
+    contrib_x = (
+        "CAST(sum(floor(CAST(weight * r_int AS DOUBLE) / out_w)) "
+        "AS BIGINT) AS x"
+    )
     for i in range(iters):
         contrib = (
             e.join(outw, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.floor(
-                        (F.col("weight") * F.col("r_int")).cast("double")
-                        / F.col("out_w")
-                    ).cast("long")
-                ).alias("x")
-            )
+            .agg(F.expr(contrib_x))
         )
-        inbound = F.coalesce("x", F.lit(0)).cast("double")
+        inbound_txt = "CAST(coalesce(x, 0L) AS DOUBLE)"
         updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
         if dangling == "redistribute":
             # mass parked on sink nodes this round, spread as an exact
@@ -370,15 +371,13 @@ def pagerank(
                 )
             )
             updated = updated.crossJoin(F.broadcast(dangling_share))
-            inbound = (F.coalesce("x", F.lit(0)) + F.col("dang")).cast(
-                "double"
-            )
+            inbound_txt = "CAST(coalesce(x, 0L) + dang AS DOUBLE)"
         ranks = updated.select(
-            "node",
-            (
-                F.lit(150_000_000).cast("long")
-                + F.floor(F.lit(0.85) * inbound).cast("long")
-            ).alias("r_int"),
+            F.col("node"),
+            F.expr(
+                "CAST(150000000 AS BIGINT) + floor(0.85D * "
+                f"{inbound_txt}) AS r_int"
+            ),
         )
         if tol_units is not None or (
             (i + 1) % checkpoint_every == 0 and i + 1 < iters
