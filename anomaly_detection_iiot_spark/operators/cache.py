@@ -33,16 +33,20 @@ def replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
     prev = _OWNED_CACHES.get(site)
     if prev is not None:
         try:
-            if prev.is_cached and (
+            lvl = prev.storageLevel
+            if (lvl.useMemory or lvl.useDisk) and (
                 prev._jdf.queryExecution()
                 .analyzed()
                 .sameResult(frame._jdf.queryExecution().analyzed())
             ):
-                # is_cached guard (r12): an external
+                # storageLevel guard (r12): an external
                 # spark.catalog.clearCache() (test plan pins) may have
                 # dropped the persist out from under the registry —
                 # returning the stale handle would silently run the
                 # query uncached; fall through and re-persist instead.
+                # (df.is_cached stays stale-True after clearCache;
+                # storageLevel drops to NONE, so it is the honest
+                # signal.)
                 return prev
             prev.unpersist(blocking=False)
         except Exception:

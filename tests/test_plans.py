@@ -225,6 +225,32 @@ def test_d9_assignment_is_projection(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas") == 2
 
 
+def test_multi_consumer_frames_are_cached_once(spark, sf_dir):
+    """r12 regression guard for the d12 recomputation bug (89.9 s at
+    the 100x probe): frames feeding 2+ plan branches must be persisted
+    so their subtree builds once. Pins: d12's fingerprint + pruned-
+    postings tables and d9's assignment frame appear as
+    InMemoryRelations in their own plans, and the d12 plan's PARQUET
+    SCAN count proves the corpus is read for exactly one subtree (the
+    cache build), not once per consumer."""
+    plan = _plan(spark, sf_dir, "d12_containment", mode="executed")
+    # fp + fpk caches (fpk's build plan contains fp's cache, so the
+    # relation count is >= 2 distinct InMemoryRelations)
+    assert plan.count("InMemoryRelation") >= 2, plan[:500]
+    # every FileScan of documents.parquet lives inside the single
+    # cache-build subtree: outside InMemoryRelation there must be none
+    first_imr = plan.index("InMemoryRelation")
+    assert "FileScan" not in plan[:first_imr]
+
+    plan9 = _plan(spark, sf_dir, "d9_semdedup", mode="executed")
+    assert "InMemoryRelation" in plan9
+
+    plan13 = _plan(spark, sf_dir, "d13_incremental_semdedup",
+                   mode="executed")
+    # a_first (historical) + a_new (incremental operator) caches
+    assert plan13.count("InMemoryRelation") >= 2
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     """At 100 TB the lineitem⋈filtered-orders join gets a runtime bloom
     filter on the probe side for free (defaults: creation side < 10 MB,
