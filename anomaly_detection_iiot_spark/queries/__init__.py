@@ -69,6 +69,8 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
+    # NEW in round 12 — no driver row yet
+    "w27_seasonal_backtest",
     # CHANGED in round 12 — code or oracle text touched this round
     # (owned-cache persists for w25/m9, a12 3*rsd accuracy band,
     # t16/t19 US-separator strip in word_freqs + oracle vocab CTE,

@@ -1732,6 +1732,75 @@ ORDER BY user_id
 """
 
 
+def w27_seasonal_backtest(
+    spark: SparkSession, sf_dir: str, period: int = 24
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per user series — the
+    FORECAST-QUALITY report that closes the w23/w26 monitoring loop:
+    before trusting a seasonal model, a monitoring owner backtests the
+    cheapest seasonal baseline (x̂_t = x_{t−period}) and reads MAE and
+    MASE (Hyndman & Koehler 2006). MASE = seasonal-naive MAE over the
+    scorable tail (i ≥ period) divided by the one-step-naive MAE over
+    the whole series (the rolling-origin simplification of the classic
+    in-sample denominator; documented semantics, mirrored exactly by
+    the oracle) — < 1 means the seasonal baseline beats last-value
+    carry-forward, so a model must beat BOTH to earn deployment.
+
+    Scale shape: one sort per user partition (the w25/w26 ordering
+    contract on (ts, event_id)); the two lags ride that window and the
+    conditional averages are one hash aggregate — no self-joins, no
+    second shuffle. avg doubles are rounded to 6 before hashing (a6
+    precedent); mase is NULL for constant series (nullif-guarded
+    denominator), identically in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        (F.row_number().over(w_ord) - 1).alias("i"),
+        F.lag("value", period).over(w_ord).alias("f"),
+        F.lag("value", 1).over(w_ord).alias("px"),
+    )
+    mae = F.avg(
+        F.when(F.col("i") >= period, F.abs(F.col("x") - F.col("f")))
+    )
+    d1 = F.avg(F.when(F.col("i") >= 1, F.abs(F.col("x") - F.col("px"))))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.greatest(
+                F.count(F.lit(1)) - period, F.lit(0)
+            ).cast("bigint").alias("n_eval"),
+            F.round(mae, 6).alias("mae"),
+            F.round(mae / F.nullif(d1, F.lit(0.0)), 6).alias("mase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W27_SQL = """
+WITH seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER w - 1 AS i,
+         lag(value, 24) OVER w AS f,
+         lag(value, 1) OVER w AS px
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(greatest(count(*) - 24, 0) AS BIGINT) AS n_eval,
+       round(avg(CASE WHEN i >= 24 THEN abs(x - f) END), 6) AS mae,
+       round(avg(CASE WHEN i >= 24 THEN abs(x - f) END)
+             / nullif(avg(CASE WHEN i >= 1 THEN abs(x - px) END), 0),
+             6) AS mase
+FROM seq
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def _w25_sql(depth: int = 3, min_seg: int = 4) -> str:
     """w25 oracle: the recursion statically unrolled — seg{r} carries
     (a, b, S_{a-1}, S_b) down exactly like the DataFrame loop."""
@@ -2842,6 +2911,10 @@ EXTRA_QUERIES: list[QuerySpec] = [
     QuerySpec("w24_changepoint", w24_changepoint, W24_SQL,
               "W24 mean-shift changepoint location: standardized "
               "two-sample stat from prefix sums, O(n) per series"),
+    QuerySpec("w27_seasonal_backtest", w27_seasonal_backtest, W27_SQL,
+              "W27 seasonal-naive backtest: per-user MAE + MASE "
+              "(Hyndman-Koehler) over the (ts, event_id)-ordered "
+              "series, one window + one hash aggregate"),
     QuerySpec("w26_stl_decompose", w26_stl_decompose, W26_SQL,
               "W26 STL-lite decomposition: centered-rolling trend, "
               "re-centered per-phase seasonal, Hyndman component "

@@ -117,6 +117,7 @@ HEADLINE = [
     "t19_bpe_encode",  # r11: tokenizer application (train + apply)
     "s18_mmr_rerank",  # r11: retrieval diversity reranking
     "w26_stl_decompose",  # r11: seasonal-trend decomposition strengths
+    "w27_seasonal_backtest",  # r12: seasonal-naive MAE/MASE backtest
     # source round-trip: write reference's CSV layout, read through real reader
     "k1_kbm_roundtrip",
     # training path — BASELINE.md's published numbers are training

@@ -385,6 +385,40 @@ def test_s18_mmr_diversifies_near_duplicates(spark, tmp_path):
     assert len(set(picked)) == 5
 
 
+def test_w27_backtest_on_constructed_series(spark, tmp_path):
+    """Backtest semantics pinned on three constructed series: a
+    perfectly periodic series scores mae=0, mase=0 (seasonal naive is
+    exact); a linear ramp scores mae=period (x_t - x_{t-24} = 24·slope)
+    with one-step denominator = slope, so mase = 24; a constant series
+    yields mae=0 with a NULL mase (nullif-guarded zero denominator)."""
+    import datetime
+
+    from anomaly_detection_iiot_spark.queries.extras import (
+        w27_seasonal_backtest,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for j in range(72):
+        ts = t0 + datetime.timedelta(hours=j)
+        rows.append((j + 1, ts, 1, "t", float(j % 24), "{}"))      # periodic
+        rows.append((j + 1000, ts, 2, "t", 1.0 * j, "{}"))          # ramp
+        rows.append((j + 2000, ts, 3, "t", 5.0, "{}"))              # constant
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: r
+        for r in w27_seasonal_backtest(spark, str(tmp_path)).collect()
+    }
+    assert (got[1].n, got[1].n_eval) == (72, 48)
+    assert got[1].mae == 0.0 and got[1].mase == 0.0
+    assert got[2].mae == 24.0 and got[2].mase == 24.0
+    assert got[3].mae == 0.0 and got[3].mase is None
+
+
 def test_w26_strengths_on_constructed_series(spark, tmp_path):
     """Decomposition semantics: a strongly seasonal series (period 24)
     scores seasonal_strength near 1; a pure linear-trend series scores

@@ -114,6 +114,8 @@ QUERY_NAMES = {
     # r12: STL decomposition — events sf-series axis; one sort per
     # user partition, per-phase/per-user aggregates ride it
     "w26": "w26_stl_decompose",
+    # r12: seasonal-naive backtest — same axis and window contract
+    "w27": "w27_seasonal_backtest",
 }
 
 
@@ -536,7 +538,7 @@ def main() -> None:
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
         "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
         "t19": 5000,
-        "s18": 2000, "w26": 1000,
+        "s18": 2000, "w26": 1000, "w27": 1000,
     }
     for q in queries:
         for n in scales:
