@@ -250,6 +250,9 @@ ANSI_QUERIES = [
     "m8_random_search",
     # r11 addition: unrolled recursion over carried prefix-sum bounds
     "w25_binary_segmentation",
+    # r12 addition: seasonal-naive backtest (lag window + conditional
+    # averages; nullif-guarded MASE denominator, same text both engines)
+    "w27_seasonal_backtest",
     # r11 addition: t16's merge chain re-used, final select reads the
     # encoded state
     "t19_bpe_encode",
