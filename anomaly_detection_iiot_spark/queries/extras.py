@@ -1779,26 +1779,33 @@ def w27_seasonal_backtest(
     )
 
 
-W27_SQL = """
+def _w27_sql(period: int = 24) -> str:
+    """w27 oracle builder (ADVICE r12): the seasonal lag is generated
+    from the same ``period`` the DataFrame query takes, so a
+    non-default call cannot silently diverge from the oracle text."""
+    return f"""
 WITH seq AS (
   SELECT user_id, value AS x,
          row_number() OVER w - 1 AS i,
-         lag(value, 24) OVER w AS f,
+         lag(value, {period}) OVER w AS f,
          lag(value, 1) OVER w AS px
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(greatest(count(*) - 24, 0) AS BIGINT) AS n_eval,
-       round(avg(CASE WHEN i >= 24 THEN abs(x - f) END), 6) AS mae,
-       round(avg(CASE WHEN i >= 24 THEN abs(x - f) END)
+       CAST(greatest(count(*) - {period}, 0) AS BIGINT) AS n_eval,
+       round(avg(CASE WHEN i >= {period} THEN abs(x - f) END), 6) AS mae,
+       round(avg(CASE WHEN i >= {period} THEN abs(x - f) END)
              / nullif(avg(CASE WHEN i >= 1 THEN abs(x - px) END), 0),
              6) AS mase
 FROM seq
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+W27_SQL = _w27_sql()
 
 
 def _w25_sql(depth: int = 3, min_seg: int = 4) -> str:

@@ -779,11 +779,11 @@ def s18_mmr_rerank(
         .select("cid", "v", "rel")
         .localCheckpoint(eager=False)
     )
-    # pairs is eagerly checkpointed too: lazy, its n_cand² cosine-fold
-    # subtree re-inlines under every selection round's join (plans grow
-    # per round and the interpreted fold re-evaluates 4x — measured
-    # 2.5 s -> 4.2 s when tried lazy in r11); eager, each round joins
-    # 400 frozen rows
+    # pairs is checkpointed LAZILY too (both checkpoints lazy since the
+    # r12 compile trim): the first greedy round's job materializes the
+    # n_cand² cosine-fold once, and every later round joins the frozen
+    # 400 rows — the r11 "eager" note predates the SQL-text rounds,
+    # which reference the views only through the checkpoint.
     a, b = top.alias("a"), top.alias("b")
     pairs = (
         a.join(b, F.col("a.cid") != F.col("b.cid"))
@@ -818,33 +818,40 @@ def s18_mmr_rerank(
     # with fewer than k candidates — or no vec_id==0 query row at all —
     # stops early with the positions selected so far (train_bpe's
     # empty-round break), instead of IndexError on collect()[0].
-    first_rows = spark.sql(
-        f"SELECT cid, round(rel * {lam_sql}, 6) AS mmr "
-        "FROM __s18_cand ORDER BY rel DESC, cid ASC LIMIT 1"
-    ).collect()
     schema = "pos bigint, cid bigint, mmr double"
-    if not first_rows:
-        return spark.createDataFrame([], schema)
-    first = first_rows[0]
-    picked = [(1, int(first.cid), float(first.mmr))]
-    chosen = [int(first.cid)]
-    for pos in range(2, k + 1):
-        ids = ",".join(str(c) for c in chosen)
-        nxt_rows = spark.sql(
-            f"SELECT c.cid, round(c.rel * {lam_sql} - p.pen * {mu_sql}, 6)"
-            " AS mmr "
-            "FROM (SELECT ac, max(sim) AS pen FROM __s18_pairs "
-            f"      WHERE bc IN ({ids}) GROUP BY ac) p "
-            "JOIN __s18_cand c ON p.ac = c.cid "
-            f"WHERE c.cid NOT IN ({ids}) "
-            "ORDER BY mmr DESC, cid ASC LIMIT 1"
+    try:
+        first_rows = spark.sql(
+            f"SELECT cid, round(rel * {lam_sql}, 6) AS mmr "
+            "FROM __s18_cand ORDER BY rel DESC, cid ASC LIMIT 1"
         ).collect()
-        if not nxt_rows:
-            break
-        nxt = nxt_rows[0]
-        picked.append((pos, int(nxt.cid), float(nxt.mmr)))
-        chosen.append(int(nxt.cid))
-    return spark.createDataFrame(picked, schema).orderBy("pos")
+        if not first_rows:
+            return spark.createDataFrame([], schema)
+        first = first_rows[0]
+        picked = [(1, int(first.cid), float(first.mmr))]
+        chosen = [int(first.cid)]
+        for pos in range(2, k + 1):
+            ids = ",".join(str(c) for c in chosen)
+            nxt_rows = spark.sql(
+                f"SELECT c.cid, "
+                f"round(c.rel * {lam_sql} - p.pen * {mu_sql}, 6)"
+                " AS mmr "
+                "FROM (SELECT ac, max(sim) AS pen FROM __s18_pairs "
+                f"      WHERE bc IN ({ids}) GROUP BY ac) p "
+                "JOIN __s18_cand c ON p.ac = c.cid "
+                f"WHERE c.cid NOT IN ({ids}) "
+                "ORDER BY mmr DESC, cid ASC LIMIT 1"
+            ).collect()
+            if not nxt_rows:
+                break
+            nxt = nxt_rows[0]
+            picked.append((pos, int(nxt.cid), float(nxt.mmr)))
+            chosen.append(int(nxt.cid))
+        return spark.createDataFrame(picked, schema).orderBy("pos")
+    finally:
+        # session hygiene (ADVICE r12): the views only exist to serve
+        # the greedy rounds — don't leave them registered after return.
+        spark.catalog.dropTempView("__s18_cand")
+        spark.catalog.dropTempView("__s18_pairs")
 
 
 def _s18_sql(n_cand: int = 20, k: int = 5, lam: float = 0.7) -> str:

@@ -375,11 +375,23 @@ def _bench_bearing_pipeline(spark) -> float:
 
 
 def _measure_query(spark, name: str, sf_dir: str) -> tuple:
-    """min-of-3 (wall, compile) for one registry query via a noop sink."""
+    """min-of-3 (wall, compile) for one registry query via a noop sink.
+
+    Each run starts from a cold cache (ADVICE r12): owned caches
+    (operators/cache.py) persist across queries within the session, and
+    d12's fingerprint frame sameResult-matched t5_winnowing's ENTIRE
+    plan — t5 was benchmarking an InMemoryRelation scan (0.626->0.147s)
+    and the polluted minimum became the noise-gate baseline. clearCache
+    before every run means (a) no cross-query substitution and (b) runs
+    2-3 rebuild the query's own caches, so the min is the honest cold
+    number, not a warm-cache fast path. cache.py's storageLevel guard
+    re-persists owned frames dropped by clearCache, so correctness is
+    unaffected."""
     spec = REGISTRY[name]
     runs: list[float] = []
     compile_runs: list[float] = []
     for _ in range(3):
+        spark.catalog.clearCache()
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         df.schema  # force analysis into the compile bucket
@@ -543,11 +555,11 @@ def main() -> None:
     # streaming curation: stateless cascade + watermark-bounded dedup
     times["curation_stream"] = _bench_curation_stream(spark, sf_dir)
 
-    # b-side rotation (VERDICT r11 item 4): 20 non-headline registry
-    # queries per round, cursor persisted in BENCH_HISTORY.json, so
-    # every registry query gets a wall number every ~5 rounds and a
-    # slow plan can't hide outside the headline set. Same min-of-3 +
-    # noise gate as the headline.
+    # b-side rotation (VERDICT r11 item 4, widened to 30/round per
+    # r12 item 6): non-headline registry queries benched per round,
+    # cursor persisted in BENCH_HISTORY.json, so every registry query
+    # gets a wall number every ~3-4 rounds and a slow plan can't hide
+    # outside the headline set. Same min-of-3 + noise gate as headline.
     doc = _load_history_doc()
     nonheadline = sorted(n for n in REGISTRY if n not in HEADLINE)
     bside_names: list[str] = []
@@ -555,7 +567,7 @@ def main() -> None:
     if nonheadline:
         bside_names = [
             nonheadline[(cursor + i) % len(nonheadline)]
-            for i in range(min(20, len(nonheadline)))
+            for i in range(min(30, len(nonheadline)))
         ]
     for name in bside_names:
         times[name], compile_times[name] = _measure_query(
@@ -615,6 +627,10 @@ def main() -> None:
         "split_note": "since r12, value/queries are BATCH-only; "
         "streaming benches report under streaming_total (r11 "
         "comparison: r11 value included both streams)",
+        "cache_note": "since r13, every measured run starts from "
+        "spark.catalog.clearCache() — r12's d12/w25/m9/t5 numbers were "
+        "warm-owned-cache (runs 2-3 hit the sameResult fast path) and "
+        "are not directly comparable",
     }
     with open(
         os.path.join(

@@ -17,9 +17,41 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
     rows = a12_approx_aggregates(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        # r11 contract shape: HLL within 5% rel, GK median within 1%
+        # r12 contract shape: HLL within 3*rsd (0.15), GK median
+        # within 1%
         assert r.distinct_ok and r.p50_ok
         assert r.exact_users > 0 and r.exact_p50 is not None
+
+
+def test_approx_distinct_pinned_at_test_sf(spark, sf_dir):
+    """ADVICE r12: the portable a12 band is 3*rsd (0.15) — loose
+    enough that a systematically BIASED approx_count_distinct would
+    still pass it. At the fixed test SFs the per-group user
+    cardinality (≲ a few thousand) sits in HLL++'s linear-counting
+    regime, where the estimate is near-exact; pin a 1% band HERE so
+    bias shows up even though the portable contract stays 3*rsd."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # linear-counting regime: sparse HLL++ is exact up to the
+        # sparse->dense switch; allow 1% for the dense edge at sf0.01
+        rel = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel <= 0.01, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} (rel {rel:.4f}) — biased sketch?"
+        )
 
 
 # --- SURVEY §5.3 property tests (pure math, no Spark session needed) ----------
