@@ -320,12 +320,23 @@ def pagerank(
         w.alias("weight"),
     ).localCheckpoint(eager=False)
     # outw derives LAZILY from the frozen edge blocks: it is a
-    # vocab-sized groupBy over a checkpoint scan, so re-computing it
-    # inside each round's job is cheaper than the extra eager
-    # checkpoint job barrier it used to pay at construction (r12
-    # compile trim; the plan stays bounded because its leaf is the
-    # checkpoint, not the corpus scan).
+    # vocab-sized groupBy over a checkpoint scan, so for SMALL fixed
+    # iteration counts re-computing it inside each round's job is
+    # cheaper than the extra eager checkpoint job barrier it used to
+    # pay at construction (r12 compile trim; the plan stays bounded
+    # because its leaf is the checkpoint, not the corpus scan). For
+    # MANY rounds that trade inverts — each round's job (plus the
+    # per-round dangling anti-join in convergence mode) re-aggregates
+    # the full edge checkpoint, O(iters) recompute for one saved
+    # barrier — so outw is re-frozen LAZILY when the round count
+    # implies reuse beats the barrier (ADVICE r12): the first round's
+    # job materializes it as a side effect (no construction-time
+    # barrier either way), and rounds 2+ read the saved vocab-sized
+    # blocks.
     outw = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    many_rounds = tol_units is not None or iters > 4
+    if many_rounds:
+        outw = outw.localCheckpoint(eager=False)
     if dangling == "redistribute":
         nodes = (
             e.select(F.col("src").alias("node"))

@@ -58,7 +58,9 @@ LITERAL_CENTROID_BUDGET = 4096
 def _darr(values) -> str:
     """SQL array literal of doubles via shortest-repr round-trip (one
     JVM parse instead of one py4j call per element — see ivf_assign)."""
-    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+    from .similarity import double_array_sql
+
+    return double_array_sql(values)
 
 
 def assign_literal(

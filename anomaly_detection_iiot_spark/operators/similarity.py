@@ -39,6 +39,31 @@ from pyspark.sql import functions as F
 #   Columns; passing a ``str`` routes through the text builder.
 
 
+def double_literal_sql(v: float) -> str:
+    """ONE SQL double literal, shortest-repr round-trip.
+
+    ``0.123D`` (Spark's double-literal suffix) parses straight to a
+    double Literal node — verified bit-identical to the older
+    ``CAST('<repr>' AS DOUBLE)`` form across subnormals, max-double,
+    and exponent reprs ('1e-05', '1.5e+20') — at ~40% less parse text
+    and HALF the expression nodes (no per-element Cast for the
+    analyzer to resolve; r13 compile trim on the codebook/centroid
+    literal tables). Non-finite values (never produced by the vector
+    paths, but cheap to guard) fall back to the CAST form, which
+    Spark parses for 'inf'/'nan'."""
+    import math
+
+    if math.isfinite(v):
+        return f"{v!r}D"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def double_array_sql(values) -> str:
+    """SQL array literal of doubles (one JVM parse for the whole
+    table instead of one py4j call per element — see ivf_assign)."""
+    return "array(" + ",".join(double_literal_sql(v) for v in values) + ")"
+
+
 def as_double_sql(vec: str) -> str:
     """SQL text: float[] -> double[] (see ``as_double``)."""
     return f"transform({vec}, x -> CAST(x AS DOUBLE))"
@@ -181,8 +206,7 @@ def ivf_assign(
     # JVM-side in one call. CAST('<repr>' AS DOUBLE) round-trips every
     # IEEE-754 double exactly (shortest-repr parse), so values are
     # bit-identical to the lit form.
-    def _darr(values):
-        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+    _darr = double_array_sql
 
     cvecs = "array(" + ",".join(_darr(vv) for vv in vecs) + ")"
     cnorms = _darr(norms)
@@ -682,8 +706,7 @@ def pq_encode(
     dim = len(crows[0][1])
     sub = dim // m
 
-    def _darr(values):
-        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+    _darr = double_array_sql
 
     # The whole encoded-struct array is ONE F.expr string parsed
     # JVM-side: the previous per-subspace pyspark lambda construction
@@ -695,40 +718,40 @@ def pq_encode(
     cids = "array(" + ",".join(f"{i}L" for i, _ in crows) + ")"
     vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
-    def _sub_struct(s: int) -> str:
+    def _sub_best(s: int) -> str:
         # per-subspace codebook slice only (k x sub doubles), not the
-        # full [code][subspace][dim/m] nest — keeps the parsed text
-        # small even though the argmin appears twice (code + err)
+        # full [code][subspace][dim/m] nest; the argmin struct is
+        # inlined ONCE — posexplode supplies the subspace index and the
+        # outer select projects .code/.err, so the parsed text and the
+        # analyzed tree are half the size of the earlier
+        # best.code/best.err double-inline (r13 compile trim; same
+        # fold, same (err, code) comparison order, same values)
         cb_s = (
             "array("
             + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
             + ")"
         )
-        best = (
+        return (
             f"array_min(transform(sequence(1,{k}), c -> named_struct("
             f"'err', aggregate(zip_with(slice({vd},{(s - 1) * sub + 1},{sub}),"
             f" element_at({cb_s}, c), (x, y) -> (x - y) * (x - y)),"
             f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
             f" 'code', element_at({cids}, c))))"
         )
-        return (
-            f"named_struct('sub', CAST({s} AS BIGINT),"
-            f" 'code', {best}.code, 'err', round({best}.err, 6))"
-        )
 
     encoded = vectors.select(
         F.col(id_col),
-        F.explode(
+        F.posexplode(
             F.expr(
-                "array(" + ",".join(_sub_struct(s + 1) for s in range(m)) + ")"
+                "array(" + ",".join(_sub_best(s + 1) for s in range(m)) + ")"
             )
-        ).alias("e"),
+        ).alias("pos", "e"),
     )
     return encoded.select(
         id_col,
-        F.col("e.sub").alias("sub"),
+        (F.col("pos") + 1).cast("bigint").alias("sub"),
         F.col("e.code").alias("code"),
-        F.col("e.err").alias("err"),
+        F.round(F.col("e.err"), 6).alias("err"),
     )
 
 
@@ -782,10 +805,7 @@ def ivfpq_probe(
     dim = len(crows[0][1])
     sub = dim // m
 
-    def _darr(values):
-        return (
-            "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
-        )
+    _darr = double_array_sql
 
     qassigned = ivf_assign(
         queries, centroids, id_col=qid_col, vec_col=qvec_col,

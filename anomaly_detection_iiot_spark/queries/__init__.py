@@ -69,76 +69,78 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # NEW in round 12 — no driver row yet
-    "w27_seasonal_backtest",
-    # CHANGED in round 12 — code or oracle text touched this round
-    # (owned-cache persists for w25/m9, a12 3*rsd accuracy band,
-    # t16/t19 US-separator strip in word_freqs + oracle vocab CTE,
-    # s18 empty-round guard); the driver must re-prove them at sf0.01
-    "w25_binary_segmentation",
-    "m9_fedavg_weights",
-    "a12_approx_aggregates",
-    "t16_bpe_merges",
-    "t19_bpe_encode",
-    "s18_mmr_rerank",
-    # r7-stale cohort (VERDICT r11 item 1: lift the driver-row floor —
-    # these 9 are the oldest rows; all mirror-green at sf0.001 every
-    # suite run, so this is row-age hygiene, not correctness risk)
-    "s7_filtered_ann",
-    "t1_token_stats",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_rolling_fingerprint",
-    "t11_pii_scan",
-    "t15_gopher_repetition",
-    "w17_gap_fill",
-    "w18_interpolate",
-    # r8-stale cohort (44 — next-oldest rows; whatever fits the ~50
-    # sample slots refreshes now, the tail rolls to r13)
-    "a13_exact_distinct_quantiles",
-    "a19_mad_threshold",
-    "a1_resample_mean",
-    "a21_grouping_sets",
-    "a2_chunk_mse",
-    "a3_threshold_stats",
-    "a6_summary_stats",
-    "c1_corpus_curation",
-    "c2_curation_with_semdedup",
-    "d13_incremental_semdedup",
-    "d9_semdedup",
-    "j5_broadcast_dims",
-    "j8_view_click_pairs",
-    "k1_kbm_roundtrip",
-    "k2_kbm_quarantine",
-    "m10_transfer_loss",
-    "m2_lstm_train_loss",
-    "m3_ae_train_loss",
-    "m6_lstm_scores",
-    "mm1_media_manifest",
-    "mm2_frame_sample",
-    "o13_shuffle_shards",
-    "o3_loss_ranking",
-    "o4_top1_per_user",
-    "o5_head_slice",
-    "p2_positional_select",
-    "s10_resource_roundtrip",
-    "s11_log_scan",
-    "s12_orc_roundtrip",
-    "s1_snapshot_roundtrip",
+    # CHANGED in round 13 — code touched this round (pq_encode
+    # posexplode single-inline restructure + D-suffix double literals
+    # in every codebook/centroid literal table; pagerank outw
+    # re-freeze for many-round mode; s18 temp-view cleanup); the
+    # driver must re-prove them at sf0.01
+    "s6_ivfpq_ann",  # also r8-stale
+    "s5_pq_codes",
     "s2_ivf_ann",
     "s3_ivf_nprobe",
-    "s5_csv_roundtrip",
-    "s5_pq_codes",
-    "s6_ivfpq_ann",
+    "s8_filtered_ivf_ann",  # also r8-stale
+    "s9_ivf_recall",  # also r8-stale
+    "s13_kmeans_codebook",
+    "d9_semdedup",
+    "d13_incremental_semdedup",
+    "c2_curation_with_semdedup",
+    "t17_textrank",
+    "s18_mmr_rerank",
+    # r8-stale remainder (VERDICT r12 item 1: lift the driver-row
+    # floor to >= r9 — these are the oldest rows; all mirror-green at
+    # sf0.001 every suite run, so this is row-age hygiene)
     "s6_json_roundtrip",
-    "s8_filtered_ivf_ann",
-    "s9_ivf_recall",
     "t5_winnowing",
     "t6_tfidf",
     "t7_repetition",
     "t9_zipf",
     "w19_range_frame",
     "w4_last_timestep",
+    # r9-stale cohort (43 — next-oldest rows; whatever fits the ~50
+    # sample slots refreshes now, the tail rolls to r14)
+    "a14_cohort_retention",
+    "a16_label_centroids",
+    "a22_approx_distinct",
+    "a23_approx_median",
+    "a24_sketch_rollup",
+    "a25_partition_checksums",
+    "a26_sliding_distinct",
+    "a27_constraint_audit",
+    "a28_ab_test",
+    "a29_market_basket",
+    "a30_audience_overlap",
+    "a5_fedavg_mean",
+    "a9_distinct",
+    "d11_passage_dedup",
+    "d6_simhash",
+    "j10_asof_tolerance",
+    "j9_scd2_dimension",
+    "m11_threshold_flags",
+    "m16_kfold_threshold",
+    "m1_standard_scale",
+    "mm8_frame_tensor_stats",
+    "p3_json_extract",
+    "p4_ts_truncate",
+    "p5_multiformat_parse",
+    "p6_round_project",
+    "p7_modulo_trim",
+    "p8_prefix_split",
+    "s15_pyds_roundtrip",
+    "t13_passage_chunks",
+    "w12_cumsum_certainty",
+    "w13_lag_shift",
+    "w1_strided_windows",
+    "w20_event_pattern",
+    "w21_rolling_slope",
+    "w22_cusum",
+    "w23_seasonal_anomalies",
+    "w2_stride_dedup",
+    "w3_lookback_mean",
+    "w5_rolling_min",
+    "w6_rolling_mean",
+    "w7_repeat_upsample",
+    "w8_first_crossing",
+    "w9_asof_fraction",
 ]
 _prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 _ALL.sort(key=lambda q: _prio.get(q.name, len(_prio)))  # stable: ties keep order

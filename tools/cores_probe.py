@@ -48,6 +48,11 @@ def run_one(query: str, sf_dir: str) -> None:
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
     runs = []
     for _ in range(3):
+        # cold owned-caches per run (r13, matching bench.py): the
+        # elasticity question for the iterative family is whether the
+        # CACHE-BUILD stage parallelizes — warm runs would hide it
+        # behind the sameResult fast path.
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs.append(time.time() - t0)
