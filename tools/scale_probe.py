@@ -107,6 +107,8 @@ QUERY_NAMES = {
     # r11: tokenizer application — documents-inflation axis (vocab
     # grows with the copy factor; encode stays vocab-level folds)
     "t19": "t19_bpe_encode",
+    # r13 probe-only: xxhash64-long minhash (see _d4_narrow)
+    "d4narrow": "d4_lsh_candidates_narrow",
     # r12 (r11 verdict item 8): MMR rerank — embeddings-inflation
     # axis; the distributed rel scan + top-20 cut grows linearly, the
     # greedy rounds stay 20-row driver micro-jobs regardless of corpus
@@ -236,7 +238,57 @@ def _g1_skewed(spark, sf_dir: str):
     )
 
 
-RUNNERS = {"s4": _s4_scaled, "d13": _d13_scaled, "g1skew": _g1_skewed}
+def _d4_narrow(spark, sf_dir: str):
+    """Probe-ONLY d4 variant for VERDICT r12 item 7: does narrowing the
+    bytes the minhash scan streams lift the single-box DRAM ceiling?
+
+    Signatures here are ``array_min(transform(shingles,
+    s -> xxhash64('seed<i>:' || s)))`` — each (shingle, slot) is one
+    8-byte long, with NO 64-hex-char digest intermediate and no
+    per-(shingle, slot) substring object (the md5 form materializes
+    ~128 B of hex + 8 UTF8String slices per shingle; the narrow form
+    ~32 B of longs). Same minwise-LSH statistics, same banding and
+    pair expansion, same plan shape — but the signature VALUES differ
+    (DuckDB has no xxhash64), so this can never be the registry query;
+    it exists to measure the 100x curve delta attributable to bytes
+    streamed per shingle."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators import dedup
+    from anomaly_detection_iiot_spark.queries.textsim import _spread_docs
+
+    shingled = dedup.shingle_array(
+        dedup.tokenize(_spread_docs(spark, sf_dir)), n=3
+    )
+
+    def _hash_i(i):
+        return lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))
+
+    sig = (
+        shingled.select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("shingles", _hash_i(i))).alias(
+                    f"h{i}"
+                )
+                for i in range(4)
+            ],
+        )
+        # same CollectMetrics pushdown barrier rationale as
+        # minhash_signature_arrays: without it the no-shingle filter
+        # re-evaluates the whole pipeline below the repartition
+        .observe("d4narrow_sig", F.count(F.lit(1)).alias("n_sig_rows"))
+        .filter(F.col("h0").isNotNull())
+    )
+    return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
+
+
+RUNNERS = {
+    "s4": _s4_scaled,
+    "d13": _d13_scaled,
+    "g1skew": _g1_skewed,
+    "d4narrow": _d4_narrow,
+}
 
 
 def inflate_documents(src_dir: str, factor: int) -> str:
@@ -537,7 +589,7 @@ def main() -> None:
         "w22": 1000, "w23": 1000, "m16": 1000, "m17": 1000,
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
         "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
-        "t19": 5000,
+        "t19": 5000, "d4narrow": 5000,
         "s18": 2000, "w26": 1000, "w27": 1000,
     }
     for q in queries:
