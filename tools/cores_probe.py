@@ -44,7 +44,17 @@ def run_one(query: str, sf_dir: str) -> None:
 
     spark = get_spark("cores-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    fn = REGISTRY[query].fn
+    if query.startswith("runner:"):
+        # scale_probe's per-scale-tuned runners (e.g. runner:d13 =
+        # _d13_scaled, k ∝ N): the registry fn pins index knobs for
+        # oracle parity, which at inflated corpora measures a
+        # mis-tuned index, not the operator (see _d13_scaled doc)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import scale_probe as sp
+
+        fn = sp.RUNNERS[query.split(":", 1)[1]]
+    else:
+        fn = REGISTRY[query].fn
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
     runs = []
     for _ in range(3):
