@@ -19,7 +19,7 @@ def _run(times, hist, repass_values, monkeypatch):
 
     def fake_measure(spark, name, sf_dir):
         calls.append(name)
-        return repass_values[name], 0.01
+        return repass_values[name], 0.01, 1
 
     monkeypatch.setattr(bench, "_measure_query", fake_measure)
     monkeypatch.setattr(bench, "_calibration", lambda spark: 0.2)
