@@ -33,6 +33,26 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# Session-lifetime schema memo for the static input tables (r13, guide
+# §6): every bare spark.read.parquet runs a 1-task footer-inference job
+# at construct time — 1 per distinct table per query per measured run,
+# 4-7 jobs (~0.3-0.5 s) for the snowflake-join queries. A catalog would
+# serve these schemas without touching storage; this memo plays that
+# role for the path-addressed testdata. Keyed by resolved path; caches
+# the RAW inferred schema only (metadata — never rows, never results),
+# so downstream normalization (_ltz, nanos handling) is unchanged.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -41,14 +61,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to micros (same truncation DuckDB applies), keeping full precision
         # (ns-since-epoch exceeds double's 53-bit mantissa, so no float
         # division). Newer generations write plain micros and skip this.
+        # (conf set BEFORE the first read so the memoized schema is the
+        # nanos-as-long one; replaying it via .schema() is then
+        # equivalent to re-inference under the same conf.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_table(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ltz(df)
-    return _ltz(spark.read.parquet(path))
+    return _ltz(_read_table(spark, path))
 
 
 def _ltz(df: DataFrame) -> DataFrame:
