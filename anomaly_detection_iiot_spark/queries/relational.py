@@ -764,27 +764,48 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "o_orderstatus")
     )
-    l1 = late.filter(F.col("o_orderstatus") == "F").select(
-        "l_orderkey", "l_suppkey"
+    # NATION_7 pre-filter BEFORE the self-joins (r13 guide §2.3/§3):
+    # the inner supplier⋈nation join only filters/annotates rows of l1
+    # (key equality on l_suppkey, no duplication — s_suppkey unique),
+    # so it commutes with the left-semi and left-anti below. Applying
+    # it first shrinks the left side of BOTH lineitem self-joins by the
+    # nation's supplier share (~1/|nations|) — the left sort+exchange
+    # feeding the anti join carries ~25x fewer rows, while the blame
+    # sets (semi/anti right sides) still see ALL suppliers, so the
+    # result is row-identical to the post-join spelling the oracle uses.
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sn7 = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        late.filter(F.col("o_orderstatus") == "F")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(sn7), F.col("l_suppkey") == F.col("s_suppkey"))
     )
+    # The self-join inequalities reference s_suppkey (the SUPPLIER-side
+    # copy of the key — equal to l_suppkey by the join above) rather
+    # than l_suppkey: with a column whose provenance is the inner
+    # join's right child, PushLeftSemiLeftAntiThroughJoin cannot push
+    # the semi/anti below the nation pre-filter (it requires the
+    # condition to resolve against one child alone), so the 25x row
+    # cut actually survives optimization — re-spelled with l_suppkey,
+    # Catalyst rewrites the plan back to semi/anti-on-full-lineitem
+    # (verified: the before/after plans were identical).
     has_other_supplier = l1.alias("a").join(
         li.select("l_orderkey", "l_suppkey").alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        & (F.col("a.s_suppkey") != F.col("b.l_suppkey")),
         "left_semi",
     )
     sole_blame = has_other_supplier.alias("a").join(
         late.select("l_orderkey", "l_suppkey").alias("c"),
         (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        & (F.col("a.s_suppkey") != F.col("c.l_suppkey")),
         "left_anti",
     )
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     return (
-        sole_blame.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
+        sole_blame.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
