@@ -666,6 +666,88 @@ def hyperplane_ann_top1(
 
 # --- product quantization (PQ) ------------------------------------------------
 
+def _pq_sub_best_builder(
+    codebook: DataFrame,
+    m: int,
+    vec_col: str,
+    cb_id: str,
+    cb_vec: str,
+    crows: list[tuple[int, list[float]]] | None,
+):
+    """Shared core of pq_encode / pq_codes_column: returns the sorted
+    codebook rows and a ``_sub_best(s)`` SQL-text builder producing the
+    per-subspace argmin struct (err, code).
+
+    The whole encoded-struct array is ONE F.expr string parsed
+    JVM-side: the previous per-subspace pyspark lambda construction
+    (transform/aggregate/zip_with per sub) cost ~1.5 s of py4j
+    round-trips PER PLAN BUILD; one ANTLR parse of the equivalent
+    SQL is ~50 ms. Expression semantics: same literal encoding, same
+    left-to-right fold, same struct comparison order (err, code) for
+    the argmin — so oracle hashes are unaffected. Per-subspace
+    codebook slice only (k x sub doubles), not the full
+    [code][subspace][dim/m] nest; the argmin struct is inlined ONCE
+    (r13 compile trim; the parsed text and the analyzed tree are half
+    the size of the earlier best.code/best.err double-inline)."""
+    if crows is None:
+        crows = [
+            (int(r[cb_id]), [float(x) for x in r[cb_vec]])
+            for r in codebook.select(cb_id, cb_vec).collect()
+        ]
+    crows = sorted((int(i), [float(x) for x in v]) for i, v in crows)
+    k = len(crows)
+    dim = len(crows[0][1])
+    sub = dim // m
+
+    _darr = double_array_sql
+    cids = "array(" + ",".join(f"{i}L" for i, _ in crows) + ")"
+    vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+    def _sub_best(s: int) -> str:
+        cb_s = (
+            "array("
+            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
+            + ")"
+        )
+        return (
+            f"array_min(transform(sequence(1,{k}), c -> named_struct("
+            f"'err', aggregate(zip_with(slice({vd},{(s - 1) * sub + 1},{sub}),"
+            f" element_at({cb_s}, c), (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
+            f" 'code', element_at({cids}, c))))"
+        )
+
+    return crows, _sub_best
+
+
+def pq_codes_column(
+    codebook: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    cb_id: str = "code_id",
+    cb_vec: str = "cvec",
+    crows: list[tuple[int, list[float]]] | None = None,
+):
+    """Array-native PQ encoding: the same per-subspace argmin as
+    ``pq_encode`` emitted as ONE ``array<bigint>`` Column
+    (``codes[s]`` = subspace s's code, s = 1..m) instead of long-form
+    rows. Lets an index builder FUSE coarse assignment and encoding
+    into a single zero-shuffle projection over the corpus — no
+    posexplode row expansion, no widen groupBy exchange, no vec_id
+    self-join (r13: s6's index build dropped from 3 exchanges + 1 join
+    to a pure map stage). Code values are bit-identical to
+    pq_encode -> pq_widen (same literals, same fold, same (err, code)
+    tie-break)."""
+    _, _sub_best = _pq_sub_best_builder(
+        codebook, m, vec_col, cb_id, cb_vec, crows
+    )
+    return F.expr(
+        "array("
+        + ",".join(f"{_sub_best(s + 1)}.code" for s in range(m))
+        + ")"
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -696,49 +778,9 @@ def pq_encode(
 
     ``crows`` = pre-collected [(code_id, vec), ...] to skip the collect
     job (see ivf_assign)."""
-    if crows is None:
-        crows = [
-            (int(r[cb_id]), [float(x) for x in r[cb_vec]])
-            for r in codebook.select(cb_id, cb_vec).collect()
-        ]
-    crows = sorted((int(i), [float(x) for x in v]) for i, v in crows)
-    k = len(crows)
-    dim = len(crows[0][1])
-    sub = dim // m
-
-    _darr = double_array_sql
-
-    # The whole encoded-struct array is ONE F.expr string parsed
-    # JVM-side: the previous per-subspace pyspark lambda construction
-    # (transform/aggregate/zip_with per sub) cost ~1.5 s of py4j
-    # round-trips PER PLAN BUILD; one ANTLR parse of the equivalent
-    # SQL is ~50 ms. Expression semantics are unchanged — same literal
-    # encoding, same left-to-right fold, same struct comparison order
-    # (err, code) for the argmin — so oracle hashes are unaffected.
-    cids = "array(" + ",".join(f"{i}L" for i, _ in crows) + ")"
-    vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-
-    def _sub_best(s: int) -> str:
-        # per-subspace codebook slice only (k x sub doubles), not the
-        # full [code][subspace][dim/m] nest; the argmin struct is
-        # inlined ONCE — posexplode supplies the subspace index and the
-        # outer select projects .code/.err, so the parsed text and the
-        # analyzed tree are half the size of the earlier
-        # best.code/best.err double-inline (r13 compile trim; same
-        # fold, same (err, code) comparison order, same values)
-        cb_s = (
-            "array("
-            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
-            + ")"
-        )
-        return (
-            f"array_min(transform(sequence(1,{k}), c -> named_struct("
-            f"'err', aggregate(zip_with(slice({vd},{(s - 1) * sub + 1},{sub}),"
-            f" element_at({cb_s}, c), (x, y) -> (x - y) * (x - y)),"
-            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
-            f" 'code', element_at({cids}, c))))"
-        )
-
+    crows, _sub_best = _pq_sub_best_builder(
+        codebook, m, vec_col, cb_id, cb_vec, crows
+    )
     encoded = vectors.select(
         F.col(id_col),
         F.posexplode(

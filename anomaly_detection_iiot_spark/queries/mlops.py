@@ -292,8 +292,18 @@ def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, participation, and the averaging step all hash-gate even
     though the weight VALUES stay engine-local (those are pinned by
     the identity-property + golden-replay tests instead)."""
-    wins = _event_windows(spark, sf_dir).withColumn(
-        "client_id", F.col("user_id") % 4
+    from ..operators.cache import replace_owned_cache
+
+    # The window frame feeds BOTH training rounds (round-1 collect at
+    # construct time, round-2 applyInPandas below) — without a cache
+    # each round re-runs the scan→window chain (~0.5 s of the 2.6 s
+    # wall, measured r13). Owned-cache so the bench's clearCache
+    # isolation rebuilds it honestly per measured run.
+    wins = replace_owned_cache(
+        "m9_event_windows",
+        _event_windows(spark, sf_dir).withColumn(
+            "client_id", F.col("user_id") % 4
+        ),
     )
     # one completed round on the driver, second round returned as a plan
     w1 = fedavg.rows_to_weights(
@@ -305,8 +315,6 @@ def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted so the returned plan's avg() reads the SAME round-2
     # training output the ground-truth collect saw (|weights| x 4 rows
     # — KB-scale, the audited bounded-collect pattern)
-    from ..operators.cache import replace_owned_cache
-
     trained = replace_owned_cache(
         "m9_trained_weights",
         wins.groupBy("client_id").applyInPandas(

@@ -2409,17 +2409,23 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < 16).collect()
     )
     cent_rows = [rv for rv in head if rv[0] < 8]
-    assigned = similarity.ivf_assign(
-        e, centroids, crows=cent_rows
-    ).select("vec_id", "bucket")
-    codes = similarity.pq_widen(similarity.pq_encode(e, cb, m=8, crows=head))
     # (bucket, codes) per vector IS the at-rest IVF-PQ index — persist
     # it (the s4-signature-index rationale): queries probe the index,
-    # they don't re-encode the corpus
+    # they don't re-encode the corpus. Built as ONE zero-shuffle
+    # projection (r13): ivf_assign is already a pure map, and
+    # pq_codes_column emits the 8 codes array-native on the same row —
+    # the previous pq_encode→posexplode→pq_widen→join form paid a
+    # groupBy exchange plus a vec_id join for values that never leave
+    # the row. Code values bit-identical (same argmin expression).
     from ..operators.cache import replace_owned_cache
 
     cand = replace_owned_cache(
-        "s6_ivfpq_index", assigned.join(codes, "vec_id")
+        "s6_ivfpq_index",
+        similarity.ivf_assign(e, centroids, crows=cent_rows).select(
+            "vec_id",
+            "bucket",
+            similarity.pq_codes_column(cb, m=8, crows=head).alias("codes"),
+        ),
     )
     queries = e.filter(F.col("vec_id").between(100, 104)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -203,11 +203,16 @@ def _bench_bearing_stream(spark) -> float:
     # AQE-coalesced, so size it to the state (4 channel keys x open
     # windows), not to core count: 32 partitions cost 11.0s of
     # per-batch task+state-store overhead for the same work 8
-    # partitions do in 4.4s (measured min-of-3, r5). On a real
-    # cluster the same sizing rule applies -- keys/state volume, not
-    # executor count.
+    # partitions do in 4.4s (measured min-of-3, r5); r13 re-measured
+    # 8 vs 4 vs 2 on a calm host (calibration-bracketed min-of-3):
+    # 7.27 / 4.75 / 4.25 s — every batch commits state for BOTH
+    # stateful operators on EVERY partition, so partitions beyond the
+    # key count (4 channels) are pure commit overhead. 4 = |keys| is
+    # the principled setting; 2 undershoots key parallelism for a
+    # marginal local gain. Same sizing rule at scale: keys/state
+    # volume, not executor count.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         runs = _bearing_stream_runs(spark, snap)
     finally:
@@ -342,7 +347,12 @@ def _bench_curation_stream(spark, sf_dir: str) -> float:
 
     corpus = _curation_corpus_dir(sf_dir)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r13 (same probe as the bearing stream): 8 / 4 / 2 partitions =
+    # 5.39 / 3.82 / 4.23 s — 4 wins; this stream's state keys are
+    # content hashes (~1.3k rows), so 2 partitions starts to
+    # serialize real aggregation work while 8 pays per-batch state
+    # commits on near-empty partitions.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         runs: list[float] = []
         for i in range(3):
