@@ -1610,11 +1610,25 @@ def w25_binary_segmentation(
             )
             .withColumn("stat", F.expr(stat_txt))
         )
-        win = cand.selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY user_id, a "
-            "ORDER BY stat DESC, i ASC) AS rk",
-        ).filter("rk = 1")
+        # each level's winner frame (|users|·2^lvl rows — KB-scale) has
+        # THREE consumers (the level's output row + both child-segment
+        # branches), and every consumer of level L transitively re-runs
+        # the window passes of levels 0..L — the uncached r13 plan held
+        # 123 Window nodes for depth 3 (plans/r13/
+        # w25_binary_segmentation_before.txt), each re-scanning the
+        # cached prefix-sum frame. Owned-cache per level = exactly one
+        # rank window over p per level (guide §5 "reused AND expensive
+        # to recompute"). An aggregate argmax (max(struct(...))) was
+        # tried first and REVERTED: struct-max can't hash-aggregate, so
+        # Catalyst planned 44 SortAggregates — 24 s vs 2.9 s measured.
+        win = replace_owned_cache(
+            f"w25_win_l{lvl}",
+            cand.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY user_id, a "
+                "ORDER BY stat DESC, i ASC) AS rk",
+            ).filter("rk = 1"),
+        )
         levels.append(
             win.selectExpr(
                 "user_id",

@@ -180,7 +180,17 @@ def d10_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the full-corpus band join and keeps pairs with >=1 new
     side — identical by construction since the corpus side is banded
     with the same signature scheme."""
-    sig = _signatures(spark, sf_dir)
+    # The signature frame (one row per doc — KB-scale) feeds the
+    # at-rest index, the cross-join new side, AND the within-batch
+    # bucket build; uncached, each consumer re-ran the full tokenize→
+    # shingle→minhash scan (7 parquet scans of documents in the r13
+    # executed plan → 1 after the cache; the same multi-consumer
+    # recomputation d12's r12 fix closed).
+    from ..operators.cache import replace_owned_cache
+
+    sig = replace_owned_cache(
+        "d10_signatures", _signatures(spark, sf_dir)
+    )
     is_new = (F.col("doc_id") % 10) == 0
     index = dedup.band_index(sig.filter(~is_new), num_hashes=4, band_size=2)
     return dedup.incremental_lsh_candidates(
@@ -1151,7 +1161,16 @@ def s9_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id").between(100, 104)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    exact = similarity.brute_force_topk(e, queries, k=5).select("qid", "cid")
+    # the exact top-5 table is 25 rows but costs a full corpus scoring
+    # pass; it feeds BOTH the semi join and the per-query n_exact agg —
+    # uncached, the brute-force subtree executed twice (12 parquet
+    # scans in the r13 plan). Owned-cache, rebuilt per bench run.
+    from ..operators.cache import replace_owned_cache
+
+    exact = replace_owned_cache(
+        "s9_exact_topk",
+        similarity.brute_force_topk(e, queries, k=5).select("qid", "cid"),
+    )
     ivf = s2_ivf_ann(spark, sf_dir).select("qid", "cid")
     matched = exact.join(ivf, ["qid", "cid"], "left_semi")
     return (
