@@ -79,13 +79,18 @@ _DRIVER_PRIORITY = [
     "s2_ivf_ann",
     "s3_ivf_nprobe",
     "s8_filtered_ivf_ann",  # also r8-stale
-    "s9_ivf_recall",  # also r8-stale
+    "s9_ivf_recall",  # also r8-stale; exact-topk owned-cache (r13)
     "s13_kmeans_codebook",
     "d9_semdedup",
     "d13_incremental_semdedup",
     "c2_curation_with_semdedup",
     "t17_textrank",
     "s18_mmr_rerank",
+    # r13 optimization-round touches (owned caches / join reorder):
+    "w25_binary_segmentation",
+    "d10_incremental_lsh",
+    "q21_waiting_suppliers",
+    "m9_fedavg_weights",
     # r8-stale remainder (VERDICT r12 item 1: lift the driver-row
     # floor to >= r9 — these are the oldest rows; all mirror-green at
     # sf0.001 every suite run, so this is row-age hygiene)
