@@ -3238,9 +3238,15 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t16's loop (driver-side below the word-count crossover; the
     per-round exchange is one (left, right) pair)."""
     from ..operators import bpe
+    from ..operators.cache import replace_owned_cache
 
     docs = t(spark, sf_dir, "documents").select("text")
-    freqs = bpe.word_freqs(docs)
+    # The (word, freq) table is corpus-derived but VOCAB-sized, and it
+    # has two job-level consumers: train_bpe's path-probe collect and
+    # the final encode plan — uncached, each re-ran the corpus scan +
+    # explode + groupBy (the t19 100x probe named that stage: 177 of
+    # 288 total exec-sec at 100x, r13). Owned-cache bounds it to one.
+    freqs = replace_owned_cache("t19_word_freqs", bpe.word_freqs(docs))
     merges = bpe.train_bpe(freqs, n_merges=8)
     # Encode via the US-wrapped string representation the ORACLE uses
     # (see _t16_sql): each symbol wrapped as US||sym||US, merge =

@@ -177,6 +177,15 @@ def test_d4_buckets_cached_once(spark, sf_dir):
     assert plan.count("InMemoryTableScan") == 2  # small + big branch
 
 
+def test_t19_encode_reads_cached_freqs(spark, sf_dir):
+    """t19's encode plan must read the owned-cached (word, freq) table,
+    not re-run the corpus scan + explode + groupBy that train_bpe's
+    path-probe collect already materialized (r13: that duplicate
+    aggregation was the probe-named growing stage at 100x)."""
+    plan = _plan(spark, sf_dir, "t19_bpe_encode", mode="executed")
+    assert "InMemoryTableScan" in plan
+
+
 def test_minhash_long_and_array_forms_agree(spark, sf_dir):
     from anomaly_detection_iiot_spark.operators import dedup
 
