@@ -10,6 +10,16 @@ accumulating persisted RDDs for the session lifetime.
 
 Unpersist is a performance hint, not a correctness event: a
 still-referenced old result simply recomputes its lineage.
+
+WHEN to own a cache (r13 a29/a30 finding, measured): an owned cache
+pays off only when the frame's consumers sit in DIFFERENT JOBS (a
+probe collect plus the final plan, a driver loop's rounds) or in
+non-identical subtrees. Consumers that are identical subtrees of ONE
+plan are already collapsed by AQE stage reuse at runtime — the static
+plan's "N scans" never execute — so a cache there only adds a
+materialization barrier plus an InMemoryRelation read (a29 1.54-1.78 s
+uncached vs 2.44-2.67 s cached; a30 0.84-1.20 vs 1.19-1.54).
+tests/test_plans.py::test_a29_a30_stay_uncached pins the rule.
 """
 
 from __future__ import annotations
@@ -54,3 +64,20 @@ def replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
     cached = frame.persist()
     _OWNED_CACHES[site] = cached
     return cached
+
+
+def release_owned_caches(prefix: str, keep: frozenset | set = frozenset()) -> None:
+    """Release every owned cache whose site starts with ``prefix`` and
+    is not in ``keep``. Used by call sites whose cache-key SET varies
+    with an argument (w25's per-level keys scale with ``depth``,
+    ADVICE r13): a later call with a smaller argument would otherwise
+    leave the higher-numbered keys persisted with no owner ever
+    replacing them for the rest of the session."""
+    for site in [k for k in _OWNED_CACHES if k.startswith(prefix)]:
+        if site in keep:
+            continue
+        prev = _OWNED_CACHES.pop(site)
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down between calls

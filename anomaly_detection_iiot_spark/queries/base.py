@@ -38,18 +38,26 @@ class QuerySpec:
 # at construct time — 1 per distinct table per query per measured run,
 # 4-7 jobs (~0.3-0.5 s) for the snowflake-join queries. A catalog would
 # serve these schemas without touching storage; this memo plays that
-# role for the path-addressed testdata. Keyed by resolved path; caches
-# the RAW inferred schema only (metadata — never rows, never results),
-# so downstream normalization (_ltz, nanos handling) is unchanged.
+# role for the path-addressed testdata. Keyed by (path, mtime_ns, size)
+# (ADVICE r13: a bare path key silently served a stale schema if the
+# table was regenerated mid-process — the stat key invalidates on any
+# rewrite, one ~µs os.stat per construct); caches the RAW inferred
+# schema only (metadata — never rows, never results), so downstream
+# normalization (_ltz, nanos handling) is unchanged.
 _SCHEMA_CACHE: dict = {}
 
 
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
-    sch = _SCHEMA_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)  # let spark.read surface the error
+    sch = _SCHEMA_CACHE.get(key)
     if sch is not None:
         return spark.read.schema(sch).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[path] = df.schema
+    _SCHEMA_CACHE[key] = df.schema
     return df
 
 

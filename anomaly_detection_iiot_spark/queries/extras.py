@@ -1576,8 +1576,14 @@ def w25_binary_segmentation(
         Window.unboundedPreceding, 0
     )
     tot = Window.partitionBy("user_id")
-    from ..operators.cache import replace_owned_cache
+    from ..operators.cache import release_owned_caches, replace_owned_cache
 
+    # per-level keys scale with ``depth`` (ADVICE r13): a prior call
+    # with a larger depth left w25_win_l{>=depth} persisted with no
+    # future owner — release them before this invocation's loop
+    release_owned_caches(
+        "w25_win_l", keep={f"w25_win_l{i}" for i in range(depth)}
+    )
     p = replace_owned_cache(
         "w25_prefix_sums",
         seq.withColumn("S", F.sum("x").over(run))

@@ -716,6 +716,28 @@ def main() -> None:
     )
 
 
+# Batch rows printed in round 13's judged contract line (BENCH_r13.json
+# "queries"). The driver's round-over-round PERF comparison treats a row
+# present in round N-1's line but absent from round N's as
+# "dropped_from_bench" (r13 saw 17 phantom drops when elision order shed
+# headline rows before b-side ones — VERDICT r13 item 1). These names are
+# therefore PINNED: _contract_line never elides them, so every row the
+# r13 comparison tracks keeps a printed number in r14 regardless of how
+# fast it got. New slow rows still surface via the slowest-first fill.
+_PINNED_PRINT = frozenset({
+    "d8_dup_clusters", "s9_ivf_recall", "s6_ivfpq_ann", "d12_containment",
+    "d13_incremental_semdedup", "c2_curation_with_semdedup",
+    "a26_sliding_distinct", "mm8_frame_tensor_stats", "m17_psi_drift",
+    "t12_bigram_lm", "d10_incremental_lsh", "q21_waiting_suppliers",
+    "t17_textrank", "w25_binary_segmentation", "m9_fedavg_weights",
+    "s18_mmr_rerank", "d9_semdedup", "s17_occ_committers",
+    "t15_gopher_repetition", "s14_upsert_roundtrip", "m2_lstm_train_loss",
+    "d4_lsh_candidates", "s2_ivf_ann", "s4_hyperplane_ann",
+    "a22_approx_distinct", "s13_kmeans_codebook", "bearing_pipeline",
+    "a25_partition_checksums",
+})
+
+
 def _contract_line(
     total,
     times,
@@ -728,11 +750,18 @@ def _contract_line(
     bside_total=None,
     bside_queries=None,
 ) -> str:
-    """ONE JSON line <= budget chars. If the per-query map would blow
-    the budget, keep the largest-time queries (the ones worth reading)
-    and report how many were elided; BENCH_DETAIL.json always has all
-    of them."""
-    times = {k: round(v, 2) for k, v in times.items()}  # 3-decimal
+    """ONE JSON line <= budget chars (the driver parses the JSON out of
+    a ~2000-char stdout tail window; a longer line truncates to
+    unparseable — this bit round 7).
+
+    The full 91-row headline map is ~2.3k chars of names alone, so it
+    can never fit whole; VERDICT r13 item 1 sets the shed order:
+    b-side entries first, headline rows last, and when headline rows
+    must go the cut is DETERMINISTIC (smallest wall first, name
+    tie-break), never touches _PINNED_PRINT rows, and the line carries
+    an explicit ``headline_complete: false`` + ``queries_elided`` count.
+    BENCH_DETAIL.json always has every row."""
+    times = {k: round(v, 2) for k, v in times.items()}
     # detail lives in BENCH_DETAIL.json; 2 decimals buys line headroom
     base = {
         "metric": "headline_queries_total",
@@ -753,42 +782,71 @@ def _contract_line(
         base["bside_queries"] = {
             k: round(v, 2) for k, v in (bside_queries or {}).items()
         }
-    line = json.dumps(base, separators=(",", ":"))
-    if len(line) <= budget:
-        return line
-    # shrink order (BENCH_DETAIL.json always has everything): headline
-    # map down to its 25 largest entries, then the b-side map, then the
-    # headline remainder — keeps the slowest rows of BOTH sections
-    # visible in the driver line.
-    ordered = sorted(times.items(), key=lambda kv: -kv[1])
-    keep = dict(ordered)
 
-    def _try() -> str | None:
+    def _emit() -> str:
+        return json.dumps(base, separators=(",", ":"))
+
+    line = _emit()
+    if len(line) <= budget:
+        base["headline_complete"] = True
+        line = _emit()
+        if len(line) <= budget:
+            return line
+        del base["headline_complete"]
+        return _emit()
+
+    # 1. shed b-side rows, smallest wall first (deterministic: name
+    #    tie-break ascending so equal walls shed in one fixed order)
+    if "bside_queries" in base:
+        bq = sorted(
+            base["bside_queries"].items(), key=lambda kv: (kv[1], kv[0])
+        )
+        while bq and len(line) > budget:
+            bq = bq[1:]
+            base["bside_queries"] = dict(bq)
+            base["bside_elided"] = len(bside_queries or {}) - len(bq)
+            line = _emit()
+    if len(line) <= budget:
+        base["headline_complete"] = True
+        return _emit() if len(_emit()) <= budget else line
+
+    # 2. cap the noise_flagged list (full list in BENCH_DETAIL.json)
+    flagged = list(noise_flagged)
+    if len(flagged) > 10:
+        base["noise_flagged"] = flagged[:10]
+        base["noise_flagged_n"] = len(flagged)
+        line = _emit()
+    if len(line) <= budget:
+        base["headline_complete"] = True
+        return _emit() if len(_emit()) <= budget else line
+
+    # 3. last: shed NON-PINNED headline rows, smallest wall first.
+    base["headline_complete"] = False
+    sheddable = sorted(
+        (kv for kv in times.items() if kv[0] not in _PINNED_PRINT),
+        key=lambda kv: (kv[1], kv[0]),
+    )
+    keep = dict(times)
+    for name, _ in sheddable:
+        if len(line) <= budget:
+            break
+        keep.pop(name)
         base["queries"] = keep
         base["queries_elided"] = len(times) - len(keep)
-        ln = json.dumps(base, separators=(",", ":"))
-        return ln if len(ln) <= budget else None
-
-    while len(keep) > 25:
-        keep.pop(ordered[len(keep) - 1][0])
-        line = _try()
-        if line:
-            return line
-    if "bside_queries" in base:
-        bq = sorted(base["bside_queries"].items(), key=lambda kv: -kv[1])
-        while bq:
-            bq = bq[:-1]
-            base["bside_queries"] = dict(bq)
-            base["bside_elided"] = (len(bside_queries or {})) - len(bq)
-            line = _try()
-            if line:
-                return line
-    while len(keep) > 1:
-        keep.pop(ordered[len(keep) - 1][0])
-        line = _try()
-        if line:
-            return line
-    return json.dumps(base, separators=(",", ":"))
+        line = _emit()
+    if len(line) <= budget:
+        return line
+    # pinned rows only and still over: shed pinned smallest-first too
+    # (never expected — 28 pinned rows is ~900 chars — but bounded)
+    pinned = sorted(keep.items(), key=lambda kv: (kv[1], kv[0]))
+    for name, _ in pinned[:-1]:
+        if len(line) <= budget:
+            break
+        keep.pop(name)
+        base["queries"] = keep
+        base["queries_elided"] = len(times) - len(keep)
+        line = _emit()
+    return line
 
 
 if __name__ == "__main__":

@@ -479,3 +479,34 @@ def test_w26_strengths_on_constructed_series(spark, tmp_path):
     assert got[1].seasonal_strength > 0.95, got[1]
     assert got[2].trend_strength > 0.95, got[2]
     assert got[2].seasonal_strength < 0.2, got[2]
+
+
+def test_w25_depth_shrink_releases_higher_level_caches(spark, tmp_path):
+    """ADVICE r13: w25's per-level cache keys scale with ``depth`` — a
+    call with depth=3 then depth=2 must not leave w25_win_l2 persisted
+    with no owner for the rest of the session."""
+    import datetime
+
+    from anomaly_detection_iiot_spark.operators.cache import _OWNED_CACHES
+    from anomaly_detection_iiot_spark.queries.extras import (
+        w25_binary_segmentation,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for j in range(48):
+        mean = (j // 16) * 10.0
+        rows.append(
+            (j + 1, t0 + datetime.timedelta(seconds=j), 7, "t",
+             mean + (0.01 if j % 2 else -0.01), "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    w25_binary_segmentation(spark, str(tmp_path), depth=3).collect()
+    assert "w25_win_l2" in _OWNED_CACHES
+    w25_binary_segmentation(spark, str(tmp_path), depth=2).collect()
+    assert "w25_win_l2" not in _OWNED_CACHES
+    assert "w25_win_l1" in _OWNED_CACHES

@@ -416,3 +416,39 @@ def test_o1_global_rank_is_bucket_partitioned(spark, sf_dir):
     assert "sum(n#" in offset_win
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_a29_a30_stay_uncached(spark, sf_dir):
+    """AQE-stage-reuse rule (r13, recorded in operators/cache.py):
+    a29/a30's duplicate subtrees are IDENTICAL consumers inside one
+    plan, which AQE collapses into shared QueryStages at runtime — an
+    owned cache there measured 1.5-1.6x SLOWER (materialization barrier
+    + InMemoryRelation read for scans that never execute). This pin
+    keeps r14+ from re-adding the losing caches."""
+    for name in ("a29_market_basket", "a30_audience_overlap"):
+        plan = _plan(spark, sf_dir, name, mode="executed")
+        assert "InMemoryRelation" not in plan, f"{name} grew a cache"
+
+
+def test_q21_nation_prefilter_survives_below_semi_anti(spark, sf_dir):
+    """ADVICE r13: q21's 25x row cut depends on the semi/anti self-join
+    inequalities referencing the supplier-side s_suppkey copy — spelled
+    with l_suppkey, Catalyst's PushLeftSemiLeftAntiThroughJoin rewrites
+    the plan back to semi/anti-on-full-lineitem. Pin the optimized
+    shape: the LeftAnti sits ON TOP of the broadcast nation/supplier
+    joins (prints above them in the tree), with both broadcast joins
+    inside its left input."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers", mode="executed")
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    # top-down print order: anti above semi, and the nation/supplier
+    # inner join (the only operator referencing s_nationkey) below
+    # BOTH — i.e. inside the anti's left input, where the 25x cut lives
+    assert plan.index("LeftAnti") < plan.index("LeftSemi")
+    assert plan.index("LeftSemi") < plan.index("s_nationkey")
+    # the semi/anti inequalities must reference the supplier-side key
+    # copy (s_suppkey) — the l_suppkey spelling is what Catalyst
+    # rewrites back to semi/anti-on-full-lineitem
+    import re
+
+    anti_line = [ln for ln in plan.splitlines() if "LeftAnti" in ln][0]
+    assert re.search(r"s_suppkey#\d+L? = l_suppkey", anti_line), anti_line
