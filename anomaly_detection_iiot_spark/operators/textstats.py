@@ -135,38 +135,44 @@ def winnowing_fingerprints(
     shared fingerprint, so it upgrades the whole-document rolling hash
     (t4) to partial-overlap detection.
 
-    All JVM-side: gram build is a higher-order ``transform`` over the
-    token array, hashing is ``md5`` (lexicographic min over fixed-width
-    lowercase hex == numeric min of the 32-bit value, and identical in
-    DuckDB), selection is one ``min().over(rows window)`` per doc —
-    a single hash-partition shuffle on ``id_col``, no self-joins.
+    All JVM-side, ARRAY-NATIVE (r14, guide §2.4): gram build, hashing
+    (``md5`` — lexicographic min over fixed-width lowercase hex ==
+    numeric min of the 32-bit value, and identical in DuckDB), the
+    sliding-window min, and the per-doc dedup all happen inside one
+    row's arrays — zero shuffle, zero row expansion. The previous form
+    posexploded |grams| rows per doc into a doc_id window (sort per
+    doc) plus a global distinct aggregation; per-window ``array_min(
+    slice(...))`` over the hash array selects the identical values
+    (window at 1-based j covers hashes j-window+1..j ⟺ the rows
+    window's window-1 PRECEDING..CURRENT at rn=j; the rn==ng fallback
+    for short docs is the whole-array min), and ``array_distinct``
+    replaces the global distinct because each input row carries a
+    distinct ``id_col`` (true for every call site: tokenize emits one
+    row per document — callers passing duplicated ids must pre-dedup).
     Docs with fewer grams than ``window`` contribute their global min
     (classic winnowing emits nothing; the fallback keeps every doc
     fingerprinted). Docs with fewer than ``n`` tokens yield no rows.
     """
-    from pyspark.sql import Window as W
-
-    grams = F.expr(
+    hs = (
         f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(0, size({tokens_col}) - {n}), "
-        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) "
+        f"i -> substring(md5(concat_ws(' ', slice({tokens_col}, i + 1, {n}))), 1, 8)) "
         "ELSE CAST(array() AS array<string>) END"
     )
-    g = df.select(id_col, F.posexplode(grams).alias("p", "shingle"))
-    h = g.select(
-        id_col, "p", F.substring(F.md5("shingle"), 1, 8).alias("h")
+    # two projections, not one: __h is referenced four times below and
+    # CollapseProject keeps non-cheap multiply-referenced aliases in
+    # their own Project, so the gram hashes compute once per row
+    hashed = df.select(id_col, F.expr(hs).alias("__h"))
+    fps = (
+        f"CASE WHEN size(__h) >= {window} THEN "
+        f"transform(sequence({window}, size(__h)), "
+        f"j -> array_min(slice(__h, j - {window} + 1, {window}))) "
+        "WHEN size(__h) >= 1 THEN array(array_min(__h)) "
+        "ELSE CAST(array() AS array<string>) END"
     )
-    ordered = W.partitionBy(id_col).orderBy("p")
-    win = h.select(
+    return hashed.select(
         id_col,
-        F.min("h").over(ordered.rowsBetween(-(window - 1), 0)).alias("wmin"),
-        F.row_number().over(ordered).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("ng"),
-    )
-    return (
-        win.filter((F.col("rn") >= window) | (F.col("rn") == F.col("ng")))
-        .select(id_col, F.col("wmin").alias("fingerprint"))
-        .distinct()
+        F.explode(F.array_distinct(F.expr(fps))).alias("fingerprint"),
     )
 
 

@@ -69,17 +69,26 @@ except ImportError:
 # sampling strategy ever changes, this list degrades to a harmless
 # stable reorder (REGISTRY content is unaffected).
 _DRIVER_PRIORITY = [
-    # CHANGED in round 13 — code touched this round (pq_encode
+    # CHANGED in round 14 — implementation touched this round, the
+    # driver must re-prove them (VERDICT r13 item 3 explicitly names
+    # t19/d12/d8, untested since <= r12's sample):
+    "t19_bpe_encode",  # r13 owned-cache change, never driver-sampled
+    "d12_containment",  # winnowing array-native rewrite feeds its cache
+    "d8_dup_clusters",  # r14 partition right-sizing target
+    "t5_winnowing",  # winnowing array-native rewrite
+    "s9_ivf_recall",  # r14 single-pass restructure
+    "t4_rolling_fingerprint",  # same textstats module family
+    # CHANGED in round 13 — code touched that round (pq_encode
     # posexplode single-inline restructure + D-suffix double literals
     # in every codebook/centroid literal table; pagerank outw
-    # re-freeze for many-round mode; s18 temp-view cleanup); the
-    # driver must re-prove them at sf0.01
-    "s6_ivfpq_ann",  # also r8-stale
+    # re-freeze for many-round mode; s18 temp-view cleanup); all got
+    # green r13 driver rows — keep one more round for the r14 touches
+    # that share their paths
+    "s6_ivfpq_ann",
     "s5_pq_codes",
     "s2_ivf_ann",
     "s3_ivf_nprobe",
-    "s8_filtered_ivf_ann",  # also r8-stale
-    "s9_ivf_recall",  # also r8-stale; exact-topk owned-cache (r13)
+    "s8_filtered_ivf_ann",
     "s13_kmeans_codebook",
     "d9_semdedup",
     "d13_incremental_semdedup",
@@ -95,7 +104,6 @@ _DRIVER_PRIORITY = [
     # floor to >= r9 — these are the oldest rows; all mirror-green at
     # sf0.001 every suite run, so this is row-age hygiene)
     "s6_json_roundtrip",
-    "t5_winnowing",
     "t6_tfidf",
     "t7_repetition",
     "t9_zipf",

@@ -1156,22 +1156,59 @@ def s9_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, so the semi build broadcasts. Exactly the harness you run
     as a scheduled job over a sample of production queries to detect
     index drift; at 100 TB only the ground-truth scan is expensive and
-    it samples queries, not the corpus."""
+    it samples queries, not the corpus.
+
+    Single corpus pass (r14, guide §2.4/§1.2): the exact baseline and
+    the IVF answer need the same |corpus|x|queries| cosines — the IVF
+    candidates are exactly the pairs whose cell matches the query's —
+    so ONE scan computes (bucket, cosine) per (vector, query) pair and
+    both top-5 rankings read the cached pair frame (5 narrow columns x
+    5|corpus| rows, KB-scale). The r13 form ran s1's brute-force scan
+    AND s2's assign+probe scan: two corpus passes, with the probe's
+    cosines computed a second time. Bit-identity: cosine(v, q) ==
+    cosine(q, v) exactly (zip_with's per-element multiplies and the
+    norm product commute under IEEE-754; the fold order is unchanged),
+    and both rankings keep the (cosine DESC, cid ASC) tie-break, so
+    the (qid, cid) sets are row-identical to the two-plan form."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = e.filter(F.col("vec_id").between(100, 104)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    # the exact top-5 table is 25 rows but costs a full corpus scoring
-    # pass; it feeds BOTH the semi join and the per-query n_exact agg —
-    # uncached, the brute-force subtree executed twice (12 parquet
-    # scans in the r13 plan). Owned-cache, rebuilt per bench run.
+    assigned = similarity.ivf_assign(e, centroids)
+    q = assigned.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
     from ..operators.cache import replace_owned_cache
 
-    exact = replace_owned_cache(
-        "s9_exact_topk",
-        similarity.brute_force_topk(e, queries, k=5).select("qid", "cid"),
+    scored = replace_owned_cache(
+        "s9_scored_pairs",
+        assigned.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            similarity.cosine(
+                similarity.as_double_sql("embedding"),
+                similarity.as_double_sql("qvec"),
+            ),
+        )
+        .select(
+            "qid", "qbucket", F.col("vec_id").alias("cid"),
+            "bucket", "cosine",
+        ),
     )
-    ivf = s2_ivf_ann(spark, sf_dir).select("qid", "cid")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid")
+    )
+    ivf = (
+        scored.filter(F.col("bucket") == F.col("qbucket"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid")
+    )
     matched = exact.join(ivf, ["qid", "cid"], "left_semi")
     return (
         exact.groupBy("qid")

@@ -206,10 +206,14 @@ def test_minhash_long_and_array_forms_agree(spark, sf_dir):
 
 
 def test_t5_winnowing_single_shuffle(spark, sf_dir):
-    """Winnowing is one hash-partition shuffle on doc_id: the explode,
-    both window functions, and the trailing distinct all reuse that
-    partitioning — a second Exchange would mean the distinct or a
-    window re-shuffled (operators/textstats.py::winnowing_fingerprints).
+    """Winnowing is array-native (r14): the ONLY exchange is the
+    deliberate CPU-spreading repartition of the corpus scan; gram
+    hashing, the sliding-window min, and the per-doc dedup are in-row
+    array expressions (operators/textstats.py::winnowing_fingerprints).
+    The pre-r14 form paid a per-doc window SORT over the exploded gram
+    rows plus a global distinct aggregation on that one exchange — a
+    Sort or (Hash|Sort)Aggregate reappearing means the long form is
+    back.
 
     Cache isolation (r12): d12's owned fingerprint cache shares this
     exact subtree, so if d12 ran earlier in the session the
@@ -219,6 +223,9 @@ def test_t5_winnowing_single_shuffle(spark, sf_dir):
     spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "t5_winnowing", mode="executed")
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Aggregate" not in plan  # per-doc array_distinct, no shuffle agg
+    assert plan.count("Generate") == 1  # one explode of the final set
 
 
 def test_d9_assignment_is_projection(spark, sf_dir):
