@@ -93,23 +93,23 @@ def connected_components(
     string ids). Deterministic. Warns if ``max_iter`` rounds elapse
     without reaching the fixpoint (labels then only partially
     propagated — raise ``max_iter`` for graphs of larger diameter)."""
-    # Eager localCheckpoint FIRST: fwd feeds both union branches below
-    # (and, on the surrogate path, the mapping build plus two joins) —
-    # without freezing it, every consumer re-executes the full upstream
-    # pair pipeline (for the dedup chain, the tokenize→shingle→
-    # self-join Jaccard plan ran twice; measured 3.5s→1.2s edge setup
-    # at sf0.1).
-    fwd = pairs.select(
-        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).localCheckpoint(eager=True)
-    node_type = dict(fwd.dtypes)["u"]
-    spark = fwd.sparkSession
-    # One job decides the path AND fetches the data for the fast one:
-    # limit(cap+1) over the frozen blocks returns at most cap+1 rows —
-    # <= cap means "small graph, and these ARE all the edges" (no
-    # separate count needed); cap+1 means "large, take the BSP loop".
+    # Probe BEFORE any checkpoint (r14): limit(cap+1).collect() runs the
+    # pair pipeline exactly once and decides the path AND fetches the
+    # data for the fast one — <= cap means "small graph, and these ARE
+    # all the edges" (no separate count needed); cap+1 means "large,
+    # take the BSP loop". The r13 form eagerly localCheckpoint'ed fwd
+    # FIRST and probed the frozen blocks; on the (overwhelmingly
+    # common) driver path that paid block materialization plus a second
+    # collect job for nothing — only the BSP/surrogate paths have
+    # multiple consumers that need frozen blocks, so the checkpoint now
+    # happens after the size check, and only large graphs re-execute
+    # the pair pipeline once more to freeze it (amortized over the
+    # O(diameter) loop rounds that read it).
+    fwd_plan = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    node_type = dict(fwd_plan.dtypes)["u"]
+    spark = fwd_plan.sparkSession
     _cap = max_driver_edges // 2
-    probe = fwd.limit(_cap + 1).collect()
+    probe = fwd_plan.limit(_cap + 1).collect()
     if len(probe) <= _cap:
         # Driver fast path: duplicate-pair graphs are orders smaller
         # than the corpus that produced them (260 edges at sf0.1), and
@@ -121,11 +121,23 @@ def connected_components(
         # mapping needed. The same driver-side-when-k-sized shape as
         # the FedAvg/centroid collects (SURVEY §4). Large graphs take
         # the BSP loop below, whose shuffle volume is O(|edges|)/round.
+        # Result slices sized to the rows (~64k/slice), not to core
+        # count: the default parallelize split scheduled 32 near-empty
+        # tasks for a few hundred label rows in every downstream stage.
         labels = _driver_union_find([(r[0], r[1]) for r in probe])
+        rows = sorted(labels.items())
+        n_slices = max(1, -(-len(rows) // 65536))
         return spark.createDataFrame(
-            sorted(labels.items()),
+            spark.sparkContext.parallelize(rows, n_slices),
             schema=f"`{node_out}` {node_type}, `{label_out}` {node_type}",
         )
+    # Eager localCheckpoint for the distributed paths: fwd feeds both
+    # union branches below (and, on the surrogate path, the mapping
+    # build plus two joins) — without freezing it, every consumer
+    # re-executes the full upstream pair pipeline (for the dedup chain,
+    # the tokenize→shingle→self-join Jaccard plan ran twice; measured
+    # 3.5s→1.2s edge setup at sf0.1).
+    fwd = fwd_plan.localCheckpoint(eager=True)
     if node_type not in _INTEGER_TYPES:
         # Surrogate-id path: CC over dense longs, then map back and take
         # min ORIGINAL id per cluster so the public label contract

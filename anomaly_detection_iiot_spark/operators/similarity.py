@@ -666,7 +666,7 @@ def hyperplane_ann_top1(
 
 # --- product quantization (PQ) ------------------------------------------------
 
-def _pq_sub_best_builder(
+def _pq_best_structs_builder(
     codebook: DataFrame,
     m: int,
     vec_col: str,
@@ -675,20 +675,26 @@ def _pq_sub_best_builder(
     crows: list[tuple[int, list[float]]] | None,
 ):
     """Shared core of pq_encode / pq_codes_column: returns the sorted
-    codebook rows and a ``_sub_best(s)`` SQL-text builder producing the
-    per-subspace argmin struct (err, code).
+    codebook rows and ONE SQL-text expression producing the
+    subspace-ordered ``array<struct<err,code>>`` of per-subspace argmin
+    structs (loop over s = 1..m).
 
-    The whole encoded-struct array is ONE F.expr string parsed
-    JVM-side: the previous per-subspace pyspark lambda construction
-    (transform/aggregate/zip_with per sub) cost ~1.5 s of py4j
-    round-trips PER PLAN BUILD; one ANTLR parse of the equivalent
-    SQL is ~50 ms. Expression semantics: same literal encoding, same
-    left-to-right fold, same struct comparison order (err, code) for
-    the argmin — so oracle hashes are unaffected. Per-subspace
-    codebook slice only (k x sub doubles), not the full
-    [code][subspace][dim/m] nest; the argmin struct is inlined ONCE
-    (r13 compile trim; the parsed text and the analyzed tree are half
-    the size of the earlier best.code/best.err double-inline)."""
+    The whole thing is ONE F.expr string parsed JVM-side: the original
+    per-subspace pyspark lambda construction (transform/aggregate/
+    zip_with per sub) cost ~1.5 s of py4j round-trips PER PLAN BUILD;
+    one ANTLR parse of the equivalent SQL is ~50 ms. r14 loop form
+    (guide §1.2 / compile trim): the codebook is inlined ONCE as a
+    k x dim nested array literal and sliced per subspace INSIDE the
+    s-loop, instead of unrolling m copies of the argmin structure each
+    carrying its own k x (dim/m) literal slice — same total literal
+    count, but the fold/argmin expression tree appears once instead of
+    m times, so the parsed text and analyzed tree shrink ~8x on the
+    structure (s6's measured analyzer floor was 0.68 s/construct).
+    Expression semantics: same literal encoding, same per-element
+    subtraction order (slice commutes with the old pre-sliced
+    literals element-for-element), same left-to-right fold, same
+    (err, code) struct comparison for the argmin — so values and
+    oracle hashes are unaffected."""
     if crows is None:
         crows = [
             (int(r[cb_id]), [float(x) for x in r[cb_vec]])
@@ -701,23 +707,19 @@ def _pq_sub_best_builder(
 
     _darr = double_array_sql
     cids = "array(" + ",".join(f"{i}L" for i, _ in crows) + ")"
+    cbfull = "array(" + ",".join(_darr(v) for _, v in crows) + ")"
     vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
-    def _sub_best(s: int) -> str:
-        cb_s = (
-            "array("
-            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
-            + ")"
-        )
-        return (
-            f"array_min(transform(sequence(1,{k}), c -> named_struct("
-            f"'err', aggregate(zip_with(slice({vd},{(s - 1) * sub + 1},{sub}),"
-            f" element_at({cb_s}, c), (x, y) -> (x - y) * (x - y)),"
-            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
-            f" 'code', element_at({cids}, c))))"
-        )
-
-    return crows, _sub_best
+    structs = (
+        f"transform(sequence(1,{m}), s -> "
+        f"array_min(transform(sequence(1,{k}), c -> named_struct("
+        f"'err', aggregate(zip_with(slice({vd}, (s - 1) * {sub} + 1, {sub}),"
+        f" slice(element_at({cbfull}, c), (s - 1) * {sub} + 1, {sub}),"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d),"
+        f" 'code', element_at({cids}, c)))))"
+    )
+    return crows, structs
 
 
 def pq_codes_column(
@@ -738,14 +740,10 @@ def pq_codes_column(
     to a pure map stage). Code values are bit-identical to
     pq_encode -> pq_widen (same literals, same fold, same (err, code)
     tie-break)."""
-    _, _sub_best = _pq_sub_best_builder(
+    _, structs = _pq_best_structs_builder(
         codebook, m, vec_col, cb_id, cb_vec, crows
     )
-    return F.expr(
-        "array("
-        + ",".join(f"{_sub_best(s + 1)}.code" for s in range(m))
-        + ")"
-    )
+    return F.expr(f"transform({structs}, b -> b.code)")
 
 
 def pq_encode(
@@ -778,16 +776,12 @@ def pq_encode(
 
     ``crows`` = pre-collected [(code_id, vec), ...] to skip the collect
     job (see ivf_assign)."""
-    crows, _sub_best = _pq_sub_best_builder(
+    crows, structs = _pq_best_structs_builder(
         codebook, m, vec_col, cb_id, cb_vec, crows
     )
     encoded = vectors.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(
-                "array(" + ",".join(_sub_best(s + 1) for s in range(m)) + ")"
-            )
-        ).alias("pos", "e"),
+        F.posexplode(F.expr(structs)).alias("pos", "e"),
     )
     return encoded.select(
         id_col,
@@ -824,6 +818,7 @@ def ivfpq_probe(
     cb_vec: str = "cvec",
     cb_rows: list[tuple[int, list[float]]] | None = None,
     centroid_rows: list[tuple[int, list[float]]] | None = None,
+    queries_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ADC probe over an at-rest IVF-PQ index (Jégou et al. 2011):
     ``index`` is the (vec_id, bucket, codes) table — built in batch
@@ -837,7 +832,13 @@ def ivfpq_probe(
 
     ``cb_rows`` / ``centroid_rows`` = pre-collected [(id, vec), ...]
     so a caller that already scanned the quantizers (s6 does one head
-    scan for both) spawns no extra collect jobs here."""
+    scan for both) spawns no extra collect jobs here.
+    ``queries_assigned`` = a pre-assigned (qid, qvec, qbucket) frame;
+    when the caller already knows the query cells (s6 computes them on
+    the driver from the same head collect — k-sized work, same
+    sequential fp64 arithmetic as ivf_assign), the probe-side
+    assignment expression (another centroid-literal tree for the
+    analyzer) and its scan are skipped entirely."""
     if cb_rows is None:
         cb_rows = [
             (int(r[cb_id]), [float(x) for x in r[cb_vec]])
@@ -849,31 +850,33 @@ def ivfpq_probe(
 
     _darr = double_array_sql
 
-    qassigned = ivf_assign(
-        queries, centroids, id_col=qid_col, vec_col=qvec_col,
-        crows=centroid_rows,
-    ).select(qid_col, qvec_col, F.col("bucket").alias("qbucket"))
+    if queries_assigned is not None:
+        qassigned = queries_assigned
+    else:
+        qassigned = ivf_assign(
+            queries, centroids, id_col=qid_col, vec_col=qvec_col,
+            crows=centroid_rows,
+        ).select(qid_col, qvec_col, F.col("bucket").alias("qbucket"))
     # ADC as ONE parsed SQL expression (same py4j-chatter rationale as
-    # pq_encode): per-subspace codebook slices indexed by the
-    # candidate's code, subspace partials summed left-to-right exactly
-    # like the previous outer fold, so distances are bit-identical.
+    # pq_encode), r14 loop form (see _pq_best_structs_builder): the
+    # codebook is inlined ONCE as a k x dim literal and sliced per
+    # subspace inside the s-loop instead of unrolling m pre-sliced
+    # copies. Per-element subtraction order is unchanged and the outer
+    # aggregate's left-to-right partial sum matches the previous
+    # explicit (p1) + (p2) + ... chain exactly (0.0D + p1 == p1: every
+    # partial is a sum of squares, +0.0 or positive, never -0.0), so
+    # distances are bit-identical.
     qvd = f"transform({qvec_col}, x -> CAST(x AS DOUBLE))"
-
-    def _sub_adc(s: int) -> str:
-        cb_s = (
-            "array("
-            + ",".join(_darr(v[(s - 1) * sub:s * sub]) for _, v in crows)
-            + ")"
-        )
-        return (
-            f"aggregate(zip_with(slice({qvd},{(s - 1) * sub + 1},{sub}),"
-            f" element_at({cb_s},"
-            f" CAST(element_at(codes, {s}) + 1 AS INT)),"
-            f" (x, y) -> (x - y) * (x - y)),"
-            f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
-        )
-
-    adc = F.expr(" + ".join(f"({_sub_adc(s + 1)})" for s in range(m)))
+    cbfull = "array(" + ",".join(_darr(v) for _, v in crows) + ")"
+    adc = F.expr(
+        f"aggregate(transform(sequence(1,{m}), s -> "
+        f"aggregate(zip_with(slice({qvd}, (s - 1) * {sub} + 1, {sub}),"
+        f" slice(element_at({cbfull}, CAST(element_at(codes, s) + 1 AS INT)),"
+        f" (s - 1) * {sub} + 1, {sub}),"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)),"
+        f" CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
     scored = index.join(
         F.broadcast(qassigned),
         (F.col("bucket") == F.col("qbucket"))

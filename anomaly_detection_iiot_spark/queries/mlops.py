@@ -328,11 +328,16 @@ def m9_fedavg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.setdefault((int(r.layer), r.part, int(r.idx)), []).append(
             float(r.w)
         )
+    # one slice, not defaultParallelism: this frame's only consumer is
+    # the broadcast build below — 32 near-empty tasks bought nothing
     ref_df = spark.createDataFrame(
-        [
-            (k[0], k[1], k[2], float(np.mean(vs)), len(vs))
-            for k, vs in ref.items()
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (k[0], k[1], k[2], float(np.mean(vs)), len(vs))
+                for k, vs in ref.items()
+            ],
+            1,
+        ),
         "layer int, part string, idx bigint, w_ref double, n_ref int",
     )
     agg = trained.groupBy("layer", "part", "idx").agg(

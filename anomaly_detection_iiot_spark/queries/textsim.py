@@ -2456,15 +2456,54 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("code_id"), F.col("embedding").alias("cvec")
     )
-    # ONE head scan for both quantizers: assignment, encoding, and the
-    # probe all take the pre-collected rows, so index construction
-    # spawns a single collect job instead of four (compile-time split
-    # showed the repeated tiny scans dominating s6's constant cost)
-    head = sorted(
+    # ONE head scan for quantizers AND queries: assignment, encoding,
+    # and the probe all take the pre-collected rows, so index
+    # construction spawns a single collect job instead of four
+    # (compile-time split showed the repeated tiny scans dominating
+    # s6's constant cost); r14 folds the 5 query vectors into the same
+    # scan and assigns their cells ON THE DRIVER (k-sized work — 5
+    # vectors x 8 centroids — with ivf_assign's exact arithmetic:
+    # left-to-right fp64 dot/norm folds from 0.0, argmax with min-id
+    # tie-break), so the probe-side assignment expression and its
+    # second centroid-literal tree disappear from the plan.
+    picked = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in e.filter(F.col("vec_id") < 16).collect()
+        for r in e.filter(
+            (F.col("vec_id") < 16) | F.col("vec_id").between(100, 104)
+        ).collect()
     )
+    head = [rv for rv in picked if rv[0] < 16]
     cent_rows = [rv for rv in head if rv[0] < 8]
+
+    def _sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _snorm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc ** 0.5
+
+    cnorms = [(cid, _snorm(cv)) for cid, cv in cent_rows]
+    qassigned_rows = []
+    for qid, qv in picked:
+        if not 100 <= qid <= 104:
+            continue
+        qn = _snorm(qv)
+        # struct(s, -id) lexicographic max == argmax with min-id
+        # tie-break, matching ivf_assign's array_max expression
+        best = max(
+            (_sdot(qv, cv) / (qn * cn), -cid)
+            for (cid, cv), (_, cn) in zip(cent_rows, cnorms)
+        )
+        qassigned_rows.append((qid, qv, -best[1]))
+    qassigned = spark.createDataFrame(
+        spark.sparkContext.parallelize(qassigned_rows, 1),
+        schema="qid bigint, qvec array<double>, qbucket bigint",
+    )
     # (bucket, codes) per vector IS the at-rest IVF-PQ index — persist
     # it (the s4-signature-index rationale): queries probe the index,
     # they don't re-encode the corpus. Built as ONE zero-shuffle
@@ -2483,16 +2522,14 @@ def s6_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.pq_codes_column(cb, m=8, crows=head).alias("codes"),
         ),
     )
-    queries = e.filter(F.col("vec_id").between(100, 104)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
     # the probe (extracted to similarity.ivfpq_probe in r7) is shared
     # with the streaming-serving path: streaming/ann_ingest.py grows
     # the same (vec_id, bucket, codes) layout and this identical ADC
     # probe serves it — stream==batch pinned in tests/test_ann_ingest.py
     return similarity.ivfpq_probe(
-        cand, queries, centroids, cb, m=8, k=5,
+        cand, None, centroids, cb, m=8, k=5,
         cb_rows=head, centroid_rows=cent_rows,
+        queries_assigned=qassigned,
     )
 
 

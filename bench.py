@@ -448,20 +448,22 @@ def _measure_query(spark, name: str, sf_dir: str) -> tuple:
     )
 
 
+def _calibration_once(spark) -> float:
+    """One run of the fixed-work host-speed probe (see _calibration)."""
+    t0 = time.time()
+    spark.range(0, 500_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
 def _calibration(spark) -> float:
     """Fixed-work host-speed probe: a pure-JVM codegen loop over
     range() — no I/O, no Python, no shuffle — whose time tracks ONLY
     how fast this host is running right now (bursty hypervisor CPU
     steal has inflated whole rounds 2-7x; see BENCH_r09 vs the judge's
     isolated re-run)."""
-    cal_runs = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(0, 500_000_000, 1, 32).selectExpr(
-            "sum(id * 2 + 1) AS s"
-        ).write.mode("overwrite").format("noop").save()
-        cal_runs.append(time.time() - t0)
-    return round(min(cal_runs), 3)
+    return round(min(_calibration_once(spark) for _ in range(3)), 3)
 
 
 _HISTORY_PATH = os.path.join(
@@ -598,10 +600,23 @@ def main() -> None:
     # flagship scan→window→score→threshold→crossing chain on the
     # reference's own file layout (not a testdata-table query)
     times["bearing_pipeline"] = _bench_bearing_pipeline(spark)
+    # Streaming benches bracketed by single-run calibrations (VERDICT
+    # r13 item 6: the r13 driver run doubled streaming_total while both
+    # rows were noise-flagged — the bracket makes a steal burst DURING
+    # the stream bench visible in the line, not just session-start
+    # state). [before, after] per stream; the middle probe closes one
+    # bracket and opens the next.
+    cal_s0 = _calibration_once(spark)
     # chained two-stateful-operator streaming query, multi-micro-batch
     times["bearing_stream"] = _bench_bearing_stream(spark)
+    cal_s1 = _calibration_once(spark)
     # streaming curation: stateless cascade + watermark-bounded dedup
     times["curation_stream"] = _bench_curation_stream(spark, sf_dir)
+    cal_s2 = _calibration_once(spark)
+    stream_cal = {
+        "bearing_stream": [cal_s0, cal_s1],
+        "curation_stream": [cal_s1, cal_s2],
+    }
 
     # b-side rotation (VERDICT r11 item 4, widened to 30/round per
     # r12 item 6): non-headline registry queries benched per round,
@@ -663,6 +678,7 @@ def main() -> None:
         "queries": times,
         "streaming_total": streaming_total,
         "streaming_queries": stream_times,
+        "stream_cal": stream_cal,
         "stream_progress": dict(_STREAM_PROGRESS),
         "bside_total": bside_total,
         "bside_queries": bside_times,
@@ -712,6 +728,7 @@ def main() -> None:
             streaming_queries=stream_times,
             bside_total=bside_total,
             bside_queries=bside_times,
+            stream_cal=stream_cal,
         )
     )
 
@@ -749,6 +766,7 @@ def _contract_line(
     streaming_queries=None,
     bside_total=None,
     bside_queries=None,
+    stream_cal=None,
 ) -> str:
     """ONE JSON line <= budget chars (the driver parses the JSON out of
     a ~2000-char stdout tail window; a longer line truncates to
@@ -777,6 +795,14 @@ def _contract_line(
         base["streaming_queries"] = {
             k: round(v, 2) for k, v in (streaming_queries or {}).items()
         }
+        if stream_cal:
+            # [before, after] fixed-work calibration bracketing each
+            # stream bench (VERDICT r13 item 6): a burst DURING the
+            # stream shows as an inflated bracket, so the judge can
+            # separate host steal from stream regressions in the line
+            base["stream_cal"] = {
+                k: [round(x, 2) for x in v] for k, v in stream_cal.items()
+            }
     if bside_total is not None:
         base["bside_total"] = bside_total
         base["bside_queries"] = {
