@@ -2238,18 +2238,28 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pipelines, minus the external LM.
 
     Spark shape: bigram construction is array-native (``zip_with`` over
-    two ``slice``s — no per-token explode-and-window). The count tables
-    are corpus-global aggregates PERSISTED once (they are Zipf-small —
-    vocab-sized, not corpus-sized, so caching them is cheap and the
-    scale-correct choice) and joined back by key; without the persist,
-    every consumer branch re-scanned the corpus and re-ran the explode
-    (10 parquet scans in the r6 plan — the vocab row-count alone
-    recomputed the whole unigram aggregation). With it the corpus is
-    scanned 4x (uni build, bi build, scoring, final doc join) and
-    nothing corpus-sized is ever cached. AQE broadcast-joins the count
-    tables. Docs with <2 tokens score 0 with n_bigrams=0 (left join +
-    coalesce)."""
-    from ..operators.cache import replace_owned_cache
+    two ``slice``s — no per-token explode-and-window). The UNIGRAM
+    table is a corpus-global aggregate PERSISTED once (Zipf-small —
+    vocab-sized, not corpus-sized) because it has TWO consumers (the
+    vocab row-count and the scoring join); without the persist each
+    re-scanned the corpus and re-ran the explode (10 parquet scans in
+    the r6 plan). It is cached at ONE coalesced partition (r14): the
+    table is broadcast in the scoring join, i.e. single-task-sized by
+    construction, and the 32-partition cache cost more in per-consumer
+    task fan-out than it bought (A/B: 2.19 -> 1.55 s min-of-4 with
+    this + the bi-cache removal). The BIGRAM table is NOT cached
+    (r14): it has exactly one consumer, so the persist was pure
+    overhead at every scale — one build either way. With the caches
+    as-is the corpus is scanned 4x (uni build, bi build, scoring,
+    final doc join) and nothing corpus-sized is ever cached. AQE
+    broadcast-joins the count tables. Docs with <2 tokens score 0 with
+    n_bigrams=0 (left join + coalesce)."""
+    from ..operators.cache import release_owned_caches, replace_owned_cache
+
+    # the r13 form also cached the bigram table under this key; release
+    # a stale entry left by an earlier-session call so it doesn't stay
+    # persisted with no owner
+    release_owned_caches("t12_bi")
 
     toked = dedup.tokenize(_spread_docs(spark, sf_dir))
     n = F.size("tokens")
@@ -2268,11 +2278,10 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t12_uni",
         toked.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c1")),
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .coalesce(1),
     )
-    bi = replace_owned_cache(
-        "t12_bi", occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
-    )
+    bi = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
     lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
     scored = (
