@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame
 _OWNED_CACHES: dict[str, DataFrame] = {}
 
 
-def replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
+def replace_owned_cache(
+    site: str, frame: DataFrame, adaptive_partitioning: bool = False
+) -> DataFrame:
     """Persist ``frame`` under the ownership key ``site``, releasing the
     cache the previous call with the same key created.
 
@@ -61,7 +63,35 @@ def replace_owned_cache(site: str, frame: DataFrame) -> DataFrame:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # session torn down between calls
-    cached = frame.persist()
+    if adaptive_partitioning:
+        # Compile the cached plan WITH AQE partition coalescing
+        # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning,
+        # default false): by default Spark freezes a cached plan's
+        # output partitioning at spark.sql.shuffle.partitions, so a
+        # KB-scale frame persists as 32 near-empty partitions and every
+        # consumer pays a 32-task scan — the r13 scaling block measured
+        # 8 cores BEATING 32 on exactly the cached iterative family.
+        # With the flag on, AQE sizes the cached partitions from actual
+        # bytes (advisoryPartitionSizeInBytes), which is the
+        # scale-adaptive rule: tiny at sf0.1, hundreds of partitions at
+        # 100 TB. The conf is read at persist (CacheManager.cacheQuery)
+        # time, so the scoped set/restore below is complete even though
+        # materialization happens later inside the caller's action.
+        # NOT the global default: coalescing also serializes consumers
+        # that USE the fan-out — d12's 8-consumer fingerprint probe
+        # measured 1.63 s (off) vs 1.91 s (on); d13/c2/d8 also prefer
+        # off (r14 alternating A/Bs) — so each site opts in only where
+        # its A/B won (w25: 7.39 -> 4.69 s).
+        session = frame.sparkSession
+        key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        old = session.conf.get(key)
+        session.conf.set(key, "true")
+        try:
+            cached = frame.persist()
+        finally:
+            session.conf.set(key, old)
+    else:
+        cached = frame.persist()
     _OWNED_CACHES[site] = cached
     return cached
 

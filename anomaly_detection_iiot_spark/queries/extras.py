@@ -1584,12 +1584,21 @@ def w25_binary_segmentation(
     release_owned_caches(
         "w25_win_l", keep={f"w25_win_l{i}" for i in range(depth)}
     )
+    # adaptive_partitioning on both w25 cache sites (r14, guide §2/§5):
+    # without it the per-level KB-scale win frames persist at
+    # spark.sql.shuffle.partitions (32 locally) and each level's THREE
+    # consumers pay a 32-task scan per level — the r13 scaling block
+    # measured w25 running FASTER on 8 cores than 32 (ratio 0.78).
+    # AQE-coalesced cached partitions are sized from bytes, so the same
+    # code gets 1 partition at sf0.1 and real parallelism at 100 TB.
+    # Alternating A/B (cold cache per run): 7.39 -> 4.69 s min-of-4.
     p = replace_owned_cache(
         "w25_prefix_sums",
         seq.withColumn("S", F.sum("x").over(run))
         .withColumn("n", F.count(F.lit(1)).over(tot).cast("long"))
         .withColumn("Sn", F.sum("x").over(tot))
         .select("user_id", "i", "S", "n", "Sn"),
+        adaptive_partitioning=True,
     )
     segs = p.filter(F.col("i") == 1).select(
         "user_id",
@@ -1634,6 +1643,7 @@ def w25_binary_segmentation(
                 "row_number() OVER (PARTITION BY user_id, a "
                 "ORDER BY stat DESC, i ASC) AS rk",
             ).filter("rk = 1"),
+            adaptive_partitioning=True,
         )
         levels.append(
             win.selectExpr(

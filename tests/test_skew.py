@@ -216,3 +216,27 @@ def test_owned_cache_same_plan_reused_different_plan_replaced(spark):
     )
     assert other is not first
     assert other.count() == 50
+
+
+def test_owned_cache_adaptive_partitioning(spark):
+    """adaptive_partitioning=True compiles the cached plan with AQE
+    partition coalescing (r14: a KB-scale cached frame must not persist
+    as shuffle.partitions near-empty partitions that every consumer
+    rescans), and the session conf is restored afterwards."""
+    from anomaly_detection_iiot_spark.operators.cache import (
+        replace_owned_cache,
+    )
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    assert spark.conf.get(key) == "false"  # Spark default
+    shuffled = spark.range(0, 200, 1, 4).groupBy(
+        (F.col("id") % 3).alias("k")
+    ).count()
+    cached = replace_owned_cache(
+        "test_adaptive_site", shuffled, adaptive_partitioning=True
+    )
+    cached.count()
+    # 3 tiny groups coalesce below the conftest shuffle.partitions (4)
+    assert cached.rdd.getNumPartitions() == 1
+    assert spark.conf.get(key) == "false"  # scoped set/restore
+    cached.unpersist()
