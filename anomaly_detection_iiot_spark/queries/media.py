@@ -12,6 +12,21 @@ from pyspark.sql import functions as F
 from ..operators import multimodal
 from .base import QuerySpec, t
 
+def _media_frame(spark: SparkSession, blobs: list, schema: str) -> DataFrame:
+    """Driver-synthesized media blobs as a DataFrame with slices sized
+    to the BLOB count, not the core count (r14; the d8/m9 parallelize
+    rule): the default createDataFrame split schedules
+    defaultParallelism (32 locally) slices for ≤8 per-user videos, and
+    the decode stage downstream is a Python Arrow UDF — every empty
+    slice still pays a Python-worker round-trip per run. One blob per
+    slice keeps the real decode work maximally parallel (each video
+    decodes in its own task) with zero empty tasks; at scale the slice
+    count grows with the corpus, not the cluster."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(blobs, max(1, len(blobs))), schema
+    )
+
+
 _KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 _NBYTES_SQL = "octet_length(encode(text))"
 
@@ -85,8 +100,8 @@ def mm3_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.setframerate(8000)
             w.writeframes(samples.tobytes())
         blobs.append((uid, "audio", bytearray(buf.getvalue())))
-    media = spark.createDataFrame(
-        blobs, "media_id bigint, kind string, data binary"
+    media = _media_frame(
+        spark, blobs, "media_id bigint, kind string, data binary"
     )
     decoded = multimodal.decode_media(media, codec="real", kinds=("audio",))
     px = F.col("pixels")
@@ -145,8 +160,8 @@ def mm4_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             [e % 256 for e in eids[: h * 8]], dtype=np.uint8
         ).reshape(h, 8)
         blobs.append((uid, "image", bytearray(multimodal.encode_png(arr))))
-    media = spark.createDataFrame(
-        blobs, "media_id bigint, kind string, data binary"
+    media = _media_frame(
+        spark, blobs, "media_id bigint, kind string, data binary"
     )
     decoded = multimodal.decode_media(media, codec="png")
     px = F.col("pixels")
@@ -212,7 +227,7 @@ def mm5_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(nf)
         ]
         blobs.append((uid, bytearray(multimodal.encode_avi(frames, 4, 4))))
-    media = spark.createDataFrame(blobs, "media_id bigint, data binary")
+    media = _media_frame(spark, blobs, "media_id bigint, data binary")
     per_frame = multimodal.decode_avi_frames(media)
     px = F.col("pixels")
     fsum = F.aggregate(px, F.lit(0.0), lambda a, x: a + x)
@@ -288,8 +303,8 @@ def mm6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one uniform 8x8 block per event, stacked vertically (w=8)
         arr = np.repeat(np.repeat(vals.reshape(-1, 1), 8, axis=0), 8, axis=1)
         blobs.append((uid, "image", bytearray(multimodal.encode_jpeg(arr))))
-    media = spark.createDataFrame(
-        blobs, "media_id bigint, kind string, data binary"
+    media = _media_frame(
+        spark, blobs, "media_id bigint, kind string, data binary"
     )
     decoded = multimodal.decode_media(media, codec="jpeg")
     px = F.col("pixels")
@@ -355,8 +370,8 @@ def mm7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.setframerate(8000)
             w.writeframes(samples.tobytes())
         blobs.append((uid, "audio", bytearray(buf.getvalue())))
-    media = spark.createDataFrame(
-        blobs, "media_id bigint, kind string, data binary"
+    media = _media_frame(
+        spark, blobs, "media_id bigint, kind string, data binary"
     )
     decoded = multimodal.decode_media(media, codec="real", kinds=("audio",))
     framed = decoded.select(
@@ -447,7 +462,7 @@ def mm8_frame_tensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(nf)
         ]
         blobs.append((uid, bytearray(multimodal.encode_avi(frames, 4, 4))))
-    media = spark.createDataFrame(blobs, "media_id bigint, data binary")
+    media = _media_frame(spark, blobs, "media_id bigint, data binary")
     if multimodal.av_available():
         # inter-frame path: mux the raw frames into a real compressed
         # stream driver-side, then decode distributed
