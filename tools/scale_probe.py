@@ -109,6 +109,8 @@ QUERY_NAMES = {
     "t19": "t19_bpe_encode",
     # r13 probe-only: xxhash64-long minhash (see _d4_narrow)
     "d4narrow": "d4_lsh_candidates_narrow",
+    # r14 probe-only: Arrow-batched md5 minhash, value-identical to d4
+    "d4arrow": "d4_lsh_candidates_arrow",
     # r12 (r11 verdict item 8): MMR rerank — embeddings-inflation
     # axis; the distributed rel scan + top-20 cut grows linearly, the
     # greedy rounds stay 20-row driver micro-jobs regardless of corpus
@@ -283,11 +285,83 @@ def _d4_narrow(spark, sf_dir: str):
     return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
 
 
+def _d4_arrow(spark, sf_dir: str):
+    """Probe-ONLY d4 variant for VERDICT r13 item 9: does moving the
+    minhash scan across the Python boundary as Arrow batches (guide §4
+    — hand whole batches to native code, init once per task) beat the
+    JVM md5 codegen path?
+
+    Signature VALUES are bit-identical to the registry d4 (hashlib.md5
+    == Spark ``md5``; h_i = min over shingles of hex[8i:8i+8],
+    num_hashes=4 → one digest per shingle), so unlike ``_d4_narrow``
+    this variant is oracle-compatible — it stays probe-only purely on
+    the measured outcome. A per-task digest memo exploits cross-doc
+    duplicate shingles (the thing a dedup corpus has by construction);
+    the JVM expression form re-hashes every occurrence."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_iiot_spark.operators import dedup
+    from anomaly_detection_iiot_spark.queries.textsim import _spread_docs
+
+    shingled = dedup.shingle_array(
+        dedup.tokenize(_spread_docs(spark, sf_dir)), n=3
+    ).select("doc_id", "shingles")
+
+    out_schema = (
+        "doc_id bigint, h0 string, h1 string, h2 string, h3 string"
+    )
+
+    def _sig_batches(it):
+        import hashlib
+
+        memo: dict = {}  # shingle -> (s0, s1, s2, s3); once per task
+
+        def slots(s: str):
+            v = memo.get(s)
+            if v is None:
+                d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                v = (d[0:8], d[8:16], d[16:24], d[24:32])
+                memo[s] = v
+            return v
+
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            shs = batch.column("shingles").to_pylist()
+            out = {k: [] for k in ("doc_id", "h0", "h1", "h2", "h3")}
+            for did, shingles in zip(ids, shs):
+                if not shingles:
+                    continue  # parity: no-shingle docs are dropped
+                # elementwise per-slot mins (the array_min per h_i),
+                # NOT a tuple-min over whole digests
+                s0, s1, s2, s3 = slots(shingles[0])
+                for s in shingles[1:]:
+                    a, b, c, d = slots(s)
+                    if a < s0:
+                        s0 = a
+                    if b < s1:
+                        s1 = b
+                    if c < s2:
+                        s2 = c
+                    if d < s3:
+                        s3 = d
+                out["doc_id"].append(did)
+                out["h0"].append(s0)
+                out["h1"].append(s1)
+                out["h2"].append(s2)
+                out["h3"].append(s3)
+            yield pa.RecordBatch.from_pydict(out)
+
+    sig = shingled.mapInArrow(_sig_batches, out_schema)
+    return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
+
+
 RUNNERS = {
     "s4": _s4_scaled,
     "d13": _d13_scaled,
     "g1skew": _g1_skewed,
     "d4narrow": _d4_narrow,
+    "d4arrow": _d4_arrow,
 }
 
 
@@ -589,7 +663,7 @@ def main() -> None:
         "w22": 1000, "w23": 1000, "m16": 1000, "m17": 1000,
         "a28": 1000, "a29": 1000, "a30": 1000, "g1": 1000,
         "t18": 5000, "w24": 1000, "w25": 1000, "g1skew": 1000,
-        "t19": 5000, "d4narrow": 5000,
+        "t19": 5000, "d4narrow": 5000, "d4arrow": 5000,
         "s18": 2000, "w26": 1000, "w27": 1000,
     }
     for q in queries:
